@@ -1,0 +1,109 @@
+"""Solver configuration.
+
+Design follows the reference Julia ``Settings`` struct
+(``Harmonic Power Flow/hcne.jl:49-90``), which is the best API sketch in the
+reference repo: a single frozen config object holding the per-unit system,
+considered harmonics, Newton-Raphson thresholds, and flat-start values.  The
+Python reference keeps these as module globals
+(``Harmonic Power Flow/hcne_generalized.py:578-593``).
+
+``Settings`` is a frozen (hashable) dataclass so it can be passed as a
+*static* argument through ``jax.jit`` — all shape-determining quantities
+(number of harmonics, dtypes) are compile-time constants, as required for XLA.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def default_harmonics(h_max: int) -> Tuple[int, ...]:
+    """Odd harmonic orders 1, 3, ..., h_max (reference: hcne_generalized.py:584)."""
+    return tuple(range(1, h_max + 1, 2))
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """Frozen solver configuration (static under jit).
+
+    Mirrors the capability set of ``hcne.jl:49-90`` (init_settings) and the
+    module globals of ``hcne_generalized.py:578-593``.
+    """
+
+    # harmonic orders considered, fundamental first (multiples of net_freq)
+    harmonics: Tuple[int, ...] = default_harmonics(51)
+    coupled: bool = False
+
+    # per-unit bases (hcne_generalized.py:578-579, hcne.jl:57-59)
+    base_power: float = 1000.0      # W
+    base_voltage: float = 400.0     # V
+    net_freq: float = 50.0          # Hz
+
+    # Newton-Raphson controls (hcne_generalized.py:244,511; hcne.jl:76-79)
+    thresh_f: float = 1e-6
+    max_iter_f: int = 30
+    thresh_h: float = 1e-4
+    max_iter_h: int = 50
+
+    # flat-start voltages (hcne.jl:81-84; hcne_generalized.py:181-183)
+    v_init_f: float = 1.0
+    a_init_f: float = 0.0
+    v_init_h: float = 0.1
+    a_init_h: float = 0.0
+
+    # numerics: None -> follow jax_enable_x64 (f64/c128 when enabled)
+    dtype: Optional[str] = None
+
+    # reproduce the reference's line-shunt off-by-one (hcne_generalized.py:166
+    # compares 1-based line endpoint IDs against the 0-based bus index).  Only
+    # observable when line G/B != 0; all shipped nets have G = B = 0.
+    compat_shunt_bug: bool = False
+
+    # ---- derived quantities -------------------------------------------------
+    @property
+    def n_harmonics(self) -> int:
+        """Number of harmonic orders incl. fundamental (K+1)."""
+        return len(self.harmonics)
+
+    @property
+    def K(self) -> int:
+        """Number of harmonics above the fundamental (hcne.jl:69)."""
+        return len(self.harmonics) - 1
+
+    @property
+    def harmonics_freq(self) -> Tuple[float, ...]:
+        """Harmonic frequencies in Hz (hcne_generalized.py:585)."""
+        return tuple(self.net_freq * h for h in self.harmonics)
+
+    @property
+    def base_current(self) -> float:
+        return self.base_power / self.base_voltage
+
+    @property
+    def base_admittance(self) -> float:
+        return self.base_current / self.base_voltage
+
+    @property
+    def base_impedance(self) -> float:
+        return 1.0 / self.base_admittance
+
+    # ---- dtypes -------------------------------------------------------------
+    @property
+    def real_dtype(self):
+        if self.dtype is not None:
+            return jnp.dtype(self.dtype)
+        return jnp.zeros((), jnp.float64).dtype  # f64 iff x64 enabled
+
+    @property
+    def complex_dtype(self):
+        return jnp.dtype(np.result_type(self.real_dtype, np.complex64))
+
+    def with_(self, **kwargs) -> "Settings":
+        return dataclasses.replace(self, **kwargs)
+
+
+def settings_for_hmax(h_max: int, **kwargs) -> Settings:
+    return Settings(harmonics=default_harmonics(h_max), **kwargs)

@@ -1,0 +1,207 @@
+"""Nonlinear device models: (harmonically-coupled) Norton equivalents.
+
+Covers the reference's device layer end to end:
+- CSV import of ``<device>_NE.csv`` tables with per-unit conversion
+  (``hcne_generalized.py:278-310`` import_Norton_Equivalents), tolerant of
+  the component-name case traps documented there (net1 says ``smps``,
+  net2/net3 say ``SMPS``, the shipped file is ``smps_NE.csv``).
+- NE *fitting* from measurement sets in JAX, both the uncoupled Thunberg-1999
+  two-measurement scheme and the coupled Almeida-2010 (N+1)-measurement
+  linear solve (``Circuit Simulation/NE_from_sim.py:86-173``), plus the
+  round-trip self-test of ``NE_from_sim.py:116-135,182-193``.
+
+A ``DeviceSet`` stacks the equivalents of every nonlinear bus into batched
+arrays — ``I_N: (n_nl, H)`` and ``Y_N: (n_nl, H, H)`` (coupled) or
+``(n_nl, H)`` (uncoupled) — so current injections and Jacobian couplings are
+single batched einsums on the MXU rather than per-bus Python loops.
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Settings
+from .network import Network
+
+# default on-disk location of the NE tables shipped with hpfx
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceSet:
+    """Norton equivalents for all nonlinear buses of a network (stacked).
+
+    ``I_N[k]``/``Y_N[k]`` belong to the k-th nonlinear bus (bus index m+k).
+    ``coupled`` selects the (n_nl, H, H) full coupling matrix vs the
+    (n_nl, H) diagonal model, mirroring hcne_generalized.py:301-308.
+    """
+
+    I_N: jax.Array
+    Y_N: jax.Array
+    coupled: bool = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_devices(self) -> int:
+        return self.I_N.shape[0]
+
+    def scale(self, factor) -> "DeviceSet":
+        """Scale injections (penetration-sweep hook; vmap-able over factor)."""
+        return dataclasses.replace(
+            self, I_N=self.I_N * factor, Y_N=self.Y_N * factor)
+
+
+def _parse_complex(s: str) -> complex:
+    return complex(s.strip().strip("()"))
+
+
+def read_ne_csv(path: str) -> Dict:
+    """Parse a ``<device>_NE.csv`` table into raw (SI-unit) numpy arrays.
+
+    Returns dict with ``freqs`` (the file's frequency columns), ``Y_c``
+    ((F, F), rows ordered by the Frequency index), ``I_c``, ``Y_uc``,
+    ``I_uc`` (each (F,)).  Format produced by NE_from_sim.py:196-209.
+    """
+    with open(path, newline="") as fh:
+        rows = list(csv.reader(fh))
+    header = rows[0]
+    freqs = [int(float(col)) for col in header[2:]]
+    y_c: Dict[int, np.ndarray] = {}
+    vecs: Dict[str, np.ndarray] = {}
+    for row in rows[1:]:
+        param, freq = row[0], int(float(row[1]))
+        vals = np.array([_parse_complex(v) for v in row[2:]])
+        if param == "Y_N_c":
+            y_c[freq] = vals
+        else:
+            vecs[param] = vals
+    Y_c = np.stack([y_c[f] for f in sorted(y_c)])
+    return dict(freqs=freqs, y_row_freqs=sorted(y_c), Y_c=Y_c,
+                I_c=vecs["I_N_c"], Y_uc=vecs["Y_N_uc"], I_uc=vecs["I_N_uc"])
+
+
+def load_norton_equivalent(
+    path: str, settings: Settings, coupled: bool,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Load one device's NE, sliced to the considered harmonics and converted
+    to per-unit (hcne_generalized.py:296-308): I_N / base_current,
+    Y_N / base_admittance.  Returns (I_N (H,), Y_N (H,H) or (H,))."""
+    raw = read_ne_csv(path)
+    want = [int(f) for f in settings.harmonics_freq]
+    missing = [f for f in want if f not in raw["freqs"]]
+    if missing:
+        raise ValueError(
+            f"{path} has no Norton data for frequencies {missing} "
+            f"(available: {raw['freqs']})")
+    cols = [raw["freqs"].index(f) for f in want]
+    if coupled:
+        rsel = [raw["y_row_freqs"].index(f) for f in want]
+        Y = raw["Y_c"][np.ix_(rsel, cols)] / settings.base_admittance
+        I = raw["I_c"][cols] / settings.base_current
+    else:
+        Y = raw["Y_uc"][cols] / settings.base_admittance
+        I = raw["I_uc"][cols] / settings.base_current
+    return I, Y
+
+
+def resolve_ne_path(component: str, search_dirs: Sequence[str]) -> str:
+    """Find ``<component>_NE.csv`` case-insensitively (normalizes the
+    smps/SMPS naming trap; see SURVEY §2.5)."""
+    target = f"{component}_NE.csv".lower()
+    for d in search_dirs:
+        if not os.path.isdir(d):
+            continue
+        for fname in sorted(os.listdir(d)):
+            if fname.lower() == target:
+                return os.path.join(d, fname)
+    raise FileNotFoundError(
+        f"no Norton-equivalent table {component}_NE.csv in {list(search_dirs)}")
+
+
+def load_device_set(
+    net: Network, settings: Settings,
+    search_dirs: Sequence[str] = (DATA_DIR,),
+) -> DeviceSet:
+    """Load NEs for every nonlinear bus of ``net`` (one file read per unique
+    component, as in import_Norton_Equivalents, hcne_generalized.py:284-310)."""
+    coupled = settings.coupled
+    unique: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for comp in set(net.nonlinear_components):
+        path = resolve_ne_path(comp, search_dirs)
+        unique[comp] = load_norton_equivalent(path, settings, coupled)
+    I_N = np.stack([unique[c][0] for c in net.nonlinear_components])
+    Y_N = np.stack([unique[c][1] for c in net.nonlinear_components])
+    cd = settings.complex_dtype
+    return DeviceSet(I_N=jnp.asarray(I_N, cd), Y_N=jnp.asarray(Y_N, cd),
+                     coupled=coupled)
+
+
+def device_set_from_arrays(I_N, Y_N, coupled: bool,
+                           settings: Settings) -> DeviceSet:
+    cd = settings.complex_dtype
+    I_N = jnp.asarray(I_N, cd)
+    Y_N = jnp.asarray(Y_N, cd)
+    if coupled and Y_N.ndim == 2:
+        I_N, Y_N = I_N[None], Y_N[None]
+    if not coupled and Y_N.ndim == 1:
+        I_N, Y_N = I_N[None], Y_N[None]
+    return DeviceSet(I_N=I_N, Y_N=Y_N, coupled=coupled)
+
+
+# ---------------------------------------------------------------------------
+# Norton-equivalent fitting (JAX, differentiable)
+# ---------------------------------------------------------------------------
+
+def fit_coupled_ne(V_mes: jnp.ndarray, I_mes: jnp.ndarray):
+    """Coupled HCNE fit (Almeida 2010; NE_from_sim.py:138-173).
+
+    Given M = H+1 measurements of applied voltage spectra ``V_mes (M, H)``
+    and injected current spectra ``I_mes (M, H)``, solve for each output
+    harmonic j the linear system  I[k,j] = I_N[j] - sum_p Y_N[j,p] V[k,p],
+    i.e.  [-V | 1] @ [Y_N[j,:] ; I_N[j]] = I[:,j].
+
+    Returns (I_N (H,), Y_N (H,H)).  Fully differentiable; the reference's
+    explicit matrix inverse is replaced by a linear solve.
+    """
+    M, H = V_mes.shape
+    if M != H + 1:
+        raise ValueError(f"coupled fit needs H+1={H + 1} measurements, got {M}")
+    A = jnp.concatenate([-V_mes, jnp.ones((M, 1), V_mes.dtype)], axis=1)
+    X = jnp.linalg.solve(A, I_mes)       # (H+1, H): rows = [Y_N^T ; I_N]
+    Y_N = X[:-1].T
+    I_N = X[-1]
+    return I_N, Y_N
+
+
+def fit_uncoupled_ne(V_m1, I_m1, V_m2, I_m2):
+    """Uncoupled NE fit (Thunberg 1999; NE_from_sim.py:86-114).
+
+    Per harmonic h, from two measurements (V1[h], I1[h]) and (V2[h], I2[h]):
+        Y_N[h] = (I2[h] - I1[h]) / (V1[h] - V2[h])
+        I_N[h] = Y_N[h] * V1[h] + I1[h]
+    All arguments shape (H,).  Returns (I_N (H,), Y_N (H,)).
+    """
+    Y_N = (I_m2 - I_m1) / (V_m1 - V_m2)
+    I_N = Y_N * V_m1 + I_m1
+    return I_N, Y_N
+
+
+def ne_injection(I_N, Y_N, V):
+    """Model current injection I = I_N - Y_N·V (coupled or uncoupled),
+    the sign convention of hcne_generalized.py:320-322."""
+    if Y_N.ndim == 2:
+        return I_N - Y_N @ V
+    return I_N - Y_N * V
+
+
+def ne_selftest(I_N, Y_N, V_mes, I_mes) -> jnp.ndarray:
+    """Max |model - measurement| over a measurement set; the reference warns
+    above 1e-6 (NE_from_sim.py:132-135, 190-193)."""
+    pred = jax.vmap(lambda v: ne_injection(I_N, Y_N, v))(jnp.atleast_2d(V_mes))
+    return jnp.max(jnp.abs(pred - jnp.atleast_2d(I_mes)))

@@ -1,0 +1,257 @@
+"""Harmonically-coupled Norton-equivalent (HCNE) power flow — the core solver.
+
+TPU-native re-design of the reference harmonic solver
+(``hcne_generalized.py:313-560``: current_injections, current_balance,
+harmonic_mismatch, harmonic_state_vector, build_harmonic_jacobian,
+update_harmonic_*, hpf).  The math is identical; the implementation is not:
+
+- Voltages are a dense (H, n) complex tensor (harmonic-major), never a pandas
+  MultiIndex.  Flattening row-major reproduces the reference's
+  (harmonic, bus) state ordering exactly, so states/Jacobians compare
+  element-for-element against the oracle fixtures.
+- Current injections for all nonlinear buses and all harmonic pairs are one
+  batched einsum over the stacked ``DeviceSet`` arrays instead of the
+  reference's O((K+1)^2 · n_nl) Python scatter loop
+  (hcne_generalized.py:426-435) — this was the reference's dominant assembly
+  cost and is exactly the regular diagonal pattern the MXU/VPU eat for free.
+- The Jacobian is assembled in a (H, H, n, n) block layout and reshaped once
+  to its dense (2·H·n-1-c)^2 real form; the NR step is a dense LU solve.
+  The harmonic-block coupling is *only* through nonlinear-bus diagonal
+  entries (arrow sparsity), which a later block-structured Pallas solver can
+  exploit; dense is already fast at reference problem sizes.
+- The NR iteration is a single ``lax.while_loop`` (one XLA compilation),
+  vmap-safe for batched scenario sweeps.
+
+Sign conventions (hcne_generalized.py:195-198, 320-322, 351-354):
+mismatch adds +S for loads; injections are I_N - Y_N·V and are *added* to the
+line currents Y·V.  Voltage normalization inside the harmonic Jacobian uses
+the *signed* magnitude (V/V_m, = e^{j·theta}), matching :405 and :455 —
+harmonic magnitudes can legitimately go negative mid-iteration and the
+reference only cleans them up after the loop (:546-549), which is
+load-bearing for trajectory parity.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import Settings
+from .devices import DeviceSet
+from .fundamental import FundResult, solve_fundamental
+from .network import Network
+from .ybus import build_ybus
+
+
+class HPFState(NamedTuple):
+    """Carry of the harmonic NR loop."""
+    V_m: jnp.ndarray   # (H, n)
+    V_a: jnp.ndarray   # (H, n)
+    x: jnp.ndarray     # (2*H*n - 1 - c,)
+    f: jnp.ndarray     # mismatch residual, same length
+    err: jnp.ndarray
+    n_iter: jnp.ndarray
+    err_hist: jnp.ndarray
+
+
+class HPFResult(NamedTuple):
+    V_m: jnp.ndarray          # (H, n) cleaned magnitudes
+    V_a: jnp.ndarray          # (H, n) angles in [0, 2pi)
+    err: jnp.ndarray
+    n_iter: jnp.ndarray
+    err_hist: jnp.ndarray     # (max_iter_h,), NaN-padded
+    converged: jnp.ndarray
+    fund: Optional[FundResult] = None
+
+
+def current_injections(V_c, devices: DeviceSet, m: int):
+    """Harmonic current injections of every nonlinear bus, batched.
+
+    Reference: per-bus loop at hcne_generalized.py:313-323 computing
+    I_inj = I_N - Y_N · V_h(bus).  Here: one einsum over the stacked device
+    arrays.  Returns (n_nl, H) complex.
+    """
+    V_nl = V_c[:, m:]                                   # (H, n_nl)
+    if devices.coupled:
+        return devices.I_N - jnp.einsum("dhp,pd->dh", devices.Y_N, V_nl)
+    return devices.I_N - devices.Y_N * V_nl.T
+
+
+def current_balance(V_c, Y, devices: DeviceSet, m: int, n: int):
+    """Current balance vector (hcne_generalized.py:326-357).
+
+    Fundamental balance at nonlinear buses (n-m+1 entries), then harmonic
+    balance at all buses for each harmonic above the fundamental (n·K),
+    injections added at the nonlinear-bus positions.
+    """
+    I_inj = current_injections(V_c, devices, m)         # (n_nl, H)
+    dI_f = Y[0, m:, :] @ V_c[0] + I_inj[:, 0]
+    dI_h = jnp.einsum("hij,hj->hi", Y[1:], V_c[1:])     # (K, n)
+    dI_h = dI_h.at[:, m:].add(I_inj[:, 1:].T)
+    return jnp.concatenate([dI_f, dI_h.reshape(-1)])
+
+
+def harmonic_mismatch(V_m, V_a, Y, S, devices: DeviceSet,
+                      m: int, n: int, c: int):
+    """Harmonic mismatch f and residual err (hcne_generalized.py:360-390).
+
+    f_c = [dS (power, linear non-slack buses), dI (current balance)];
+    f = [Re f_c, Im f_c[c-1:]] — the PV bus contributes a P-row but no
+    Q-row.  err is the infinity norm.
+    """
+    V_c = (V_m * jnp.exp(1j * V_a))
+    Sl = V_c[0, 1:m] * jnp.conj(Y[0, 1:m, :] @ V_c[0])
+    dS = S[1:m] + Sl
+    dI = current_balance(V_c, Y, devices, m, n)
+    f_c = jnp.concatenate([dS, dI])
+    f = jnp.concatenate([f_c.real, f_c[c - 1:].imag])
+    return f, jnp.max(jnp.abs(f))
+
+
+def harmonic_state_vector(V_m, V_a, c: int):
+    """x = [angles.flat[1:], magnitudes.flat[c:]] over the (harmonic, bus)
+    row-major layout (hcne_generalized.py:393-398)."""
+    return jnp.concatenate([V_a.reshape(-1)[1:], V_m.reshape(-1)[c:]])
+
+
+def update_harmonic_voltages(V_m, V_a, x, H: int, n: int, c: int):
+    """Write the state vector back into the voltage tensors
+    (hcne_generalized.py:482-485).  No angle/sign cleanup here — the
+    reference applies it only after the loop (:546-549) and its absence
+    during iterations is load-bearing."""
+    D = H * n
+    V_a = V_a.reshape(-1).at[1:].set(x[: D - 1]).reshape(H, n)
+    V_m = V_m.reshape(-1).at[c:].set(x[D - 1:]).reshape(H, n)
+    return V_m, V_a
+
+
+def build_harmonic_jacobian(V_m, V_a, Y, devices: DeviceSet,
+                            m: int, n: int, c: int):
+    """Dense harmonic Jacobian (hcne_generalized.py:401-473).
+
+    Assembled in a (H, H, n, n) harmonic-block layout:
+    - diagonal blocks:  dI/dV|_hh = Y_h · diag(Vn_h),
+                        dI/dA|_hh = j·Y_h · diag(V_h)       (:410-411)
+    - NE coupling: for each nonlinear bus i and harmonic pair (h,p), the
+      (h·n+i, p·n+i) entry gets -Y_N[h,p]·Vn[p,i] (resp. -j·Y_N[h,p]·V[p,i]);
+      uncoupled devices touch only h == p                    (:425-443)
+    then reshaped to dense, rows cropped to the current-balance equations
+    (m:) and columns to the state layout (angles 1:, magnitudes c:), and
+    stacked with the zero-padded fundamental power rows      (:444-472).
+    """
+    H = V_m.shape[0]
+    D = H * n
+    V_c = V_m * jnp.exp(1j * V_a)
+    Vn = V_c / V_m                     # signed normalization = e^{j·theta}
+
+    hidx = jnp.arange(H)
+    # diagonal blocks
+    blocks_V = Y * Vn[:, None, :]                       # (H, n, n)
+    blocks_A = 1j * Y * V_c[:, None, :]
+    E_V = jnp.zeros((H, H, n, n), Y.dtype).at[hidx, hidx].set(blocks_V)
+    E_A = jnp.zeros((H, H, n, n), Y.dtype).at[hidx, hidx].set(blocks_A)
+
+    # Norton-equivalent coupling at nonlinear-bus diagonal entries
+    nl = jnp.arange(m, n)
+    Vn_nl = Vn[:, m:]                                    # (H, n_nl)
+    V_nl = V_c[:, m:]
+    if devices.coupled:
+        C_V = jnp.einsum("dhp,pd->hpd", devices.Y_N, Vn_nl)   # (H, H, n_nl)
+        C_A = 1j * jnp.einsum("dhp,pd->hpd", devices.Y_N, V_nl)
+        E_V = E_V.at[:, :, nl, nl].add(-C_V)
+        E_A = E_A.at[:, :, nl, nl].add(-C_A)
+    else:
+        C_V = devices.Y_N.T * Vn_nl                      # (H, n_nl)
+        C_A = 1j * devices.Y_N.T * V_nl
+        hh = hidx[:, None]
+        nn = nl[None, :]
+        E_V = E_V.at[hh, hh, nn, nn].add(-C_V)
+        E_A = E_A.at[hh, hh, nn, nn].add(-C_A)
+
+    dIdV = E_V.transpose(0, 2, 1, 3).reshape(D, D)[m:, c:]
+    dIdA = E_A.transpose(0, 2, 1, 3).reshape(D, D)[m:, 1:]
+
+    # fundamental power rows, zero-padded across harmonic columns (:449-467)
+    V1, Vn1 = V_c[0], Vn[0]
+    I1 = Y[0] @ V1
+    eye = jnp.eye(n, dtype=Y.dtype)
+    dS1dA1 = 1j * V1[:, None] * jnp.conj(eye * I1[:, None] - Y[0] * V1[None, :])
+    dS1dV1 = eye * (Vn1 * jnp.conj(I1))[:, None] + \
+        V1[:, None] * jnp.conj(Y[0] * Vn1[None, :])
+    zpad = jnp.zeros((n, D - n), Y.dtype)
+    dSdA = jnp.concatenate([dS1dA1, zpad], axis=1)
+    dSdV = jnp.concatenate([dS1dV1, zpad], axis=1)
+
+    return jnp.block([
+        [dSdA[1:m, 1:].real, dSdV[1:m, c:].real],
+        [dIdA.real, dIdV.real],
+        [dSdA[c:m, 1:].imag, dSdV[c:m, c:].imag],
+        [dIdA.imag, dIdV.imag],
+    ])
+
+
+def init_harmonic_voltages(fund: FundResult, net: Network, settings: Settings):
+    """Flat-start harmonic voltages seeded with the fundamental solution
+    (hcne_generalized.py:174-184 + the warm start at :525)."""
+    H, n = settings.n_harmonics, net.n
+    rd = settings.real_dtype
+    V_m = jnp.full((H, n), settings.v_init_h, rd).at[0].set(fund.V_m)
+    V_a = jnp.full((H, n), settings.a_init_h, rd).at[0].set(fund.V_a)
+    return V_m, V_a
+
+
+def cleanup_voltages(V_m, V_a):
+    """Post-loop sign/angle normalization (hcne_generalized.py:546-549):
+    add pi to angles of negative magnitudes, wrap angles to [0, 2pi), flip
+    magnitude signs."""
+    neg = V_m < 0
+    V_a = jnp.where(neg, V_a + jnp.pi, V_a) % (2 * jnp.pi)
+    V_m = jnp.where(neg, -V_m, V_m)
+    return V_m, V_a
+
+
+def solve_harmonic(Y, fund: FundResult, net: Network, devices: DeviceSet,
+                   settings: Settings) -> HPFResult:
+    """The harmonic NR hot loop (hcne_generalized.py:530-549) as one
+    ``lax.while_loop``."""
+    H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
+    S = (net.bus_P + 1j * net.bus_Q).astype(settings.complex_dtype)
+
+    V_m, V_a = init_harmonic_voltages(fund, net, settings)
+    f0, err0 = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c)
+    x0 = harmonic_state_vector(V_m, V_a, c)
+    hist0 = jnp.full((settings.max_iter_h,), jnp.nan, settings.real_dtype)
+
+    def cond(state: HPFState):
+        return (state.err > settings.thresh_h) & \
+            (state.n_iter < settings.max_iter_h)
+
+    def body(state: HPFState) -> HPFState:
+        J = build_harmonic_jacobian(
+            state.V_m, state.V_a, Y, devices, m, n, c)
+        x = state.x - jnp.linalg.solve(J, state.f)
+        V_m, V_a = update_harmonic_voltages(state.V_m, state.V_a, x, H, n, c)
+        f, err = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c)
+        hist = state.err_hist.at[state.n_iter].set(err)
+        return HPFState(V_m, V_a, x, f, err, state.n_iter + 1, hist)
+
+    final = lax.while_loop(
+        cond, body,
+        HPFState(V_m, V_a, x0, f0, err0, jnp.int32(0), hist0))
+
+    V_m, V_a = cleanup_voltages(final.V_m, final.V_a)
+    return HPFResult(V_m, V_a, final.err, final.n_iter, final.err_hist,
+                     final.err <= settings.thresh_h, fund)
+
+
+def hpf(net: Network, devices: DeviceSet, settings: Settings,
+        Y=None) -> HPFResult:
+    """Full harmonic power flow (hcne_generalized.py:511-560): Ybus assembly
+    -> fundamental NR warm start -> harmonic NR.  Jit this (settings and the
+    network's structural metadata are static)."""
+    if Y is None:
+        Y = build_ybus(net, settings)
+    fund = solve_fundamental(Y[0], net, settings)
+    return solve_harmonic(Y, fund, net, devices, settings)
