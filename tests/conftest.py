@@ -1,0 +1,66 @@
+"""Test harness configuration.
+
+Parity tests run on CPU with x64 enabled (the 1e-8 gate vs the float64
+reference requires f64/c128, which TPUs don't natively execute) on a
+virtual 8-device CPU mesh — XLA's multi-host simulation — so the sharded
+multi-chip code paths compile and execute without TPU hardware.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+import hpfx  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDENS = os.path.join(REPO, "validation", "goldens")
+DATA = os.path.join(REPO, "hpfx", "data")
+
+# every captured reference configuration: (net, h_max, coupled)
+ALL_CONFIGS = [
+    (net, h, c)
+    for net in ("net2", "net3", "net1")
+    for h in ((5, 25, 51) if net != "net1" else (5, 25))
+    for c in (False, True)
+]
+# reference itself fails to converge here (50 iters, err ~ 78) — behavioral
+# fixture for divergence handling, excluded from strict voltage parity
+DIVERGED = {("net1", 5, True)}
+
+
+def config_id(cfg):
+    net, h, c = cfg
+    return f"{net}_h{h}_{'c' if c else 'uc'}"
+
+
+def load_golden(cfg):
+    return np.load(os.path.join(GOLDENS, config_id(cfg) + ".npz"))
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    return {cfg: load_golden(cfg) for cfg in ALL_CONFIGS}
+
+
+def make_setup(cfg):
+    net_name, h_max, coupled = cfg
+    s = hpfx.settings_for_hmax(h_max, coupled=coupled)
+    net = hpfx.load_network(
+        os.path.join(DATA, f"{net_name}_buses.csv"),
+        os.path.join(DATA, f"{net_name}_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+    return s, net, dev
+
+
+@pytest.fixture(params=ALL_CONFIGS, ids=config_id)
+def config(request):
+    return request.param
