@@ -26,8 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import cx
 from .config import Settings
+from .cx import Cx
 from .network import Network
+from .utils.precision import highest_precision
 
 # default on-disk location of the NE tables shipped with hpfx
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
@@ -41,10 +44,11 @@ class DeviceSet:
     ``I_N[k]``/``Y_N[k]`` belong to the k-th nonlinear bus (bus index m+k).
     ``coupled`` selects the (n_nl, H, H) full coupling matrix vs the
     (n_nl, H) diagonal model, mirroring hcne_generalized.py:301-308.
+    Arrays are split-complex ``Cx`` pairs (see hpfx.cx).
     """
 
-    I_N: jax.Array
-    Y_N: jax.Array
+    I_N: Cx
+    Y_N: Cx
     coupled: bool = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -137,28 +141,33 @@ def load_device_set(
         unique[comp] = load_norton_equivalent(path, settings, coupled)
     I_N = np.stack([unique[c][0] for c in net.nonlinear_components])
     Y_N = np.stack([unique[c][1] for c in net.nonlinear_components])
-    cd = settings.complex_dtype
-    return DeviceSet(I_N=jnp.asarray(I_N, cd), Y_N=jnp.asarray(Y_N, cd),
+    rd = settings.real_dtype
+    return DeviceSet(I_N=cx.from_numpy(I_N, rd), Y_N=cx.from_numpy(Y_N, rd),
                      coupled=coupled)
 
 
 def device_set_from_arrays(I_N, Y_N, coupled: bool,
                            settings: Settings) -> DeviceSet:
-    cd = settings.complex_dtype
-    I_N = jnp.asarray(I_N, cd)
-    Y_N = jnp.asarray(Y_N, cd)
+    rd = settings.real_dtype
+    I_N = I_N if isinstance(I_N, Cx) else cx.from_numpy(I_N, rd)
+    Y_N = Y_N if isinstance(Y_N, Cx) else cx.from_numpy(Y_N, rd)
     if coupled and Y_N.ndim == 2:
         I_N, Y_N = I_N[None], Y_N[None]
     if not coupled and Y_N.ndim == 1:
         I_N, Y_N = I_N[None], Y_N[None]
-    return DeviceSet(I_N=I_N, Y_N=Y_N, coupled=coupled)
+    return DeviceSet(I_N=I_N.astype(rd), Y_N=Y_N.astype(rd), coupled=coupled)
 
 
 # ---------------------------------------------------------------------------
 # Norton-equivalent fitting (JAX, differentiable)
 # ---------------------------------------------------------------------------
 
-def fit_coupled_ne(V_mes: jnp.ndarray, I_mes: jnp.ndarray):
+def _as_cx(x) -> Cx:
+    return x if isinstance(x, Cx) else cx.from_numpy(np.asarray(x))
+
+
+@highest_precision
+def fit_coupled_ne(V_mes, I_mes):
     """Coupled HCNE fit (Almeida 2010; NE_from_sim.py:138-173).
 
     Given M = H+1 measurements of applied voltage spectra ``V_mes (M, H)``
@@ -166,14 +175,17 @@ def fit_coupled_ne(V_mes: jnp.ndarray, I_mes: jnp.ndarray):
     harmonic j the linear system  I[k,j] = I_N[j] - sum_p Y_N[j,p] V[k,p],
     i.e.  [-V | 1] @ [Y_N[j,:] ; I_N[j]] = I[:,j].
 
-    Returns (I_N (H,), Y_N (H,H)).  Fully differentiable; the reference's
-    explicit matrix inverse is replaced by a linear solve.
+    Accepts complex arrays or ``Cx``; returns (I_N (H,), Y_N (H,H)) as
+    ``Cx``.  Fully differentiable; the reference's explicit matrix inverse
+    is replaced by a (real-block) linear solve.
     """
+    V_mes, I_mes = _as_cx(V_mes), _as_cx(I_mes)
     M, H = V_mes.shape
     if M != H + 1:
         raise ValueError(f"coupled fit needs H+1={H + 1} measurements, got {M}")
-    A = jnp.concatenate([-V_mes, jnp.ones((M, 1), V_mes.dtype)], axis=1)
-    X = jnp.linalg.solve(A, I_mes)       # (H+1, H): rows = [Y_N^T ; I_N]
+    ones = Cx(jnp.ones((M, 1), V_mes.dtype), jnp.zeros((M, 1), V_mes.dtype))
+    A = cx.concatenate([-V_mes, ones], axis=1)
+    X = cx.solve(A, I_mes)               # (H+1, H): rows = [Y_N^T ; I_N]
     Y_N = X[:-1].T
     I_N = X[-1]
     return I_N, Y_N
@@ -185,23 +197,33 @@ def fit_uncoupled_ne(V_m1, I_m1, V_m2, I_m2):
     Per harmonic h, from two measurements (V1[h], I1[h]) and (V2[h], I2[h]):
         Y_N[h] = (I2[h] - I1[h]) / (V1[h] - V2[h])
         I_N[h] = Y_N[h] * V1[h] + I1[h]
-    All arguments shape (H,).  Returns (I_N (H,), Y_N (H,)).
+    All arguments shape (H,).  Returns (I_N (H,), Y_N (H,)) as ``Cx``.
     """
+    V_m1, I_m1 = _as_cx(V_m1), _as_cx(I_m1)
+    V_m2, I_m2 = _as_cx(V_m2), _as_cx(I_m2)
     Y_N = (I_m2 - I_m1) / (V_m1 - V_m2)
     I_N = Y_N * V_m1 + I_m1
     return I_N, Y_N
 
 
-def ne_injection(I_N, Y_N, V):
+def ne_injection(I_N, Y_N, V) -> Cx:
     """Model current injection I = I_N - Y_N·V (coupled or uncoupled),
     the sign convention of hcne_generalized.py:320-322."""
+    I_N, Y_N, V = _as_cx(I_N), _as_cx(Y_N), _as_cx(V)
     if Y_N.ndim == 2:
-        return I_N - Y_N @ V
+        return I_N - cx.matvec(Y_N, V)
     return I_N - Y_N * V
 
 
-def ne_selftest(I_N, Y_N, V_mes, I_mes) -> jnp.ndarray:
+def ne_selftest(I_N, Y_N, V_mes, I_mes):
     """Max |model - measurement| over a measurement set; the reference warns
     above 1e-6 (NE_from_sim.py:132-135, 190-193)."""
-    pred = jax.vmap(lambda v: ne_injection(I_N, Y_N, v))(jnp.atleast_2d(V_mes))
-    return jnp.max(jnp.abs(pred - jnp.atleast_2d(I_mes)))
+    I_N, Y_N = _as_cx(I_N), _as_cx(Y_N)
+    V, I = _as_cx(V_mes), _as_cx(I_mes)
+    if V.ndim == 1:
+        V, I = V[None], I[None]
+    if Y_N.ndim == 2:
+        pred = I_N[None, :] - cx.einsum("hp,mp->mh", Y_N, V)
+    else:
+        pred = I_N[None, :] - Y_N[None, :] * V
+    return jnp.max((pred - I).abs())

@@ -6,11 +6,14 @@ build_jacobian, update_fund_state_vec, update_fund_voltages, pf), which is in
 turn PyPSA-style (see the permalink cited at hcne_generalized.py:8-9).
 
 Differences from the reference's implementation (not its math):
+- complex quantities are split-complex ``Cx`` pairs (see hpfx.cx) — every
+  complex product lowers to real VPU/MXU ops, with no complex element types
+  anywhere (this image's TPU backend has none),
 - the NR iteration is a ``lax.while_loop`` with a (V, x, f, err, iter) carry,
   traced once and compiled by XLA; no Python-level looping,
 - the Jacobian is a dense (2n-1-c)^2 real matrix assembled from broadcasted
-  complex algebra (no scipy.sparse); at these sizes dense LU on the MXU beats
-  any sparse path on TPU,
+  algebra (no scipy.sparse); at these sizes dense LU beats any sparse path
+  on TPU,
 - everything is shape-static: the slack/PV/PQ partition enters through the
   static constants n, c (hcne_generalized.py:113-128), so slicing is
   compile-time.
@@ -26,12 +29,15 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import cx
 from .config import Settings
+from .cx import Cx
 from .network import Network
+from .ops.batched_solve import nr_solve
+from .utils.precision import highest_precision
 
 
 class FundResult(NamedTuple):
@@ -43,37 +49,48 @@ class FundResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def fund_mismatch(V_m, V_a, Y1, S, c: int):
+def fund_mismatch(V_m, V_a, Y1: Cx, S: Cx, c: int):
     """Power mismatch and its residual (hcne_generalized.py:195-202).
 
     f = [Re(mis)[1:], Im(mis)[c:]] where mis = V∘conj(Y1·V) + S;
     err is the max-abs entry.
     """
-    V = V_m * jnp.exp(1j * V_a)
-    mis = V * jnp.conj(Y1 @ V) + S
-    f = jnp.concatenate([mis.real[1:], mis.imag[c:]])
+    V = cx.polar(V_m, V_a)
+    mis = V * cx.matvec(Y1, V).conj() + S
+    f = jnp.concatenate([mis.re[1:], mis.im[c:]])
     return f, jnp.max(jnp.abs(f))
 
 
-def fund_jacobian(V_m, V_a, Y1, n: int, c: int):
-    """Dense fundamental Jacobian (hcne_generalized.py:205-223).
+def _power_jacobian_blocks(V: Cx, Vn: Cx, Y: Cx, n: int):
+    """dS/dA and dS/dV as (n, n) split-complex matrices.
 
-    Complex derivation (PyPSA style):
+    Complex derivation (PyPSA style; hcne_generalized.py:205-223):
         dS/dA[i,j] = j·V_i · conj(δ_ij·I_i − Y_ij·V_j)
         dS/dV[i,j] = δ_ij·Vn_i·conj(I_i) + V_i·conj(Y_ij·Vn_j)
-    with I = Y1·V, Vn = V/|V|; blocks [[Re dSdA[1:,1:], Re dSdV[1:,c:]],
-    [Im dSdA[c:,1:], Im dSdV[c:,c:]]].
+    with I = Y·V and Vn the caller-chosen normalization (|V| in the
+    fundamental solver at :210; signed V_m inside the harmonic Jacobian's
+    fundamental rows at :455).
     """
-    V = V_m * jnp.exp(1j * V_a)
-    I = Y1 @ V
-    Vn = V / jnp.abs(V)
-    eye = jnp.eye(n, dtype=V.dtype)
-    dSdA = 1j * V[:, None] * jnp.conj(eye * I[:, None] - Y1 * V[None, :])
-    dSdV = eye * (Vn * jnp.conj(I))[:, None] + \
-        V[:, None] * jnp.conj(Y1 * Vn[None, :])
+    I = cx.matvec(Y, V)
+    eye = jnp.eye(n, dtype=V.re.dtype)
+    diag_I = Cx(eye * I.re[:, None], eye * I.im[:, None])
+    dSdA = (V[:, None] * (diag_I - Y * V[None, :]).conj()).jmul()
+    w = Vn * I.conj()
+    diag_w = Cx(eye * w.re[:, None], eye * w.im[:, None])
+    dSdV = diag_w + V[:, None] * (Y * Vn[None, :]).conj()
+    return dSdA, dSdV
+
+
+def fund_jacobian(V_m, V_a, Y1: Cx, n: int, c: int):
+    """Dense real fundamental Jacobian (hcne_generalized.py:205-223):
+    blocks [[Re dSdA[1:,1:], Re dSdV[1:,c:]], [Im dSdA[c:,1:], Im dSdV[c:,c:]]].
+    """
+    V = cx.polar(V_m, V_a)
+    Vn = V * (1.0 / V.abs())        # |V| normalization (reference :210)
+    dSdA, dSdV = _power_jacobian_blocks(V, Vn, Y1, n)
     return jnp.block([
-        [dSdA[1:, 1:].real, dSdV[1:, c:].real],
-        [dSdA[c:, 1:].imag, dSdV[c:, c:].imag],
+        [dSdA.re[1:, 1:], dSdV.re[1:, c:]],
+        [dSdA.im[c:, 1:], dSdV.im[c:, c:]],
     ])
 
 
@@ -84,13 +101,14 @@ def init_fund_voltages(net: Network, settings: Settings):
     return V_m, V_a
 
 
-def solve_fundamental(Y1, net: Network, settings: Settings) -> FundResult:
+@highest_precision
+def solve_fundamental(Y1: Cx, net: Network, settings: Settings) -> FundResult:
     """Fundamental NR loop (pf, hcne_generalized.py:244-275) as a jittable
     ``lax.while_loop``.  Safe under vmap: JAX's while-loop batching rule
     predicates the carry per batch element, so each scenario stops updating
     exactly when its own convergence test fires — matching serial behavior."""
     n, c = net.n, net.c
-    S = (net.bus_P + 1j * net.bus_Q).astype(settings.complex_dtype)
+    S = Cx(net.bus_P, net.bus_Q)
     V_m, V_a = init_fund_voltages(net, settings)
 
     x0 = jnp.concatenate([V_a[1:], V_m[c:]])
@@ -104,7 +122,7 @@ def solve_fundamental(Y1, net: Network, settings: Settings) -> FundResult:
     def body(carry):
         V_m, V_a, x, f, err, it, hist = carry
         J = fund_jacobian(V_m, V_a, Y1, n, c)
-        x = x - jnp.linalg.solve(J, f)
+        x = x - nr_solve(J, f)
         V_a = V_a.at[1:].set(x[: n - 1])
         V_m = V_m.at[c:].set(x[n - 1:])
         f, err = fund_mismatch(V_m, V_a, Y1, S, c)
@@ -117,7 +135,7 @@ def solve_fundamental(Y1, net: Network, settings: Settings) -> FundResult:
                       err <= settings.thresh_f)
 
 
-def pf(Y, net: Network, settings: Settings) -> FundResult:
+def pf(Y: Cx, net: Network, settings: Settings) -> FundResult:
     """Convenience wrapper taking the (H, n, n) Ybus tensor and using its
     fundamental block, as the reference's pf does (hcne_generalized.py:255)."""
     return solve_fundamental(Y[0], net, settings)

@@ -5,19 +5,20 @@ TPU-native re-design of the reference harmonic solver
 harmonic_mismatch, harmonic_state_vector, build_harmonic_jacobian,
 update_harmonic_*, hpf).  The math is identical; the implementation is not:
 
-- Voltages are a dense (H, n) complex tensor (harmonic-major), never a pandas
-  MultiIndex.  Flattening row-major reproduces the reference's
+- Voltages are a dense (H, n) split-complex tensor (harmonic-major; see
+  hpfx.cx for why complex is carried as re/im real pairs on TPU), never a
+  pandas MultiIndex.  Flattening row-major reproduces the reference's
   (harmonic, bus) state ordering exactly, so states/Jacobians compare
   element-for-element against the oracle fixtures.
 - Current injections for all nonlinear buses and all harmonic pairs are one
   batched einsum over the stacked ``DeviceSet`` arrays instead of the
   reference's O((K+1)^2 · n_nl) Python scatter loop
-  (hcne_generalized.py:426-435) — this was the reference's dominant assembly
-  cost and is exactly the regular diagonal pattern the MXU/VPU eat for free.
+  (hcne_generalized.py:426-435) — the reference's dominant assembly cost,
+  and exactly the regular diagonal pattern the MXU/VPU eat for free.
 - The Jacobian is assembled in a (H, H, n, n) block layout and reshaped once
   to its dense (2·H·n-1-c)^2 real form; the NR step is a dense LU solve.
   The harmonic-block coupling is *only* through nonlinear-bus diagonal
-  entries (arrow sparsity), which a later block-structured Pallas solver can
+  entries (arrow sparsity), which a block-structured Pallas solver can
   exploit; dense is already fast at reference problem sizes.
 - The NR iteration is a single ``lax.while_loop`` (one XLA compilation),
   vmap-safe for batched scenario sweeps.
@@ -25,7 +26,7 @@ update_harmonic_*, hpf).  The math is identical; the implementation is not:
 Sign conventions (hcne_generalized.py:195-198, 320-322, 351-354):
 mismatch adds +S for loads; injections are I_N - Y_N·V and are *added* to the
 line currents Y·V.  Voltage normalization inside the harmonic Jacobian uses
-the *signed* magnitude (V/V_m, = e^{j·theta}), matching :405 and :455 —
+the *signed* magnitude (V/V_m = e^{j·theta}), matching :405 and :455 —
 harmonic magnitudes can legitimately go negative mid-iteration and the
 reference only cleans them up after the loop (:546-549), which is
 load-bearing for trajectory parity.
@@ -34,15 +35,21 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import cx
 from .config import Settings
+from .cx import Cx
 from .devices import DeviceSet
-from .fundamental import FundResult, solve_fundamental
+from .fundamental import (FundResult, _power_jacobian_blocks,
+                          solve_fundamental)
 from .network import Network
+from .ops.batched_solve import nr_solve
+from .utils.precision import highest_precision
 from .ybus import build_ybus
+
+_all = slice(None)
 
 
 class HPFState(NamedTuple):
@@ -66,20 +73,20 @@ class HPFResult(NamedTuple):
     fund: Optional[FundResult] = None
 
 
-def current_injections(V_c, devices: DeviceSet, m: int):
+def current_injections(V_c: Cx, devices: DeviceSet, m: int) -> Cx:
     """Harmonic current injections of every nonlinear bus, batched.
 
     Reference: per-bus loop at hcne_generalized.py:313-323 computing
     I_inj = I_N - Y_N · V_h(bus).  Here: one einsum over the stacked device
-    arrays.  Returns (n_nl, H) complex.
+    arrays.  Returns (n_nl, H) split-complex.
     """
     V_nl = V_c[:, m:]                                   # (H, n_nl)
     if devices.coupled:
-        return devices.I_N - jnp.einsum("dhp,pd->dh", devices.Y_N, V_nl)
+        return devices.I_N - cx.einsum("dhp,pd->dh", devices.Y_N, V_nl)
     return devices.I_N - devices.Y_N * V_nl.T
 
 
-def current_balance(V_c, Y, devices: DeviceSet, m: int, n: int):
+def current_balance(V_c: Cx, Y: Cx, devices: DeviceSet, m: int, n: int) -> Cx:
     """Current balance vector (hcne_generalized.py:326-357).
 
     Fundamental balance at nonlinear buses (n-m+1 entries), then harmonic
@@ -87,13 +94,13 @@ def current_balance(V_c, Y, devices: DeviceSet, m: int, n: int):
     injections added at the nonlinear-bus positions.
     """
     I_inj = current_injections(V_c, devices, m)         # (n_nl, H)
-    dI_f = Y[0, m:, :] @ V_c[0] + I_inj[:, 0]
-    dI_h = jnp.einsum("hij,hj->hi", Y[1:], V_c[1:])     # (K, n)
-    dI_h = dI_h.at[:, m:].add(I_inj[:, 1:].T)
-    return jnp.concatenate([dI_f, dI_h.reshape(-1)])
+    dI_f = cx.matvec(Y[0, m:, :], V_c[0]) + I_inj[:, 0]
+    dI_h = cx.einsum("hij,hj->hi", Y[1:], V_c[1:])      # (K, n)
+    dI_h = dI_h.at_add((_all, slice(m, None)), I_inj[:, 1:].T)
+    return cx.concatenate([dI_f, dI_h.reshape(-1)])
 
 
-def harmonic_mismatch(V_m, V_a, Y, S, devices: DeviceSet,
+def harmonic_mismatch(V_m, V_a, Y: Cx, S: Cx, devices: DeviceSet,
                       m: int, n: int, c: int):
     """Harmonic mismatch f and residual err (hcne_generalized.py:360-390).
 
@@ -101,12 +108,12 @@ def harmonic_mismatch(V_m, V_a, Y, S, devices: DeviceSet,
     f = [Re f_c, Im f_c[c-1:]] — the PV bus contributes a P-row but no
     Q-row.  err is the infinity norm.
     """
-    V_c = (V_m * jnp.exp(1j * V_a))
-    Sl = V_c[0, 1:m] * jnp.conj(Y[0, 1:m, :] @ V_c[0])
+    V_c = cx.polar(V_m, V_a)
+    Sl = V_c[0, 1:m] * cx.matvec(Y[0, 1:m, :], V_c[0]).conj()
     dS = S[1:m] + Sl
     dI = current_balance(V_c, Y, devices, m, n)
-    f_c = jnp.concatenate([dS, dI])
-    f = jnp.concatenate([f_c.real, f_c[c - 1:].imag])
+    f_c = cx.concatenate([dS, dI])
+    f = jnp.concatenate([f_c.re, f_c[c - 1:].im])
     return f, jnp.max(jnp.abs(f))
 
 
@@ -127,9 +134,9 @@ def update_harmonic_voltages(V_m, V_a, x, H: int, n: int, c: int):
     return V_m, V_a
 
 
-def build_harmonic_jacobian(V_m, V_a, Y, devices: DeviceSet,
+def build_harmonic_jacobian(V_m, V_a, Y: Cx, devices: DeviceSet,
                             m: int, n: int, c: int):
-    """Dense harmonic Jacobian (hcne_generalized.py:401-473).
+    """Dense real harmonic Jacobian (hcne_generalized.py:401-473).
 
     Assembled in a (H, H, n, n) harmonic-block layout:
     - diagonal blocks:  dI/dV|_hh = Y_h · diag(Vn_h),
@@ -143,52 +150,49 @@ def build_harmonic_jacobian(V_m, V_a, Y, devices: DeviceSet,
     """
     H = V_m.shape[0]
     D = H * n
-    V_c = V_m * jnp.exp(1j * V_a)
-    Vn = V_c / V_m                     # signed normalization = e^{j·theta}
+    rd = V_m.dtype
+    V_c = cx.polar(V_m, V_a)
+    Vn = cx.expj(V_a)                  # V/V_m: signed normalization (:405)
 
     hidx = jnp.arange(H)
     # diagonal blocks
     blocks_V = Y * Vn[:, None, :]                       # (H, n, n)
-    blocks_A = 1j * Y * V_c[:, None, :]
-    E_V = jnp.zeros((H, H, n, n), Y.dtype).at[hidx, hidx].set(blocks_V)
-    E_A = jnp.zeros((H, H, n, n), Y.dtype).at[hidx, hidx].set(blocks_A)
+    blocks_A = (Y * V_c[:, None, :]).jmul()
+    E_V = cx.zeros((H, H, n, n), rd).at_set((hidx, hidx), blocks_V)
+    E_A = cx.zeros((H, H, n, n), rd).at_set((hidx, hidx), blocks_A)
 
     # Norton-equivalent coupling at nonlinear-bus diagonal entries
     nl = jnp.arange(m, n)
     Vn_nl = Vn[:, m:]                                    # (H, n_nl)
     V_nl = V_c[:, m:]
     if devices.coupled:
-        C_V = jnp.einsum("dhp,pd->hpd", devices.Y_N, Vn_nl)   # (H, H, n_nl)
-        C_A = 1j * jnp.einsum("dhp,pd->hpd", devices.Y_N, V_nl)
-        E_V = E_V.at[:, :, nl, nl].add(-C_V)
-        E_A = E_A.at[:, :, nl, nl].add(-C_A)
+        C_V = cx.einsum("dhp,pd->hpd", devices.Y_N, Vn_nl)   # (H, H, n_nl)
+        C_A = cx.einsum("dhp,pd->hpd", devices.Y_N, V_nl).jmul()
+        E_V = E_V.at_add((_all, _all, nl, nl), -C_V)
+        E_A = E_A.at_add((_all, _all, nl, nl), -C_A)
     else:
         C_V = devices.Y_N.T * Vn_nl                      # (H, n_nl)
-        C_A = 1j * devices.Y_N.T * V_nl
+        C_A = (devices.Y_N.T * V_nl).jmul()
         hh = hidx[:, None]
         nn = nl[None, :]
-        E_V = E_V.at[hh, hh, nn, nn].add(-C_V)
-        E_A = E_A.at[hh, hh, nn, nn].add(-C_A)
+        E_V = E_V.at_add((hh, hh, nn, nn), -C_V)
+        E_A = E_A.at_add((hh, hh, nn, nn), -C_A)
 
     dIdV = E_V.transpose(0, 2, 1, 3).reshape(D, D)[m:, c:]
     dIdA = E_A.transpose(0, 2, 1, 3).reshape(D, D)[m:, 1:]
 
-    # fundamental power rows, zero-padded across harmonic columns (:449-467)
-    V1, Vn1 = V_c[0], Vn[0]
-    I1 = Y[0] @ V1
-    eye = jnp.eye(n, dtype=Y.dtype)
-    dS1dA1 = 1j * V1[:, None] * jnp.conj(eye * I1[:, None] - Y[0] * V1[None, :])
-    dS1dV1 = eye * (Vn1 * jnp.conj(I1))[:, None] + \
-        V1[:, None] * jnp.conj(Y[0] * Vn1[None, :])
-    zpad = jnp.zeros((n, D - n), Y.dtype)
-    dSdA = jnp.concatenate([dS1dA1, zpad], axis=1)
-    dSdV = jnp.concatenate([dS1dV1, zpad], axis=1)
+    # fundamental power rows, zero-padded across harmonic columns (:449-467);
+    # note the signed-magnitude normalization (:455), unlike pf's |V| (:210)
+    dS1dA1, dS1dV1 = _power_jacobian_blocks(V_c[0], Vn[0], Y[0], n)
+    zpad = cx.zeros((n, D - n), rd)
+    dSdA = cx.concatenate([dS1dA1, zpad], axis=1)
+    dSdV = cx.concatenate([dS1dV1, zpad], axis=1)
 
     return jnp.block([
-        [dSdA[1:m, 1:].real, dSdV[1:m, c:].real],
-        [dIdA.real, dIdV.real],
-        [dSdA[c:m, 1:].imag, dSdV[c:m, c:].imag],
-        [dIdA.imag, dIdV.imag],
+        [dSdA.re[1:m, 1:], dSdV.re[1:m, c:]],
+        [dIdA.re, dIdV.re],
+        [dSdA.im[c:m, 1:], dSdV.im[c:m, c:]],
+        [dIdA.im, dIdV.im],
     ])
 
 
@@ -212,12 +216,13 @@ def cleanup_voltages(V_m, V_a):
     return V_m, V_a
 
 
-def solve_harmonic(Y, fund: FundResult, net: Network, devices: DeviceSet,
+@highest_precision
+def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
                    settings: Settings) -> HPFResult:
     """The harmonic NR hot loop (hcne_generalized.py:530-549) as one
     ``lax.while_loop``."""
     H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
-    S = (net.bus_P + 1j * net.bus_Q).astype(settings.complex_dtype)
+    S = Cx(net.bus_P, net.bus_Q)
 
     V_m, V_a = init_harmonic_voltages(fund, net, settings)
     f0, err0 = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c)
@@ -231,7 +236,7 @@ def solve_harmonic(Y, fund: FundResult, net: Network, devices: DeviceSet,
     def body(state: HPFState) -> HPFState:
         J = build_harmonic_jacobian(
             state.V_m, state.V_a, Y, devices, m, n, c)
-        x = state.x - jnp.linalg.solve(J, state.f)
+        x = state.x - nr_solve(J, state.f)
         V_m, V_a = update_harmonic_voltages(state.V_m, state.V_a, x, H, n, c)
         f, err = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c)
         hist = state.err_hist.at[state.n_iter].set(err)
@@ -247,7 +252,7 @@ def solve_harmonic(Y, fund: FundResult, net: Network, devices: DeviceSet,
 
 
 def hpf(net: Network, devices: DeviceSet, settings: Settings,
-        Y=None) -> HPFResult:
+        Y: Optional[Cx] = None) -> HPFResult:
     """Full harmonic power flow (hcne_generalized.py:511-560): Ybus assembly
     -> fundamental NR warm start -> harmonic NR.  Jit this (settings and the
     network's structural metadata are static)."""

@@ -65,7 +65,7 @@ def _solve_scenario(Y, net: Network, devices: DeviceSet, settings: Settings,
         net,
         bus_P=net.bus_P * _expand(p_scale, net.bus_P),
         bus_Q=net.bus_Q * _expand(q_scale, net.bus_Q))
-    dev_s = devices.scale(jnp.asarray(inj_scale, devices.I_N.real.dtype))
+    dev_s = devices.scale(jnp.asarray(inj_scale, devices.I_N.re.dtype))
     fund = solve_fundamental(Y[0], net_s, settings)
     return solve_harmonic(Y, fund, net_s, dev_s, settings)
 

@@ -1,0 +1,82 @@
+"""Batched (vmapped) solve tests: per-scenario convergence isolation."""
+import jax.numpy as jnp
+import numpy as np
+
+import hpfx
+from hpfx.solve import Scenarios, hosting_capacity_sweep, hpf_single, hpf_sweep
+
+from conftest import make_setup
+
+
+def test_batch_element_matches_single():
+    """Scenario 0 (all multipliers 1) of a batch equals the single solve,
+    bit-for-bit semantics aside from batching."""
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    single = hpf_single(net, dev, settings=s)
+    scen = Scenarios(
+        p_scale=jnp.array([1.0, 1.3, 0.7]),
+        q_scale=jnp.array([1.0, 1.1, 0.9]),
+        injection_scale=jnp.array([1.0, 1.5, 0.5]))
+    batch = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    np.testing.assert_allclose(np.asarray(batch.V_m[0]),
+                               np.asarray(single.V_m), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(batch.V_a[0]),
+                               np.asarray(single.V_a), atol=1e-12)
+    assert int(batch.n_iter[0]) == int(single.n_iter)
+
+
+def test_batch_matches_independent_runs():
+    """Every scenario in a batch reproduces its own independent solve —
+    iteration counts included (the while-loop batching predication works)."""
+    cfg = ("net2", 5, False)
+    s, net, dev = make_setup(cfg)
+    p = jnp.array([0.5, 1.0, 1.5, 2.0])
+    scen = Scenarios(p_scale=p, q_scale=p, injection_scale=jnp.ones_like(p))
+    batch = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    for k in range(4):
+        import dataclasses
+        net_k = dataclasses.replace(
+            net, bus_P=net.bus_P * p[k], bus_Q=net.bus_Q * p[k])
+        single = hpf_single(net_k, dev, settings=s)
+        assert int(batch.n_iter[k]) == int(single.n_iter), k
+        np.testing.assert_allclose(np.asarray(batch.V_m[k]),
+                                   np.asarray(single.V_m), atol=1e-10)
+
+
+def test_diverged_scenario_does_not_poison_batch():
+    """A pathological scenario saturates at max_iter while its neighbors
+    converge normally (SURVEY §5.3 requirement)."""
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    scen = Scenarios(
+        p_scale=jnp.array([1.0, 500.0, 1.0]),  # 500x load: no solution
+        q_scale=jnp.array([1.0, 500.0, 1.0]),
+        injection_scale=jnp.array([1.0, 1.0, 1.0]))
+    batch = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    conv = np.asarray(batch.converged)
+    assert conv[0] and conv[2] and not conv[1]
+    single = hpf_single(net, dev, settings=s)
+    np.testing.assert_allclose(np.asarray(batch.V_m[0]),
+                               np.asarray(single.V_m), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(batch.V_m[2]),
+                               np.asarray(single.V_m), atol=1e-10)
+    assert np.all(np.isfinite(np.asarray(batch.V_m[0])))
+
+
+def test_hosting_capacity_summary():
+    cfg = ("net2", 25, True)
+    s, net, dev = make_setup(cfg)
+    inj = jnp.linspace(0.1, 2.0, 8)
+    scen = Scenarios(p_scale=jnp.ones(8), q_scale=jnp.ones(8),
+                     injection_scale=inj)
+    summary = hosting_capacity_sweep(net, dev, settings=s, scenarios=scen,
+                                     thd_limit=0.5)
+    assert summary.max_thd_f.shape == (8,)
+    # summary math is self-consistent (note: THD is NOT monotonic in the
+    # injection scale — scaling Y_N moves network resonances)
+    thd = np.asarray(summary.max_thd_f)
+    assert np.all(np.isfinite(thd[np.asarray(summary.converged)]))
+    frac = float(summary.frac_over_limit)
+    expect = np.mean((thd > 0.5) & np.asarray(summary.converged))
+    np.testing.assert_allclose(frac, expect)

@@ -18,8 +18,8 @@ def test_loader_matches_reference_pu(config):
     """pu-converted I_N/Y_N equal what the reference loader produced."""
     g = load_golden(config)
     s, net, dev = make_setup(config)
-    I_N = np.asarray(dev.I_N)
-    Y_N = np.asarray(dev.Y_N)
+    I_N = dev.I_N.to_numpy()
+    Y_N = dev.Y_N.to_numpy()
     # golden stacks unique devices (all fixture nets share one component);
     # uncoupled goldens were saved as (H, 1) columns
     g_Y = g["NE_Y_N"][0] if s.coupled else g["NE_Y_N"][0].ravel()
@@ -61,8 +61,8 @@ def test_coupled_fit_roundtrip():
     V_mes = rng.normal(size=(H + 1, H)) + 1j * rng.normal(size=(H + 1, H))
     I_mes = np.stack([I_true - Y_true @ v for v in V_mes])
     I_fit, Y_fit = fit_coupled_ne(jnp.asarray(V_mes), jnp.asarray(I_mes))
-    np.testing.assert_allclose(np.asarray(Y_fit), Y_true, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(I_fit), I_true, atol=1e-9)
+    np.testing.assert_allclose(Y_fit.to_numpy(), Y_true, atol=1e-9)
+    np.testing.assert_allclose(I_fit.to_numpy(), I_true, atol=1e-9)
     assert float(ne_selftest(I_fit, Y_fit, V_mes, I_mes)) < 1e-6
 
 
@@ -83,8 +83,8 @@ def test_uncoupled_fit_roundtrip():
     I1, I2 = I_true - Y_true * V1, I_true - Y_true * V2
     I_fit, Y_fit = fit_uncoupled_ne(jnp.asarray(V1), jnp.asarray(I1),
                                     jnp.asarray(V2), jnp.asarray(I2))
-    np.testing.assert_allclose(np.asarray(Y_fit), Y_true, atol=1e-10)
-    np.testing.assert_allclose(np.asarray(I_fit), I_true, atol=1e-10)
+    np.testing.assert_allclose(Y_fit.to_numpy(), Y_true, atol=1e-10)
+    np.testing.assert_allclose(I_fit.to_numpy(), I_true, atol=1e-10)
 
 
 # --- Almeida 2010 paper case (example_hcne_almeida.py) ---------------------
@@ -118,8 +118,8 @@ def test_almeida_paper_ne_roundtrip_and_fit():
     assert float(ne_selftest(jnp.asarray(ALMEIDA_I_N), jnp.asarray(ALMEIDA_Y_N),
                              ALMEIDA_V, I_mes)) < 1e-12
     I_fit, Y_fit = fit_coupled_ne(jnp.asarray(ALMEIDA_V), jnp.asarray(I_mes))
-    np.testing.assert_allclose(np.asarray(Y_fit), ALMEIDA_Y_N, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(I_fit), ALMEIDA_I_N, atol=1e-9)
+    np.testing.assert_allclose(Y_fit.to_numpy(), ALMEIDA_Y_N, atol=1e-9)
+    np.testing.assert_allclose(I_fit.to_numpy(), ALMEIDA_I_N, atol=1e-9)
 
 
 def test_ne_injection_shapes():
@@ -129,6 +129,6 @@ def test_ne_injection_shapes():
     coupled = ne_injection(I, Y, v)
     uncoupled = ne_injection(I, jnp.diagonal(Y), v)
     np.testing.assert_allclose(
-        np.asarray(uncoupled),
+        uncoupled.to_numpy(),
         np.asarray(I) - np.diagonal(ALMEIDA_Y_N) * ALMEIDA_V[1])
     assert coupled.shape == uncoupled.shape == (3,)

@@ -4,6 +4,7 @@ import jax
 import numpy as np
 
 import hpfx
+from hpfx.cx import Cx
 
 from conftest import load_golden, make_setup
 
@@ -33,7 +34,7 @@ def test_fund_jacobian_matches_autodiff():
     Y = hpfx.build_ybus(net, s)
     res = hpfx.pf(Y, net, s)
     n, c = net.n, net.c
-    S = (net.bus_P + 1j * net.bus_Q).astype(s.complex_dtype)
+    S = Cx(net.bus_P, net.bus_Q)
     V_m0, V_a0 = np.asarray(res.V_m), np.asarray(res.V_a)
 
     from hpfx.fundamental import fund_jacobian, fund_mismatch

@@ -4,6 +4,7 @@ import jax
 import numpy as np
 
 import hpfx
+from hpfx.cx import Cx
 from hpfx import harmonic
 
 from conftest import DIVERGED, load_golden, make_setup
@@ -12,7 +13,7 @@ from conftest import DIVERGED, load_golden, make_setup
 def _first_iteration_pieces(s, net, dev):
     Y = hpfx.build_ybus(net, s)
     fund = hpfx.pf(Y, net, s)
-    S = (net.bus_P + 1j * net.bus_Q).astype(s.complex_dtype)
+    S = Cx(net.bus_P, net.bus_Q)
     V_m, V_a = harmonic.init_harmonic_voltages(fund, net, s)
     f0, err0 = harmonic.harmonic_mismatch(
         V_m, V_a, Y, S, dev, net.m, net.n, net.c)
@@ -63,7 +64,7 @@ def test_harmonic_jacobian_matches_autodiff():
     s, net, dev = make_setup(cfg)
     Y = hpfx.build_ybus(net, s)
     fund = hpfx.pf(Y, net, s)
-    S = (net.bus_P + 1j * net.bus_Q).astype(s.complex_dtype)
+    S = Cx(net.bus_P, net.bus_Q)
     V_m0, V_a0 = harmonic.init_harmonic_voltages(fund, net, s)
     H, n, m, c = s.n_harmonics, net.n, net.m, net.c
 
@@ -83,7 +84,7 @@ def test_uncoupled_jacobian_matches_autodiff():
     s, net, dev = make_setup(cfg)
     Y = hpfx.build_ybus(net, s)
     fund = hpfx.pf(Y, net, s)
-    S = (net.bus_P + 1j * net.bus_Q).astype(s.complex_dtype)
+    S = Cx(net.bus_P, net.bus_Q)
     V_m0, V_a0 = harmonic.init_harmonic_voltages(fund, net, s)
     H, n, m, c = s.n_harmonics, net.n, net.m, net.c
 

@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpfx.parallel import (hosting_capacity_sharded, hpf_sweep_sharded,
+                           scenario_mesh, shard_scenarios)
+from hpfx.solve import Scenarios, hosting_capacity_sweep, hpf_sweep
+
+from conftest import make_setup
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+
+
+def _scen(b):
+    p = jnp.linspace(0.5, 1.5, b)
+    return Scenarios(p_scale=p, q_scale=p,
+                     injection_scale=jnp.linspace(0.2, 1.2, b))
+
+
+def test_mesh_and_placement():
+    mesh = scenario_mesh(8)
+    assert mesh.devices.shape == (8,)
+    scen = shard_scenarios(_scen(16), mesh)
+    assert not scen.p_scale.sharding.is_fully_replicated
+    assert scen.p_scale.sharding.num_devices == 8
+
+
+def test_sharded_sweep_matches_unsharded():
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    scen = _scen(16)
+    mesh = scenario_mesh(8)
+    ref = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    out = hpf_sweep_sharded(net, dev, s, scen, mesh)
+    np.testing.assert_allclose(np.asarray(out.V_m), np.asarray(ref.V_m),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(out.n_iter),
+                                  np.asarray(ref.n_iter))
+    # outputs actually live sharded over the mesh
+    assert out.V_m.sharding.num_devices == 8
+
+
+def test_sharded_hosting_capacity_reduction():
+    """The global fraction is an all-reduce across shards and matches the
+    single-device computation."""
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    scen = _scen(24)
+    mesh = scenario_mesh(8)
+    ref = hosting_capacity_sweep(net, dev, settings=s, scenarios=scen,
+                                 thd_limit=0.3)
+    out = hosting_capacity_sharded(net, dev, s, scen, mesh, thd_limit=0.3)
+    np.testing.assert_allclose(np.asarray(out.max_thd_f),
+                               np.asarray(ref.max_thd_f), atol=1e-12)
+    np.testing.assert_allclose(float(out.frac_over_limit),
+                               float(ref.frac_over_limit))
+    assert out.frac_over_limit.sharding.is_fully_replicated
+
+
+def test_mesh_subset():
+    mesh = scenario_mesh(4)
+    cfg = ("net2", 5, False)
+    s, net, dev = make_setup(cfg)
+    scen = _scen(8)
+    out = hpf_sweep_sharded(net, dev, s, scen, mesh)
+    ref = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    np.testing.assert_allclose(np.asarray(out.V_m), np.asarray(ref.V_m),
+                               atol=1e-12)

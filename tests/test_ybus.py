@@ -10,7 +10,7 @@ from conftest import load_golden, make_setup
 def test_ybus_matches_reference(config):
     g = load_golden(config)
     s, net, _ = make_setup(config)
-    Y = np.asarray(hpfx.build_ybus(net, s))
+    Y = hpfx.build_ybus(net, s).to_numpy()
     np.testing.assert_allclose(Y, g["Y"], atol=1e-12)
 
 
@@ -26,7 +26,7 @@ def test_line_shunt_correct_attribution():
     the reference attributes it off-by-one (hcne_generalized.py:166)."""
     s = hpfx.settings_for_hmax(3)
     net = _two_bus(s, G=[0.02], B=[0.04])
-    Y = np.asarray(hpfx.build_ybus(net, s))
+    Y = hpfx.build_ybus(net, s).to_numpy()
     ys = 1 / (0.01 + 1j * 0.05)
     for hi, h in enumerate((1, 3)):
         ysh = (0.02 + 1j * h * 0.04) / 2
@@ -34,7 +34,7 @@ def test_line_shunt_correct_attribution():
         np.testing.assert_allclose(Y[hi, 1, 1], 1 / (0.01 + 1j * 0.05 * h) + ysh)
     # bug-compat mode shifts the shunt to bus index == 1-based ID
     s_bug = s.with_(compat_shunt_bug=True)
-    Yb = np.asarray(hpfx.build_ybus(net, s_bug))
+    Yb = hpfx.build_ybus(net, s_bug).to_numpy()
     ysh1 = (0.02 + 1j * 0.04) / 2
     # from-bus ID 1 -> lands on index 1; to-bus ID 2 -> dropped (no index 2)
     np.testing.assert_allclose(Yb[0, 0, 0], ys)
@@ -48,8 +48,8 @@ def test_transformer_reduces_to_line_at_unity_tap():
         bus_types=(SLACK, PQ), components=("gen", "load"),
         P=[0, 0.1], Q=[0, 0.1], line_from=[0], line_to=[1],
         R=[0.01], X=[0.05], tau=[1.0], phase_shift=[0.0], settings=s)
-    np.testing.assert_allclose(np.asarray(hpfx.build_ybus(plain, s)),
-                               np.asarray(hpfx.build_ybus(trafo, s)))
+    np.testing.assert_allclose(hpfx.build_ybus(plain, s).to_numpy(),
+                               hpfx.build_ybus(trafo, s).to_numpy())
 
 
 def test_transformer_tap_and_shift():
@@ -61,7 +61,7 @@ def test_transformer_tap_and_shift():
         bus_types=(SLACK, PQ), components=("gen", "load"),
         P=[0, 0.1], Q=[0, 0.1], line_from=[0], line_to=[1],
         R=[0.01], X=[0.05], tau=[tau], phase_shift=[shift_deg], settings=s)
-    Y = np.asarray(hpfx.build_ybus(net, s))
+    Y = hpfx.build_ybus(net, s).to_numpy()
     phi = np.deg2rad(shift_deg)
     for hi, h in enumerate((1, 3)):
         ys = 1 / (0.01 + 1j * 0.05 * h)
@@ -76,7 +76,7 @@ def test_transformer_tap_and_shift():
         bus_types=(SLACK, PQ), components=("gen", "load"),
         P=[0, 0.1], Q=[0, 0.1], line_from=[0], line_to=[1],
         R=[0.01], X=[0.05], tau=[tau], settings=s)
-    Y2 = np.asarray(hpfx.build_ybus(net2, s))[0]
+    Y2 = hpfx.build_ybus(net2, s).to_numpy()[0]
     V = np.array([1.0, 1.0 / tau])  # ideal-transformer voltage ratio
     I = Y2 @ V
     np.testing.assert_allclose(I, 0, atol=1e-12)
@@ -89,7 +89,7 @@ def test_xsh_only_applied_above_fundamental():
         P=[0, 0.1, 0.2], Q=[0, 0.1, 0.1], X_sh=[0.005, 0, 0],
         line_from=[0, 1], line_to=[1, 2], R=[0.01, 0.01], X=[0.05, 0.02],
         settings=s)
-    Y = np.asarray(hpfx.build_ybus(net, s))
+    Y = hpfx.build_ybus(net, s).to_numpy()
     ys1 = 1 / (0.01 + 1j * 0.05)
     np.testing.assert_allclose(Y[0, 0, 0], ys1)  # h=1: no shunt
     for hi, h in ((1, 3), (2, 5)):
