@@ -158,6 +158,59 @@ def device_set_from_arrays(I_N, Y_N, coupled: bool,
     return DeviceSet(I_N=I_N.astype(rd), Y_N=Y_N.astype(rd), coupled=coupled)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AnalyticDeviceSet:
+    """Nonlinear devices defined by an arbitrary differentiable injection.
+
+    Generalizes the capability of the reference's textbook examples, where
+    the device is an analytic current source g(V) with *hand-derived*
+    injection Jacobians (example_hpf_fuchs.py:166-169, 265-381;
+    hcne_based_on_fuchs.py:168-173, 266-324).  Here the solver obtains the
+    Jacobian coupling blocks by forward-mode autodiff of ``inject`` — a
+    capability the reference never had (SURVEY §7.1).
+
+    ``inject(params_i, V_m (H,), V_a (H,)) -> Cx (H,)`` maps one device's
+    bus-voltage spectrum (signed magnitudes and angles, exactly the solver's
+    internal state) to its injected current spectrum.  ``params`` is any
+    pytree whose leaves carry a leading n_nl axis (one slice per nonlinear
+    bus).  Norton equivalents are the special case
+    inject = I_N - Y_N · polar(V_m, V_a); they keep the dedicated
+    ``DeviceSet`` fast path (batched einsum, no autodiff).
+    """
+
+    params: object
+    inject: object = dataclasses.field(metadata=dict(static=True))
+    n_nl: int = dataclasses.field(metadata=dict(static=True))
+
+    coupled = True  # treated as fully harmonic-coupled by the solver
+
+    def injections(self, V_m_nl, V_a_nl) -> Cx:
+        """All devices' injections: V_*_nl (H, n_nl) -> (n_nl, H)."""
+        return jax.vmap(self.inject, in_axes=(0, 1, 1))(
+            self.params, V_m_nl, V_a_nl)
+
+    def injection_jacobians(self, V_m_nl, V_a_nl):
+        """d I_inj / d(V_m, V_a) per device: two Cx of shape (n_nl, H, H),
+        [d, h, p] = ∂I_inj[d, h] / ∂V_{m|a}[p, d]."""
+
+        def per_bus(p, vm, va):
+            JV = jax.jacfwd(lambda v: self.inject(p, v, va))(vm)
+            JA = jax.jacfwd(lambda a: self.inject(p, vm, a))(va)
+            return JV, JA
+
+        return jax.vmap(per_bus, in_axes=(0, 1, 1))(
+            self.params, V_m_nl, V_a_nl)
+
+
+def norton_inject(params, V_m, V_a) -> Cx:
+    """Norton-equivalent injection as an analytic device: params=(I_N, Y_N)
+    with Y_N (H, H); I = I_N - Y_N·V (hcne_generalized.py:320-322).
+    Useful for testing the autodiff path against the closed-form one."""
+    I_N, Y_N = params
+    return I_N - cx.matvec(Y_N, cx.polar(V_m, V_a))
+
+
 # ---------------------------------------------------------------------------
 # Norton-equivalent fitting (JAX, differentiable)
 # ---------------------------------------------------------------------------

@@ -41,7 +41,7 @@ from jax import lax
 from . import cx
 from .config import Settings
 from .cx import Cx
-from .devices import DeviceSet
+from .devices import AnalyticDeviceSet, DeviceSet
 from .fundamental import (FundResult, _power_jacobian_blocks,
                           solve_fundamental)
 from .network import Network
@@ -73,34 +73,40 @@ class HPFResult(NamedTuple):
     fund: Optional[FundResult] = None
 
 
-def current_injections(V_c: Cx, devices: DeviceSet, m: int) -> Cx:
+def current_injections(V_c: Cx, devices, m: int,
+                       V_m=None, V_a=None) -> Cx:
     """Harmonic current injections of every nonlinear bus, batched.
 
     Reference: per-bus loop at hcne_generalized.py:313-323 computing
     I_inj = I_N - Y_N · V_h(bus).  Here: one einsum over the stacked device
-    arrays.  Returns (n_nl, H) split-complex.
+    arrays (Norton equivalents), or the device's own differentiable
+    injection function (AnalyticDeviceSet).  Returns (n_nl, H)
+    split-complex.
     """
+    if isinstance(devices, AnalyticDeviceSet):
+        return devices.injections(V_m[:, m:], V_a[:, m:])
     V_nl = V_c[:, m:]                                   # (H, n_nl)
     if devices.coupled:
         return devices.I_N - cx.einsum("dhp,pd->dh", devices.Y_N, V_nl)
     return devices.I_N - devices.Y_N * V_nl.T
 
 
-def current_balance(V_c: Cx, Y: Cx, devices: DeviceSet, m: int, n: int) -> Cx:
+def current_balance(V_c: Cx, Y: Cx, devices, m: int, n: int,
+                    V_m=None, V_a=None) -> Cx:
     """Current balance vector (hcne_generalized.py:326-357).
 
     Fundamental balance at nonlinear buses (n-m+1 entries), then harmonic
     balance at all buses for each harmonic above the fundamental (n·K),
     injections added at the nonlinear-bus positions.
     """
-    I_inj = current_injections(V_c, devices, m)         # (n_nl, H)
+    I_inj = current_injections(V_c, devices, m, V_m, V_a)  # (n_nl, H)
     dI_f = cx.matvec(Y[0, m:, :], V_c[0]) + I_inj[:, 0]
     dI_h = cx.einsum("hij,hj->hi", Y[1:], V_c[1:])      # (K, n)
     dI_h = dI_h.at_add((_all, slice(m, None)), I_inj[:, 1:].T)
     return cx.concatenate([dI_f, dI_h.reshape(-1)])
 
 
-def harmonic_mismatch(V_m, V_a, Y: Cx, S: Cx, devices: DeviceSet,
+def harmonic_mismatch(V_m, V_a, Y: Cx, S: Cx, devices,
                       m: int, n: int, c: int):
     """Harmonic mismatch f and residual err (hcne_generalized.py:360-390).
 
@@ -111,7 +117,7 @@ def harmonic_mismatch(V_m, V_a, Y: Cx, S: Cx, devices: DeviceSet,
     V_c = cx.polar(V_m, V_a)
     Sl = V_c[0, 1:m] * cx.matvec(Y[0, 1:m, :], V_c[0]).conj()
     dS = S[1:m] + Sl
-    dI = current_balance(V_c, Y, devices, m, n)
+    dI = current_balance(V_c, Y, devices, m, n, V_m, V_a)
     f_c = cx.concatenate([dS, dI])
     f = jnp.concatenate([f_c.re, f_c[c - 1:].im])
     return f, jnp.max(jnp.abs(f))
@@ -134,7 +140,7 @@ def update_harmonic_voltages(V_m, V_a, x, H: int, n: int, c: int):
     return V_m, V_a
 
 
-def build_harmonic_jacobian(V_m, V_a, Y: Cx, devices: DeviceSet,
+def build_harmonic_jacobian(V_m, V_a, Y: Cx, devices,
                             m: int, n: int, c: int):
     """Dense real harmonic Jacobian (hcne_generalized.py:401-473).
 
@@ -165,7 +171,15 @@ def build_harmonic_jacobian(V_m, V_a, Y: Cx, devices: DeviceSet,
     nl = jnp.arange(m, n)
     Vn_nl = Vn[:, m:]                                    # (H, n_nl)
     V_nl = V_c[:, m:]
-    if devices.coupled:
+    if isinstance(devices, AnalyticDeviceSet):
+        # coupling blocks from autodiff of the injection: the current
+        # balance is dI = Y·V + I_inj, so the (h·n+i, p·n+i) entries get
+        # +∂I_inj[i,h]/∂V_m[p,i] and +∂I_inj[i,h]/∂V_a[p,i] (for Norton
+        # equivalents these reduce to -Y_N·Vn / -j·Y_N·V, :425-435)
+        JV, JA = devices.injection_jacobians(V_m[:, m:], V_a[:, m:])
+        E_V = E_V.at_add((_all, _all, nl, nl), JV.transpose(1, 2, 0))
+        E_A = E_A.at_add((_all, _all, nl, nl), JA.transpose(1, 2, 0))
+    elif devices.coupled:
         C_V = cx.einsum("dhp,pd->hpd", devices.Y_N, Vn_nl)   # (H, H, n_nl)
         C_A = cx.einsum("dhp,pd->hpd", devices.Y_N, V_nl).jmul()
         E_V = E_V.at_add((_all, _all, nl, nl), -C_V)
