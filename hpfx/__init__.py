@@ -2,30 +2,47 @@
 
 A from-scratch re-design of the capabilities of
 ``pweigmann/harmonic-power-flow`` (harmonically-coupled Norton-equivalent
-power flow) as a JAX/XLA/Pallas library: dense per-harmonic tensors on the
-MXU, ``lax.while_loop`` Newton-Raphson, ``vmap`` scenario batching, and
-``jax.sharding`` scenario-axis parallelism over TPU meshes.
+power flow) as a JAX/XLA/Pallas library: dense per-harmonic split-complex
+tensors on the MXU, ``lax.while_loop`` Newton-Raphson, ``vmap`` scenario
+batching, Pallas lane-parallel linear solves, and ``jax.sharding``
+scenario-axis parallelism over TPU meshes.
 """
+from . import cx
+from .checkpoint import load_result, save_result, warm_start
 from .config import Settings, default_harmonics, settings_for_hmax
-from .devices import (DeviceSet, device_set_from_arrays, fit_coupled_ne,
-                      fit_uncoupled_ne, load_device_set,
-                      load_norton_equivalent, ne_injection, ne_selftest)
+from .cx import Cx
+from .devices import (AnalyticDeviceSet, DeviceSet, device_set_from_arrays,
+                      fit_coupled_ne, fit_uncoupled_ne, load_device_set,
+                      load_norton_equivalent, ne_injection, ne_selftest,
+                      norton_inject)
 from .fundamental import FundResult, pf, solve_fundamental
 from .harmonic import HPFResult, hpf, solve_harmonic
+from .ne_pipeline import (MeasurementSet, NortonFit, device_set_from_fit,
+                          export_ne_csv, export_opendss_spectrum,
+                          fit_norton_from_measurements, load_measurements_mat)
 from .network import Network, load_network, network_from_arrays
-from .results import THD, get_thd, voltage_phasors
+from .results import THD, HPFReport, get_thd, report, voltage_phasors
+from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
+                    hpf_single, hpf_sweep)
 from .ybus import build_ybus
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "cx", "Cx",
     "Settings", "default_harmonics", "settings_for_hmax",
     "Network", "load_network", "network_from_arrays",
     "build_ybus",
-    "DeviceSet", "load_device_set", "load_norton_equivalent",
-    "device_set_from_arrays", "fit_coupled_ne", "fit_uncoupled_ne",
-    "ne_injection", "ne_selftest",
+    "DeviceSet", "AnalyticDeviceSet", "load_device_set",
+    "load_norton_equivalent", "device_set_from_arrays", "fit_coupled_ne",
+    "fit_uncoupled_ne", "ne_injection", "ne_selftest", "norton_inject",
     "FundResult", "pf", "solve_fundamental",
     "HPFResult", "hpf", "solve_harmonic",
-    "THD", "get_thd", "voltage_phasors",
+    "THD", "HPFReport", "get_thd", "report", "voltage_phasors",
+    "Scenarios", "SweepSummary", "hpf_single", "hpf_sweep",
+    "hosting_capacity_sweep",
+    "MeasurementSet", "NortonFit", "load_measurements_mat",
+    "fit_norton_from_measurements", "device_set_from_fit",
+    "export_ne_csv", "export_opendss_spectrum",
+    "save_result", "load_result", "warm_start",
 ]

@@ -232,13 +232,21 @@ def cleanup_voltages(V_m, V_a):
 
 @highest_precision
 def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
-                   settings: Settings) -> HPFResult:
+                   settings: Settings, V0=None) -> HPFResult:
     """The harmonic NR hot loop (hcne_generalized.py:530-549) as one
-    ``lax.while_loop``."""
+    ``lax.while_loop``.
+
+    ``V0``: optional (V_m, V_a) warm start, e.g. from a checkpointed or
+    previously converged solution (hpfx.checkpoint) — replaces the flat
+    start while keeping the fundamental row from ``fund``.
+    """
     H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
     S = Cx(net.bus_P, net.bus_Q)
 
-    V_m, V_a = init_harmonic_voltages(fund, net, settings)
+    if V0 is None:
+        V_m, V_a = init_harmonic_voltages(fund, net, settings)
+    else:
+        V_m, V_a = V0
     f0, err0 = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c)
     x0 = harmonic_state_vector(V_m, V_a, c)
     hist0 = jnp.full((settings.max_iter_h,), jnp.nan, settings.real_dtype)
@@ -266,11 +274,12 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
 
 
 def hpf(net: Network, devices: DeviceSet, settings: Settings,
-        Y: Optional[Cx] = None) -> HPFResult:
+        Y: Optional[Cx] = None, V0=None) -> HPFResult:
     """Full harmonic power flow (hcne_generalized.py:511-560): Ybus assembly
     -> fundamental NR warm start -> harmonic NR.  Jit this (settings and the
-    network's structural metadata are static)."""
+    network's structural metadata are static).  ``V0`` resumes from a
+    previous harmonic solution (see hpfx.checkpoint)."""
     if Y is None:
         Y = build_ybus(net, settings)
     fund = solve_fundamental(Y[0], net, settings)
-    return solve_harmonic(Y, fund, net, devices, settings)
+    return solve_harmonic(Y, fund, net, devices, settings, V0=V0)

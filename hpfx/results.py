@@ -28,5 +28,38 @@ def get_thd(V_m: jnp.ndarray) -> THD:
 
 
 def voltage_phasors(V_m: jnp.ndarray, V_a: jnp.ndarray) -> jnp.ndarray:
-    """Complex phasors V_m·e^{j·V_a} (P2A, hcne_generalized.py:36-37)."""
-    return V_m * jnp.exp(1j * V_a)
+    """Complex phasors V_m·e^{j·V_a} (P2A, hcne_generalized.py:36-37).
+    Host-side (numpy complex) — device code stays split-complex."""
+    import numpy as np
+    return np.asarray(V_m) * np.exp(1j * np.asarray(V_a))
+
+
+class HPFReport(NamedTuple):
+    """Structured results object (SURVEY §5.5): the reference printed
+    voltages/THD/timings to stdout (hcne_generalized.py:554, 609-623);
+    here everything is data."""
+    harmonics: tuple
+    V_m: jnp.ndarray
+    V_a: jnp.ndarray
+    thd: THD
+    n_iter_fund: int
+    n_iter_harm: int
+    err_fund: float
+    err_harm: float
+    converged: bool
+    residual_history: jnp.ndarray  # (max_iter_h,), NaN-padded
+
+
+def report(result, settings) -> HPFReport:
+    """Summarize an HPFResult (single case)."""
+    thd = get_thd(result.V_m)
+    fund = result.fund
+    return HPFReport(
+        harmonics=tuple(settings.harmonics),
+        V_m=result.V_m, V_a=result.V_a, thd=thd,
+        n_iter_fund=int(fund.n_iter) if fund is not None else -1,
+        n_iter_harm=int(result.n_iter),
+        err_fund=float(fund.err) if fund is not None else float("nan"),
+        err_harm=float(result.err),
+        converged=bool(result.converged),
+        residual_history=result.err_hist)
