@@ -128,13 +128,16 @@ def fit_norton_from_measurements(ms: MeasurementSet) -> NortonFit:
     hI2 = np.array([ms.harm_I[i, 1, cols[fidx[i + 1]]]
                     for i in range(len(ms.harm_freqs))])
     hV1, hV2 = ms.harm_V[:, 0], ms.harm_V[:, 1]
-    I_uc_h, Y_uc_h = fit_uncoupled_ne(hV1, hI1, hV2, hI2)
+    # host-side pipeline computes in numpy f64 (independent of the session's
+    # jax_enable_x64 flag); the jax fit functions serve the on-device path
+    Y_uc_h = (hI2 - hI1) / (hV1 - hV2)
+    I_uc_h = Y_uc_h * hV1 + hI1
     # fundamental from the two results_f sims
     fI = ms.fund_I[:, cols[fidx[0]]]
-    I_uc_f, Y_uc_f = fit_uncoupled_ne(
-        ms.fund_V[:1], fI[:1], ms.fund_V[1:2], fI[1:2])
-    I_uc = np.concatenate([I_uc_f.to_numpy(), I_uc_h.to_numpy()])
-    Y_uc = np.concatenate([Y_uc_f.to_numpy(), Y_uc_h.to_numpy()])
+    Y_uc_f = (fI[1] - fI[0]) / (ms.fund_V[0] - ms.fund_V[1])
+    I_uc_f = Y_uc_f * ms.fund_V[0] + fI[0]
+    I_uc = np.concatenate([[I_uc_f], I_uc_h])
+    Y_uc = np.concatenate([[Y_uc_f], Y_uc_h])
 
     # uncoupled self-test against both measurements (:116-135)
     V1 = np.concatenate([[ms.fund_V[0]], hV1])
@@ -156,8 +159,9 @@ def fit_norton_from_measurements(ms: MeasurementSet) -> NortonFit:
     I_mes[-1] = ms.fund_I[1, cols[fidx]]
     for i in range(len(ms.harm_freqs)):
         I_mes[1 + i] = ms.harm_I[i, 0, cols[fidx]]
-    I_c, Y_c = fit_coupled_ne(V_mes, I_mes)
-    I_c, Y_c = I_c.to_numpy(), Y_c.to_numpy()
+    A = np.concatenate([-V_mes, np.ones((N + 1, 1))], axis=1)
+    X = np.linalg.solve(A, I_mes)
+    Y_c, I_c = X[:-1].T, X[-1]
 
     # coupled self-test: reconstruct every measurement (:182-193)
     pred = I_c[None, :] - V_mes @ Y_c.T
