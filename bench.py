@@ -10,20 +10,38 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get("HPFX_BENCH_BATCH", "2048"))
+REPEATS = int(os.environ.get("HPFX_BENCH_REPEATS", "5"))
+TIMEOUT_S = int(os.environ.get("HPFX_BENCH_TIMEOUT", "900"))
+TARGET_V5E8 = 10_000.0  # solves/sec on 8 chips (BASELINE.md)
+
+
+def _watchdog(signum, frame):
+    # a wedged TPU runtime must not hang the driver: report and exit
+    print(json.dumps({
+        "metric": "batched coupled-NR HPF solves/sec (net2, H<=25) — "
+                  "TPU runtime unresponsive, benchmark timed out",
+        "value": 0.0,
+        "unit": "solves/sec",
+        "vs_baseline": 0.0,
+    }), flush=True)
+    os._exit(2)
+
+
+signal.signal(signal.SIGALRM, _watchdog)
+signal.alarm(TIMEOUT_S)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import hpfx  # noqa: E402
 from hpfx.solve import Scenarios, hpf_sweep  # noqa: E402
-
-BATCH = int(os.environ.get("HPFX_BENCH_BATCH", "2048"))
-REPEATS = int(os.environ.get("HPFX_BENCH_REPEATS", "5"))
-TARGET_V5E8 = 10_000.0  # solves/sec on 8 chips (BASELINE.md)
 
 
 def main():
@@ -55,6 +73,7 @@ def main():
     solves_per_sec = BATCH / dt
 
     per_chip_target = TARGET_V5E8 / 8.0 * n_dev
+    signal.alarm(0)
     print(json.dumps({
         "metric": "batched coupled-NR HPF solves/sec (net2, H<=25, "
                   f"B={BATCH}, conv={conv:.3f}, {n_dev} chip(s))",

@@ -41,9 +41,13 @@ except Exception:  # pragma: no cover
 
 LANE = 128
 SUBLANE = 8
-VMEM_BUDGET = 8 * 2**20   # bytes for the (N, N, block) slab
-# largest system dim whose (N, N, 128) slab fits the budget
-MAX_PALLAS_DIM = int((VMEM_BUDGET / (4 * LANE)) ** 0.5) // SUBLANE * SUBLANE
+BLOCK = 64                # lanes (systems) per grid step
+# The kernel keeps ~3 full-size (N, N, BLOCK) arrays live (pipelined input,
+# loop carry, one temporary) plus the iota mask; cap the slab so the total
+# stays well inside the 16 MB VMEM.
+VMEM_BUDGET = 4 * 2**20   # bytes for one (N, N, BLOCK) slab
+# largest system dim whose slab fits the budget
+MAX_PALLAS_DIM = int((VMEM_BUDGET / (4 * BLOCK)) ** 0.5) // SUBLANE * SUBLANE
 
 
 def _round_up(x: int, m: int) -> int:
@@ -65,17 +69,19 @@ def _gj_kernel(a_ref, b_ref, x_ref, *, n: int, N: int, B: int):
         score = jnp.abs(colk) - 1e30 * used
         p = jnp.argmax(score, axis=0)                                 # (B,)
         on_p = (row_nb == p[None, :]).astype(A.dtype)                 # (N,B)
-        on_p3 = jnp.broadcast_to(on_p[:, None, :], A.shape)
-        rowp = jnp.sum(on_p3 * A, axis=0)                             # (N,B)
+        rowp = jnp.sum(jnp.broadcast_to(on_p[:, None, :], A.shape) * A,
+                       axis=0)                                        # (N,B)
         bp = jnp.sum(on_p * b, axis=0)                                # (B,)
         pivot = jnp.sum(on_p * colk, axis=0)                          # (B,)
         inv_piv = 1.0 / pivot
-        factor = (1.0 - on_p) * colk * inv_piv[None, :]               # (N,B)
-        elim = A - factor[:, None, :] * rowp[None, :, :]
-        norm = rowp[None, :, :] * inv_piv[None, None, :]
-        A = elim + on_p3 * (norm - elim)
-        b_elim = b - factor * bp[None, :]
-        b = b_elim + on_p * (bp[None, :] * inv_piv[None, :] - b_elim)
+        # single fused rank-1 update: w = factor on non-pivot rows and
+        # (1 - 1/pivot) on the pivot row, then A -= w ⊗ rowp performs both
+        # the elimination and the pivot-row normalization (keeps VMEM-stack
+        # temporaries to one full-size array)
+        w = (1.0 - on_p) * colk * inv_piv[None, :] + \
+            on_p * (1.0 - inv_piv[None, :])                           # (N,B)
+        A = A - w[:, None, :] * rowp[None, :, :]
+        b = b - w * bp[None, :]
         return A, b, jnp.maximum(used, on_p)
 
     # padded rows (r >= n) are all-zero: mark them used up front
@@ -95,10 +101,10 @@ def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
     Bt, n, _ = A.shape
     N = _round_up(n, SUBLANE)
     if block is None:
-        # one native lane group per block.  (Wider blocks — 256/512 lanes —
-        # miscompile into a device hang on this backend's Mosaic; 128 is
-        # also the natural register width, wider adds nothing.)
-        block = LANE
+        # 64 lanes balances VMEM (3 live full-size arrays) against lane
+        # utilization.  (Wider blocks — 256/512 lanes — miscompile into a
+        # device hang on this backend's Mosaic; do not raise past 128.)
+        block = BLOCK
         if N * N * 4 * block > VMEM_BUDGET:
             raise ValueError(
                 f"system dim {n} exceeds the VMEM budget of the lane-"
