@@ -41,11 +41,13 @@ except Exception:  # pragma: no cover
 
 LANE = 128
 SUBLANE = 8
-BLOCK = 64                # lanes (systems) per grid step
-# The kernel keeps ~3 full-size (N, N, BLOCK) arrays live (pipelined input,
-# loop carry, one temporary) plus the iota mask; cap the slab so the total
-# stays well inside the 16 MB VMEM.
-VMEM_BUDGET = 4 * 2**20   # bytes for one (N, N, BLOCK) slab
+BLOCK = 128               # lanes (systems) per grid step (one native row)
+# The kernel keeps ~4 full-size (N, N, BLOCK) arrays live on the VMEM stack
+# (pipelined input, loop carry, iota mask, one temporary); the default
+# 16 MiB scoped-vmem compiler limit is raised accordingly (v5e has far
+# more physical VMEM).
+VMEM_LIMIT = 32 * 2**20
+VMEM_BUDGET = 6 * 2**20   # bytes for one (N, N, BLOCK) slab
 # largest system dim whose slab fits the budget
 MAX_PALLAS_DIM = int((VMEM_BUDGET / (4 * BLOCK)) ** 0.5) // SUBLANE * SUBLANE
 
@@ -101,9 +103,8 @@ def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
     Bt, n, _ = A.shape
     N = _round_up(n, SUBLANE)
     if block is None:
-        # 64 lanes balances VMEM (3 live full-size arrays) against lane
-        # utilization.  (Wider blocks — 256/512 lanes — miscompile into a
-        # device hang on this backend's Mosaic; do not raise past 128.)
+        # one native lane row.  (Wider blocks — 256/512 lanes — miscompile
+        # into a device hang on this backend's Mosaic; do not raise.)
         block = BLOCK
         if N * N * 4 * block > VMEM_BUDGET:
             raise ValueError(
@@ -112,25 +113,35 @@ def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
     Bb = block
     Bp = _round_up(Bt, Bb)
 
+    # batch lives in a leading grid axis of G slabs of Bb lanes each; Bb is
+    # the arrays' full last dimension, satisfying the Mosaic block rule for
+    # lane counts below 128
+    G = Bp // Bb
     At = jnp.zeros((N, N, Bp), jnp.float32)
     At = At.at[:n, :n, :Bt].set(jnp.moveaxis(A.astype(jnp.float32), 0, -1))
+    At = At.reshape(N, N, G, Bb).transpose(2, 0, 1, 3)     # (G, N, N, Bb)
     bt = jnp.zeros((N, Bp), jnp.float32)
     bt = bt.at[:n, :Bt].set(b.astype(jnp.float32).T)
+    bt = bt.reshape(N, G, Bb).transpose(1, 0, 2)           # (G, N, Bb)
 
     kernel = functools.partial(_gj_kernel, n=n, N=N, B=Bb)
     mem = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(Bp // Bb,),
-        in_specs=[pl.BlockSpec((N, N, Bb), lambda i: (0, 0, i), **mem),
-                  pl.BlockSpec((N, Bb), lambda i: (0, i), **mem)],
-        out_specs=pl.BlockSpec((N, Bb), lambda i: (0, i), **mem),
-        out_shape=jax.ShapeDtypeStruct((N, Bp), jnp.float32),
+        grid=(G,),
+        in_specs=[pl.BlockSpec((None, N, N, Bb), lambda i: (i, 0, 0, 0),
+                               **mem),
+                  pl.BlockSpec((None, N, Bb), lambda i: (i, 0, 0), **mem)],
+        out_specs=pl.BlockSpec((None, N, Bb), lambda i: (i, 0, 0), **mem),
+        out_shape=jax.ShapeDtypeStruct((G, N, Bb), jnp.float32),
         interpret=interpret,
+        compiler_params=(None if pltpu is None else
+                         pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * N * N * Bp, bytes_accessed=N * N * Bp * 4,
             transcendentals=0),
     )(At, bt)
+    out = out.transpose(1, 0, 2).reshape(N, Bp)
     return out[:n, :Bt].T.astype(A.dtype)
 
 
