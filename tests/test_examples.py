@@ -163,3 +163,30 @@ def test_almeida_twoport_matches_block_solve():
     I_inj = ALMEIDA_I_N - ALMEIDA_Y_N @ sol.V_load.to_numpy()
     np.testing.assert_allclose(Y_line * (sol.V_load.to_numpy() - V_s),
                                I_inj, atol=1e-9)
+
+
+def test_norton_fit_from_logged_iterations():
+    """norton_parameters_fuchs.py equivalent: use logged per-iteration
+    states of the Fuchs solve as virtual measurements (V_log.json:31-35),
+    fit a 2x2 coupled NE (:83-107), and round-trip it against the logged
+    injections (:123-139).  The device is only approximately linear, so the
+    fit reproduces the fitting points exactly and nearby iterates
+    approximately."""
+    from hpfx.devices import fit_coupled_ne, ne_selftest
+
+    states = _vlog_states(raw=True)
+    ilog = _ilog()
+    # early iterations have well-separated voltage states (late iterates
+    # are nearly identical -> singular measurement matrix)
+    fit_iters = [0, 2, 5]
+    V_fit = np.array([states[it][:, 3, 0] * np.exp(1j * states[it][:, 3, 1])
+                      for it in fit_iters])
+    I_fit_mes = np.array([ilog[it] for it in fit_iters])
+    I_N, Y_N = fit_coupled_ne(V_fit, I_fit_mes)
+    # exact on the fitting measurements
+    assert float(ne_selftest(I_N, Y_N, V_fit, I_fit_mes)) < 1e-10
+    # approximate on other iterates (the device is only mildly nonlinear)
+    for it in (1, 3, 4, 6):
+        V = states[it][:, 3, 0] * np.exp(1j * states[it][:, 3, 1])
+        pred = I_N.to_numpy() - Y_N.to_numpy() @ V
+        assert np.abs(pred - ilog[it]).max() < 5e-3
