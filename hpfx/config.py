@@ -57,6 +57,12 @@ class Settings:
     # numerics: None -> follow jax_enable_x64 (f64/c128 when enabled)
     dtype: Optional[str] = None
 
+    # Newton-step linear solver: "dense" builds the full Jacobian and LU-
+    # solves it (reference-equivalent); "arrow" exploits the harmonic-block
+    # + Norton-coupling structure via Woodbury (hpfx.arrow) — same step to
+    # fp noise, O(H·(2n)^3 + r^3) instead of O((2Hn)^3)
+    solver: str = "dense"
+
     # reproduce the reference's line-shunt off-by-one (hcne_generalized.py:166
     # compares 1-based line endpoint IDs against the 0-based bus index).  Only
     # observable when line G/B != 0; all shipped nets have G = B = 0.

@@ -255,10 +255,19 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
         return (state.err > settings.thresh_h) & \
             (state.n_iter < settings.max_iter_h)
 
+    if settings.solver == "arrow":
+        from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
+        arrow_idx = make_arrow_index(H, n, m, c)
+
+    def _newton_step(V_m, V_a, f):
+        if settings.solver == "arrow":
+            pieces = build_arrow_pieces(V_m, V_a, Y, devices, arrow_idx)
+            return arrow_solve(pieces, f, arrow_idx)
+        J = build_harmonic_jacobian(V_m, V_a, Y, devices, m, n, c)
+        return nr_solve(J, f)
+
     def body(state: HPFState) -> HPFState:
-        J = build_harmonic_jacobian(
-            state.V_m, state.V_a, Y, devices, m, n, c)
-        x = state.x - nr_solve(J, state.f)
+        x = state.x - _newton_step(state.V_m, state.V_a, state.f)
         V_m, V_a = update_harmonic_voltages(state.V_m, state.V_a, x, H, n, c)
         f, err = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c)
         hist = state.err_hist.at[state.n_iter].set(err)
