@@ -191,6 +191,38 @@ def network_from_arrays(
         tuple(int(t) for t in bus_types), tuple(components), settings)
 
 
+def validate_network(net: "Network") -> None:
+    """Structural checks the reference never performed (its init_network
+    carries a TODO at hcne_generalized.py:114): every bus reachable from
+    the slack, endpoints in range, no self-loops, positive impedances."""
+    f = np.asarray(net.line_from)
+    t = np.asarray(net.line_to)
+    if f.size and (f.min() < 0 or t.min() < 0 or
+                   f.max() >= net.n or t.max() >= net.n):
+        raise ValueError("line endpoint out of range")
+    if np.any(f == t):
+        raise ValueError("self-loop line")
+    z2 = np.asarray(net.line_R) ** 2 + np.asarray(net.line_X) ** 2
+    if np.any(z2 <= 0):
+        raise ValueError("line with zero series impedance")
+    # reachability from the slack
+    seen = {0}
+    frontier = [0]
+    adj = {}
+    for a, b in zip(f.tolist(), t.tolist()):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    while frontier:
+        u = frontier.pop()
+        for v in adj.get(u, ()):
+            if v not in seen:
+                seen.add(v)
+                frontier.append(v)
+    if len(seen) != net.n:
+        missing = sorted(set(range(net.n)) - seen)
+        raise ValueError(f"buses unreachable from the slack: {missing}")
+
+
 def _make_network(bus_P, bus_Q, bus_S, bus_Xsh,
                   line_from, line_to, line_R, line_X, line_G, line_B,
                   line_tau, line_shift,
