@@ -101,7 +101,8 @@ class Settings:
     def real_dtype(self):
         if self.dtype is not None:
             return jnp.dtype(self.dtype)
-        return jnp.zeros((), jnp.float64).dtype  # f64 iff x64 enabled
+        import jax.dtypes
+        return jax.dtypes.canonicalize_dtype(np.float64)  # f64 iff x64 on
 
     @property
     def complex_dtype(self):

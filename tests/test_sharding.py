@@ -69,3 +69,26 @@ def test_mesh_subset():
     ref = hpf_sweep(net, dev, settings=s, scenarios=scen)
     np.testing.assert_allclose(np.asarray(out.V_m), np.asarray(ref.V_m),
                                atol=1e-12)
+
+
+def test_hosting_capacity_at_scale():
+    """BASELINE headline shape: thousands of random EV-penetration
+    scenarios swept over the full mesh with a global aggregate."""
+    import numpy as np
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    B = 2048
+    rng = np.random.default_rng(0)
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.85, 1.15, B), s.real_dtype),
+        q_scale=jnp.asarray(rng.uniform(0.85, 1.15, B), s.real_dtype),
+        injection_scale=jnp.asarray(rng.uniform(0.3, 1.3, B), s.real_dtype))
+    mesh = scenario_mesh(8)
+    out = hosting_capacity_sharded(net, dev, s, scen, mesh, thd_limit=0.3)
+    conv = float(np.mean(np.asarray(out.converged)))
+    assert conv > 0.9
+    frac = float(out.frac_over_limit)
+    # matches the host-side recomputation over the sharded outputs
+    expect = float(np.mean((np.asarray(out.max_thd_f) > 0.3)
+                           & np.asarray(out.converged)))
+    np.testing.assert_allclose(frac, expect)
