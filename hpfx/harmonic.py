@@ -160,15 +160,24 @@ def build_harmonic_jacobian(V_m, V_a, Y: Cx, devices,
     V_c = cx.polar(V_m, V_a)
     Vn = cx.expj(V_a)                  # V/V_m: signed normalization (:405)
 
-    hidx = jnp.arange(H)
-    # diagonal blocks
+    # Assembly is pure broadcast arithmetic against constant masks — no
+    # runtime scatters, which lower poorly on TPU under vmap.  Layout
+    # (H, n, H, n): entry [h, i, p, j] of the big block matrix.
+    eye_H = jnp.eye(H, dtype=rd)[:, None, :, None]      # δ_hp
+    eye_n = jnp.eye(n, dtype=rd)                        # δ_ij
+    # diagonal blocks: δ_hp · Y[h,i,j] · Vn/V[p,j]
     blocks_V = Y * Vn[:, None, :]                       # (H, n, n)
     blocks_A = (Y * V_c[:, None, :]).jmul()
-    E_V = cx.zeros((H, H, n, n), rd).at_set((hidx, hidx), blocks_V)
-    E_A = cx.zeros((H, H, n, n), rd).at_set((hidx, hidx), blocks_A)
 
-    # Norton-equivalent coupling at nonlinear-bus diagonal entries
-    nl = jnp.arange(m, n)
+    def embed_diag(blocks: Cx) -> Cx:
+        exp = lambda a: eye_H * a[:, :, None, :]        # (H,n,H,n)
+        return Cx(exp(blocks.re), exp(blocks.im))
+
+    E_V = embed_diag(blocks_V)
+    E_A = embed_diag(blocks_A)
+
+    # Norton-equivalent coupling at nonlinear-bus diagonal entries:
+    # [h, i, p, j] += K[h, p, i]·δ_ij·(i nonlinear), K padded over buses
     Vn_nl = Vn[:, m:]                                    # (H, n_nl)
     V_nl = V_c[:, m:]
     if isinstance(devices, AnalyticDeviceSet):
@@ -177,23 +186,29 @@ def build_harmonic_jacobian(V_m, V_a, Y: Cx, devices,
         # +∂I_inj[i,h]/∂V_m[p,i] and +∂I_inj[i,h]/∂V_a[p,i] (for Norton
         # equivalents these reduce to -Y_N·Vn / -j·Y_N·V, :425-435)
         JV, JA = devices.injection_jacobians(V_m[:, m:], V_a[:, m:])
-        E_V = E_V.at_add((_all, _all, nl, nl), JV.transpose(1, 2, 0))
-        E_A = E_A.at_add((_all, _all, nl, nl), JA.transpose(1, 2, 0))
+        K_V, K_A = JV.transpose(1, 2, 0), JA.transpose(1, 2, 0)
     elif devices.coupled:
-        C_V = cx.einsum("dhp,pd->hpd", devices.Y_N, Vn_nl)   # (H, H, n_nl)
-        C_A = cx.einsum("dhp,pd->hpd", devices.Y_N, V_nl).jmul()
-        E_V = E_V.at_add((_all, _all, nl, nl), -C_V)
-        E_A = E_A.at_add((_all, _all, nl, nl), -C_A)
+        K_V = -cx.einsum("dhp,pd->hpd", devices.Y_N, Vn_nl)  # (H, H, n_nl)
+        K_A = -cx.einsum("dhp,pd->hpd", devices.Y_N, V_nl).jmul()
     else:
-        C_V = devices.Y_N.T * Vn_nl                      # (H, n_nl)
-        C_A = (devices.Y_N.T * V_nl).jmul()
-        hh = hidx[:, None]
-        nn = nl[None, :]
-        E_V = E_V.at_add((hh, hh, nn, nn), -C_V)
-        E_A = E_A.at_add((hh, hh, nn, nn), -C_A)
+        diag_V = -(devices.Y_N.T * Vn_nl)                # (H, n_nl)
+        diag_A = -(devices.Y_N.T * V_nl).jmul()
+        eyeH2 = jnp.eye(H, dtype=rd)[:, :, None]
+        K_V = Cx(eyeH2 * diag_V.re[:, None, :], eyeH2 * diag_V.im[:, None, :])
+        K_A = Cx(eyeH2 * diag_A.re[:, None, :], eyeH2 * diag_A.im[:, None, :])
 
-    dIdV = E_V.transpose(0, 2, 1, 3).reshape(D, D)[m:, c:]
-    dIdA = E_A.transpose(0, 2, 1, 3).reshape(D, D)[m:, 1:]
+    # δ_ij restricted to nonlinear buses, (n, n_nl): M[i, d] = δ(i == m+d)
+    nl_mask = eye_n[:, m:]
+
+    def embed_coupling(K: Cx) -> Cx:
+        add = lambda k: jnp.einsum("hpd,id,jd->hipj", k, nl_mask, nl_mask)
+        return Cx(add(K.re), add(K.im))
+
+    E_V = E_V + embed_coupling(K_V)
+    E_A = E_A + embed_coupling(K_A)
+
+    dIdV = E_V.reshape(D, D)[m:, c:]
+    dIdA = E_A.reshape(D, D)[m:, 1:]
 
     # fundamental power rows, zero-padded across harmonic columns (:449-467);
     # note the signed-magnitude normalization (:455), unlike pf's |V| (:210)
