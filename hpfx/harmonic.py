@@ -61,6 +61,7 @@ class HPFState(NamedTuple):
     err: jnp.ndarray
     n_iter: jnp.ndarray
     err_hist: jnp.ndarray
+    traj: Optional[jnp.ndarray] = None  # (max_iter+1, 2, H, n) V per iter
 
 
 class HPFResult(NamedTuple):
@@ -71,6 +72,9 @@ class HPFResult(NamedTuple):
     err_hist: jnp.ndarray     # (max_iter_h,), NaN-padded
     converged: jnp.ndarray
     fund: Optional[FundResult] = None
+    #: optional per-iteration raw (V_m, V_a) trace — the V_log.json
+    #: capability (hcne_based_on_fuchs.py:186, 370); NaN-padded past n_iter
+    trajectory: Optional[jnp.ndarray] = None
 
 
 def current_injections(V_c: Cx, devices, m: int,
@@ -247,7 +251,8 @@ def cleanup_voltages(V_m, V_a):
 
 @highest_precision
 def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
-                   settings: Settings, V0=None) -> HPFResult:
+                   settings: Settings, V0=None,
+                   record_trajectory: bool = False) -> HPFResult:
     """The harmonic NR hot loop (hcne_generalized.py:530-549) as one
     ``lax.while_loop``.
 
@@ -265,6 +270,11 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
     f0, err0 = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c)
     x0 = harmonic_state_vector(V_m, V_a, c)
     hist0 = jnp.full((settings.max_iter_h,), jnp.nan, settings.real_dtype)
+    traj0 = None
+    if record_trajectory:
+        traj0 = jnp.full((settings.max_iter_h + 1, 2, H, n), jnp.nan,
+                         settings.real_dtype)
+        traj0 = traj0.at[0].set(jnp.stack([V_m, V_a]))
 
     def cond(state: HPFState):
         return (state.err > settings.thresh_h) & \
@@ -286,19 +296,23 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
         V_m, V_a = update_harmonic_voltages(state.V_m, state.V_a, x, H, n, c)
         f, err = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c)
         hist = state.err_hist.at[state.n_iter].set(err)
-        return HPFState(V_m, V_a, x, f, err, state.n_iter + 1, hist)
+        traj = state.traj
+        if traj is not None:
+            traj = traj.at[state.n_iter + 1].set(jnp.stack([V_m, V_a]))
+        return HPFState(V_m, V_a, x, f, err, state.n_iter + 1, hist, traj)
 
     final = lax.while_loop(
         cond, body,
-        HPFState(V_m, V_a, x0, f0, err0, jnp.int32(0), hist0))
+        HPFState(V_m, V_a, x0, f0, err0, jnp.int32(0), hist0, traj0))
 
     V_m, V_a = cleanup_voltages(final.V_m, final.V_a)
     return HPFResult(V_m, V_a, final.err, final.n_iter, final.err_hist,
-                     final.err <= settings.thresh_h, fund)
+                     final.err <= settings.thresh_h, fund, final.traj)
 
 
 def hpf(net: Network, devices: DeviceSet, settings: Settings,
-        Y: Optional[Cx] = None, V0=None) -> HPFResult:
+        Y: Optional[Cx] = None, V0=None,
+        record_trajectory: bool = False) -> HPFResult:
     """Full harmonic power flow (hcne_generalized.py:511-560): Ybus assembly
     -> fundamental NR warm start -> harmonic NR.  Jit this (settings and the
     network's structural metadata are static).  ``V0`` resumes from a
@@ -306,4 +320,5 @@ def hpf(net: Network, devices: DeviceSet, settings: Settings,
     if Y is None:
         Y = build_ybus(net, settings)
     fund = solve_fundamental(Y[0], net, settings)
-    return solve_harmonic(Y, fund, net, devices, settings, V0=V0)
+    return solve_harmonic(Y, fund, net, devices, settings, V0=V0,
+                          record_trajectory=record_trajectory)

@@ -52,3 +52,40 @@ def test_report_summary():
     assert np.isfinite(hist[: rep.n_iter_harm]).all()
     assert np.isnan(hist[rep.n_iter_harm:]).all()
     assert rep.thd.THD_F.shape == (net.n,)
+
+
+def test_trajectory_recording():
+    """Per-iteration V traces (the reference's V_log.json capability,
+    hcne_based_on_fuchs.py:370): recorded states replay the iteration and
+    can serve as virtual measurements for NE fitting."""
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    res = hpfx.hpf(net, dev, s, record_trajectory=True)
+    traj = np.asarray(res.trajectory)
+    k = int(res.n_iter)
+    assert np.isfinite(traj[: k + 1]).all()
+    assert np.isnan(traj[k + 1:]).all()
+    # last recorded raw state equals the (pre-cleanup) solution phasors
+    Vm_k, Va_k = traj[k, 0], traj[k, 1]
+    raw = Vm_k * np.exp(1j * Va_k)
+    final = np.asarray(res.V_m) * np.exp(1j * np.asarray(res.V_a))
+    np.testing.assert_allclose(raw, final, atol=1e-12)
+    # virtual-measurement NE fit from our own iterates (the
+    # norton_parameters_fuchs.py workflow on hpfx trajectories)
+    from hpfx.devices import fit_coupled_ne, ne_selftest
+    H = s.n_harmonics
+    iters = [0, 1, 2, 3]  # H+1 = 4 measurements
+    V_fit = np.array([traj[i, 0, :, 3] * np.exp(1j * traj[i, 1, :, 3])
+                      for i in iters])
+    from hpfx.harmonic import current_injections
+    from hpfx import cx as cxm
+    I_fit = np.array([
+        current_injections(
+            cxm.polar(res.trajectory[i, 0], res.trajectory[i, 1]),
+            dev, net.m).to_numpy()[0]
+        for i in iters])
+    I_N, Y_N = fit_coupled_ne(V_fit, I_fit)
+    assert float(ne_selftest(I_N, Y_N, V_fit, I_fit)) < 1e-8
+    # the device IS a Norton equivalent: the fit recovers it exactly
+    np.testing.assert_allclose(Y_N.to_numpy(), dev.Y_N.to_numpy()[0],
+                               atol=1e-8)
