@@ -135,6 +135,14 @@ def load_device_set(
     """Load NEs for every nonlinear bus of ``net`` (one file read per unique
     component, as in import_Norton_Equivalents, hcne_generalized.py:284-310)."""
     coupled = settings.coupled
+    H = settings.n_harmonics
+    if net.n_nonlinear == 0:
+        # purely linear grid: empty device stack (the harmonic solve
+        # reduces to the linear network equations)
+        shape_y = (0, H, H) if coupled else (0, H)
+        return DeviceSet(I_N=cx.zeros((0, H), settings.real_dtype),
+                         Y_N=cx.zeros(shape_y, settings.real_dtype),
+                         coupled=coupled)
     unique: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     for comp in set(net.nonlinear_components):
         path = resolve_ne_path(comp, search_dirs)
