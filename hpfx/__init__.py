@@ -24,6 +24,10 @@ from .network import Network, load_network, network_from_arrays
 from .results import THD, HPFReport, get_thd, report, voltage_phasors
 from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
                     hpf_single, hpf_sweep)
+from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
+from .generators import synthetic_feeder
+from .network import validate_network
+from .sensitivity import Sensitivity, injection_sensitivity
 from .ybus import build_ybus
 
 __version__ = "0.1.0"
@@ -45,4 +49,7 @@ __all__ = [
     "fit_norton_from_measurements", "device_set_from_fit",
     "export_ne_csv", "export_opendss_spectrum",
     "save_result", "load_result", "warm_start",
+    "synthetic_feeder", "validate_network",
+    "Sensitivity", "injection_sensitivity",
+    "arrow_solve", "build_arrow_pieces", "make_arrow_index",
 ]

@@ -56,9 +56,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _gj_kernel(a_ref, b_ref, x_ref, *, n: int, N: int, B: int):
-    """Eliminate B systems at once: a_ref (N, N, B), b_ref (N, B) ->
-    x_ref (N, B)."""
+def _gj_kernel(a_ref, b_ref, x_ref, *, n: int, N: int, B: int, R: int = 1):
+    """Eliminate B systems at once: a_ref (N, N, B), b_ref (N, R, B) ->
+    x_ref (N, R, B).  R right-hand sides ride along through the same
+    elimination (multi-RHS is what the arrow solver's per-block
+    factorizations need)."""
     row_nb = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
     col_nnb = jax.lax.broadcasted_iota(jnp.int32, (N, N, B), 1)
 
@@ -73,7 +75,7 @@ def _gj_kernel(a_ref, b_ref, x_ref, *, n: int, N: int, B: int):
         on_p = (row_nb == p[None, :]).astype(A.dtype)                 # (N,B)
         rowp = jnp.sum(jnp.broadcast_to(on_p[:, None, :], A.shape) * A,
                        axis=0)                                        # (N,B)
-        bp = jnp.sum(on_p * b, axis=0)                                # (B,)
+        bp = jnp.sum(on_p[:, None, :] * b, axis=0)                    # (R,B)
         pivot = jnp.sum(on_p * colk, axis=0)                          # (B,)
         inv_piv = 1.0 / pivot
         # single fused rank-1 update: w = factor on non-pivot rows and
@@ -83,24 +85,32 @@ def _gj_kernel(a_ref, b_ref, x_ref, *, n: int, N: int, B: int):
         w = (1.0 - on_p) * colk * inv_piv[None, :] + \
             on_p * (1.0 - inv_piv[None, :])                           # (N,B)
         A = A - w[:, None, :] * rowp[None, :, :]
-        b = b - w * bp[None, :]
+        b = b - w[:, None, :] * bp[None, :, :]
         return A, b, jnp.maximum(used, on_p)
 
     # padded rows (r >= n) are all-zero: mark them used up front
     used0 = (row_nb >= n).astype(jnp.float32)
     A, b, _ = jax.lax.fori_loop(
         0, n, step, (a_ref[:], b_ref[:], used0))
-    # A is now a per-system permutation: x[k] = sum_r A[r,k] * b[r]
-    x_ref[:] = jnp.sum(A * b[:, None, :], axis=0)
+    # A is now a per-system permutation: x[k] = sum_r A[r,k] * b[r]; one
+    # full-slab temporary per RHS (R is small, statically unrolled; pure
+    # slicing only — integer+newaxis indexing lowers to an unsupported
+    # gather in Mosaic)
+    for r in range(R):
+        x_ref[:, r, :] = jnp.sum(A * b[:, r:r + 1, :], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
     """Solve A[i] @ x[i] = b[i] for a batch of dense real systems.
 
-    A: (B, n, n), b: (B, n) -> (B, n), computed in f32.
+    A: (B, n, n); b: (B, n) or (B, n, R) for multi-RHS -> matching shape,
+    computed in f32.
     """
     Bt, n, _ = A.shape
+    multi = b.ndim == 3
+    R = b.shape[2] if multi else 1
+    b3 = b if multi else b[..., None]                      # (B, n, R)
     N = _round_up(n, SUBLANE)
     if block is None:
         # one native lane row.  (Wider blocks — 256/512 lanes — miscompile
@@ -120,20 +130,23 @@ def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
     At = jnp.zeros((N, N, Bp), jnp.float32)
     At = At.at[:n, :n, :Bt].set(jnp.moveaxis(A.astype(jnp.float32), 0, -1))
     At = At.reshape(N, N, G, Bb).transpose(2, 0, 1, 3)     # (G, N, N, Bb)
-    bt = jnp.zeros((N, Bp), jnp.float32)
-    bt = bt.at[:n, :Bt].set(b.astype(jnp.float32).T)
-    bt = bt.reshape(N, G, Bb).transpose(1, 0, 2)           # (G, N, Bb)
+    bt = jnp.zeros((N, R, Bp), jnp.float32)
+    bt = bt.at[:n, :, :Bt].set(
+        jnp.moveaxis(b3.astype(jnp.float32), 0, -1))       # (n, R, B)
+    bt = bt.reshape(N, R, G, Bb).transpose(2, 0, 1, 3)     # (G, N, R, Bb)
 
-    kernel = functools.partial(_gj_kernel, n=n, N=N, B=Bb)
+    kernel = functools.partial(_gj_kernel, n=n, N=N, B=Bb, R=R)
     mem = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[pl.BlockSpec((None, N, N, Bb), lambda i: (i, 0, 0, 0),
                                **mem),
-                  pl.BlockSpec((None, N, Bb), lambda i: (i, 0, 0), **mem)],
-        out_specs=pl.BlockSpec((None, N, Bb), lambda i: (i, 0, 0), **mem),
-        out_shape=jax.ShapeDtypeStruct((G, N, Bb), jnp.float32),
+                  pl.BlockSpec((None, N, R, Bb), lambda i: (i, 0, 0, 0),
+                               **mem)],
+        out_specs=pl.BlockSpec((None, N, R, Bb), lambda i: (i, 0, 0, 0),
+                               **mem),
+        out_shape=jax.ShapeDtypeStruct((G, N, R, Bb), jnp.float32),
         interpret=interpret,
         compiler_params=(None if pltpu is None else
                          pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)),
@@ -141,8 +154,9 @@ def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
             flops=4 * n * N * N * Bp, bytes_accessed=N * N * Bp * 4,
             transcendentals=0),
     )(At, bt)
-    out = out.transpose(1, 0, 2).reshape(N, Bp)
-    return out[:n, :Bt].T.astype(A.dtype)
+    out = out.transpose(1, 2, 0, 3).reshape(N, R, Bp)
+    out = jnp.moveaxis(out[:n, :, :Bt], -1, 0)             # (B, n, R)
+    return (out if multi else out[..., 0]).astype(A.dtype)
 
 
 def batched_solve(A, b):

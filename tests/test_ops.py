@@ -54,3 +54,15 @@ def test_gauss_solve_batch_padding():
     np.testing.assert_allclose(np.asarray(x), ref,
                                atol=3e-5 * np.abs(ref).max())
     assert x.shape == (5, 10)
+
+
+def test_gauss_solve_multi_rhs():
+    """Multi-RHS elimination (the arrow solver's per-block pattern)."""
+    A, _, _ = _systems(6, 20)
+    R = 5
+    Brhs = rng.normal(size=(6, 20, R)).astype(np.float32)
+    x = gauss_solve_pallas(jnp.asarray(A), jnp.asarray(Brhs), interpret=True)
+    assert x.shape == (6, 20, R)
+    ref = np.stack([np.linalg.solve(A[i], Brhs[i]) for i in range(6)])
+    np.testing.assert_allclose(np.asarray(x), ref,
+                               atol=3e-5 * np.abs(ref).max())
