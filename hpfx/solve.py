@@ -60,31 +60,78 @@ def _expand(scale, like):
 
 
 def _solve_scenario(Y, net: Network, devices: DeviceSet, settings: Settings,
-                    p_scale, q_scale, inj_scale) -> HPFResult:
+                    p_scale, q_scale, inj_scale, V0=None) -> HPFResult:
     net_s = dataclasses.replace(
         net,
         bus_P=net.bus_P * _expand(p_scale, net.bus_P),
         bus_Q=net.bus_Q * _expand(q_scale, net.bus_Q))
     dev_s = devices.scale(jnp.asarray(inj_scale, devices.I_N.re.dtype))
     fund = solve_fundamental(Y[0], net_s, settings)
-    return solve_harmonic(Y, fund, net_s, dev_s, settings)
+    return solve_harmonic(Y, fund, net_s, dev_s, settings, V0=V0)
 
 
 @partial(jax.jit, static_argnames=("settings",))
 def hpf_sweep(net: Network, devices: DeviceSet, settings: Settings,
-              scenarios: Scenarios) -> HPFResult:
+              scenarios: Scenarios, V0=None) -> HPFResult:
     """Solve B independent HPF cases in one compiled program.
 
     Returns an HPFResult whose leaves carry a leading batch dimension.
+    ``V0``: optional batched (V_m, V_a) warm starts.
     """
     Y = build_ybus(net, settings)
     q = scenarios.q_scale if scenarios.q_scale is not None \
         else scenarios.p_scale
     inj = scenarios.injection_scale if scenarios.injection_scale is not None \
         else jnp.ones_like(scenarios.p_scale)
+    if V0 is None:
+        return jax.vmap(
+            lambda p, qq, i: _solve_scenario(Y, net, devices, settings,
+                                             p, qq, i)
+        )(scenarios.p_scale, q, inj)
     return jax.vmap(
-        lambda p, qq, i: _solve_scenario(Y, net, devices, settings, p, qq, i)
-    )(scenarios.p_scale, q, inj)
+        lambda p, qq, i, vm, va: _solve_scenario(
+            Y, net, devices, settings, p, qq, i, V0=(vm, va))
+    )(scenarios.p_scale, q, inj, V0[0], V0[1])
+
+
+def hpf_sweep_adaptive(net: Network, devices: DeviceSet, settings: Settings,
+                       scenarios: Scenarios, phase_iters: int = 16
+                       ) -> HPFResult:
+    """Two-phase sweep that avoids straggler lockstep.
+
+    The batched while-loop runs every scenario until the *slowest* one
+    stops, so a few hard scenarios make the whole batch pay max_iter_h
+    trips.  Phase 1 caps iterations at ``phase_iters`` (above the typical
+    count); phase 2 re-solves only the unconverged scenarios, warm-started
+    from their phase-1 states, for the remaining budget.  Solutions are
+    identical to the plain sweep (same fixed points; per-scenario iteration
+    totals are preserved in n_iter).  Host-driven: not jittable as a whole,
+    but each phase is one compiled program.
+    """
+    import numpy as np
+
+    s1 = settings.with_(max_iter_h=min(phase_iters, settings.max_iter_h))
+    r1 = hpf_sweep(net, devices, s1, scenarios)
+    pending = np.where(~np.asarray(r1.converged))[0]
+    if pending.size == 0 or s1.max_iter_h == settings.max_iter_h:
+        return r1
+
+    sub = Scenarios(*(None if x is None else jnp.asarray(x)[pending]
+                      for x in scenarios))
+    V0 = (r1.V_m[pending], r1.V_a[pending])
+    s2 = settings.with_(max_iter_h=settings.max_iter_h - s1.max_iter_h)
+    r2 = hpf_sweep(net, devices, s2, sub, V0=V0)
+
+    idx = jnp.asarray(pending)
+    merged = HPFResult(
+        V_m=r1.V_m.at[idx].set(r2.V_m),
+        V_a=r1.V_a.at[idx].set(r2.V_a),
+        err=r1.err.at[idx].set(r2.err),
+        n_iter=r1.n_iter.at[idx].set(r1.n_iter[idx] + r2.n_iter),
+        err_hist=r1.err_hist,
+        converged=r1.converged.at[idx].set(r2.converged),
+        fund=r1.fund)
+    return merged
 
 
 @partial(jax.jit, static_argnames=("settings",))

@@ -80,3 +80,26 @@ def test_hosting_capacity_summary():
     frac = float(summary.frac_over_limit)
     expect = np.mean((thd > 0.5) & np.asarray(summary.converged))
     np.testing.assert_allclose(frac, expect)
+
+
+def test_adaptive_sweep_matches_plain():
+    """The two-phase adaptive sweep reaches the same solutions (and total
+    per-scenario iteration counts) as the plain lockstep sweep."""
+    from hpfx.solve import hpf_sweep_adaptive
+    cfg = ("net2", 25, True)
+    s, net, dev = make_setup(cfg)
+    scen = Scenarios(p_scale=jnp.linspace(0.8, 1.2, 12),
+                     q_scale=jnp.linspace(0.8, 1.2, 12),
+                     injection_scale=jnp.linspace(0.6, 1.6, 12))
+    plain = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    adaptive = hpf_sweep_adaptive(net, dev, s, scen, phase_iters=8)
+    conv_p = np.asarray(plain.converged)
+    conv_a = np.asarray(adaptive.converged)
+    np.testing.assert_array_equal(conv_a, conv_p)
+    sel = conv_p
+    np.testing.assert_allclose(np.asarray(adaptive.V_m)[sel],
+                               np.asarray(plain.V_m)[sel], atol=1e-9)
+    # warm-started phase 2 may need one fewer/more trip at the boundary;
+    # allow a small difference but require the same order
+    np.testing.assert_allclose(np.asarray(adaptive.n_iter)[sel],
+                               np.asarray(plain.n_iter)[sel], atol=2)
