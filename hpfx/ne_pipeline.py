@@ -18,7 +18,8 @@ Fitting:
   quotient on the magnitude axis; fundamental from the two results_f sims,
 - coupled (Almeida 2010, :138-173): one linear solve per output harmonic
   over the (N+1)-measurement voltage matrix [fund m1; harmonics m1; fund
-  m2] — delegated to hpfx.devices.fit_coupled_ne.
+  m2].  (Computed host-side in numpy f64; hpfx.devices.fit_coupled_ne /
+  fit_uncoupled_ne are the equivalent on-device JAX implementations.)
 
 Self-tests reconstruct the measured injections from the fitted NE and warn
 above 1e-6 infinity-norm, mirroring :116-135 and :182-193.
@@ -26,12 +27,8 @@ above 1e-6 infinity-norm, mirroring :116-135 and :182-193.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
 
 import numpy as np
-
-from . import cx
-from .devices import fit_coupled_ne, fit_uncoupled_ne
 
 
 @dataclasses.dataclass(frozen=True)
