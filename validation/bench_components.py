@@ -1,0 +1,93 @@
+"""Component-level TPU timing harness (round-2 starter).
+
+Times each stage of the batched NR trip separately on the real chip so
+optimization effort goes where the time is:
+  1. Ybus assembly                      (once per sweep)
+  2. batched harmonic mismatch          (per trip)
+  3. batched Jacobian assembly          (per trip; scatter-free since r1)
+  4. batched Newton solve               (per trip; Pallas GJ vs XLA LU)
+  5. full hpf_sweep end to end
+
+Usage: python validation/bench_components.py [B]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import hpfx
+from hpfx import harmonic
+from hpfx.cx import Cx
+from hpfx.ops.batched_solve import gauss_solve_pallas
+from hpfx.solve import Scenarios, hpf_sweep
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+
+
+def timeit(name, fn, *args, reps=10):
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, out)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:35s} {dt * 1e3:8.2f} ms")
+    return out
+
+
+def main():
+    s = hpfx.settings_for_hmax(25, coupled=True)
+    data = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "hpfx", "data")
+    net = hpfx.load_network(os.path.join(data, "net2_buses.csv"),
+                            os.path.join(data, "net2_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+    m, n, c, H = net.m, net.n, net.c, s.n_harmonics
+    S = Cx(net.bus_P, net.bus_Q)
+    print(f"backend={jax.default_backend()} B={B} dim={2*H*n-1-c}")
+
+    Y = timeit("ybus", jax.jit(
+        lambda: hpfx.build_ybus(net, s)))
+
+    rng = np.random.default_rng(0)
+    V_m = jnp.asarray(0.1 + 0.9 * rng.random((B, H, n)), jnp.float32)
+    V_a = jnp.asarray(0.1 * rng.random((B, H, n)), jnp.float32)
+
+    mism = jax.jit(jax.vmap(
+        lambda vm, va: harmonic.harmonic_mismatch(vm, va, Y, S, dev,
+                                                  m, n, c)[0]))
+    timeit("batched mismatch", mism, V_m, V_a)
+
+    jac = jax.jit(jax.vmap(
+        lambda vm, va: harmonic.build_harmonic_jacobian(vm, va, Y, dev,
+                                                        m, n, c)))
+    J = timeit("batched J assembly", jac, V_m, V_a)
+
+    f = jnp.asarray(rng.standard_normal((B, J.shape[1])), jnp.float32)
+    if jax.default_backend() != "cpu":
+        timeit("Pallas GJ solve", jax.jit(gauss_solve_pallas), J, f)
+    timeit("XLA batched LU", jax.jit(
+        lambda A, b: jnp.linalg.solve(A, b[..., None])[..., 0]), J, f)
+
+    scen = Scenarios(p_scale=jnp.linspace(0.8, 1.2, B),
+                     q_scale=jnp.linspace(0.8, 1.2, B),
+                     injection_scale=jnp.linspace(0.6, 1.4, B))
+    res = timeit("hpf_sweep end-to-end", lambda: hpf_sweep(
+        net, dev, settings=s, scenarios=scen), reps=3)
+    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+    print(f"conv={conv:.3f}; mean iters="
+          f"{float(jnp.mean(res.n_iter.astype(jnp.float32))):.1f}")
+
+
+if __name__ == "__main__":
+    main()
