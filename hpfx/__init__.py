@@ -26,6 +26,7 @@ from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
                     hpf_single, hpf_sweep)
 from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
 from .generators import synthetic_feeder
+from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
 from .sensitivity import Sensitivity, injection_sensitivity
 from .ybus import build_ybus
@@ -52,4 +53,5 @@ __all__ = [
     "synthetic_feeder", "validate_network",
     "Sensitivity", "injection_sensitivity",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
+    "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
 ]
