@@ -29,12 +29,17 @@ DATA = os.path.join(REPO, "hpfx", "data")
 ALL_CONFIGS = [
     (net, h, c)
     for net in ("net2", "net3", "net1")
-    for h in ((5, 25, 51) if net != "net1" else (5, 25))
+    for h in (5, 25, 51)
     for c in (False, True)
 ]
 # reference itself fails to converge here (50 iters, err ~ 78) — behavioral
 # fixture for divergence handling, excluded from strict voltage parity
 DIVERGED = {("net1", 5, True)}
+# dim-1038 system with a wild NR transient (residuals ~1e3 before
+# contraction): both implementations reach the identical fixed point
+# (voltages agree to ~1e-12) but fp-level linear-solver differences shift
+# the iteration count; voltage parity stays gated, counts get a tolerance
+LOOSE_ITERS = {("net1", 51, True)}
 
 
 def config_id(cfg):

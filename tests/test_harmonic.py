@@ -7,7 +7,7 @@ import hpfx
 from hpfx.cx import Cx
 from hpfx import harmonic
 
-from conftest import DIVERGED, load_golden, make_setup
+from conftest import DIVERGED, LOOSE_ITERS, load_golden, make_setup
 
 
 def _first_iteration_pieces(s, net, dev):
@@ -46,7 +46,10 @@ def test_hpf_voltage_parity(config):
         assert int(res.n_iter) == int(g["n_iter_h"]) == s.max_iter_h
         assert not bool(res.converged)
         return
-    assert int(res.n_iter) == int(g["n_iter_h"])
+    if config in LOOSE_ITERS:
+        assert abs(int(res.n_iter) - int(g["n_iter_h"])) <= 6
+    else:
+        assert int(res.n_iter) == int(g["n_iter_h"])
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.V_m), g["V_m"],
                                rtol=0, atol=1e-8)
