@@ -95,3 +95,21 @@ def test_arrow_end_to_end_parity(cfg):
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(arrow.V_a), np.asarray(dense.V_a),
                                atol=1e-8)
+
+
+def test_arrow_under_vmap_sweep():
+    """The arrow Newton step vmaps: a batched sweep with solver='arrow'
+    matches the dense-path sweep scenario-for-scenario."""
+    import jax.numpy as jnp
+    from hpfx.solve import Scenarios, hpf_sweep
+    s, net, dev = make_setup(("net2", 25, True))
+    scen = Scenarios(p_scale=jnp.linspace(0.9, 1.1, 4),
+                     q_scale=jnp.linspace(0.9, 1.1, 4),
+                     injection_scale=jnp.linspace(0.8, 1.2, 4))
+    dense = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    arrow = hpf_sweep(net, dev, settings=s.with_(solver="arrow"),
+                      scenarios=scen)
+    np.testing.assert_array_equal(np.asarray(arrow.n_iter),
+                                  np.asarray(dense.n_iter))
+    np.testing.assert_allclose(np.asarray(arrow.V_m),
+                               np.asarray(dense.V_m), atol=1e-8)
