@@ -221,15 +221,23 @@ def arrow_solve(pieces: ArrowPieces, f, idx: ArrowIndex):
     Eh = jnp.zeros((2 * n, r_blk), pieces.D0.dtype).at[
         jnp.asarray(rowsh), jnp.arange(r_blk)].set(1.0)
 
-    # one factorization per block, shared by f and the U columns
+    # one factorization per block, shared by f and the U columns.  The
+    # fundamental block (size d0 = 2n-1-c) is identity-padded to 2n so all
+    # H blocks go through a single batched solve (one kernel launch; the
+    # uniform (H, 2n, 2n) batch is also what the Pallas multi-RHS
+    # Gauss-Jordan kernel consumes on TPU).
+    pad = 2 * n - d0
+    D0p = jnp.eye(2 * n, dtype=pieces.D0.dtype).at[:d0, :d0].set(pieces.D0)
     rhs0 = jnp.concatenate([f0[:, None], E0], axis=1)
-    sol0 = jnp.linalg.solve(pieces.D0, rhs0)
+    rhs0p = jnp.zeros((2 * n, 1 + r_blk), rhs0.dtype).at[:d0].set(rhs0)
     rhsh = jnp.concatenate([fh[..., None],
                             jnp.broadcast_to(Eh, (K,) + Eh.shape)], axis=2)
-    solh = jnp.linalg.solve(pieces.Dh, rhsh)
+    D_all = jnp.concatenate([D0p[None], pieces.Dh], axis=0)
+    rhs_all = jnp.concatenate([rhs0p[None], rhsh], axis=0)
+    sol_all = jnp.linalg.solve(D_all, rhs_all)
 
-    z0, X0 = sol0[:, 0], sol0[:, 1:]
-    zh, Xh = solh[..., 0], solh[..., 1:]
+    z0, X0 = sol_all[0, :d0, 0], sol_all[0, :d0, 1:]
+    zh, Xh = sol_all[1:, :, 0], sol_all[1:, :, 1:]
 
     # V^T picks the coupling coordinates of a grouped vector
     cpl0 = jnp.asarray(idx.cpl0)
