@@ -159,17 +159,23 @@ def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
     return (out if multi else out[..., 0]).astype(A.dtype)
 
 
-def batched_solve(A, b):
-    """Batched dense solve with automatic backend dispatch.
+import os
 
-    TPU: the Pallas Gauss-Jordan kernel above.
-    Other backends (CPU parity/x64 tests): LAPACK via jnp.linalg.solve.
-    """
+# Hardware measurement (v5e, round 1): the Gauss-Jordan kernel is
+# numerically correct on-chip (~2e-6 rel err) but its per-step masked
+# reductions against the traced column index lower pathologically in
+# Mosaic (~1.5 ms per elimination step — slower than XLA's LU).  Until the
+# kernel's inner loop is reworked (round-2 plan in BENCH_NOTES.md), the
+# default dispatch uses XLA LU everywhere; set HPFX_PALLAS_SOLVE=1 to
+# route eligible batches through the kernel for experiments.
+USE_PALLAS_SOLVE = os.environ.get("HPFX_PALLAS_SOLVE", "0") == "1"
+
+
+def batched_solve(A, b):
+    """Batched dense solve with automatic backend dispatch."""
     n = A.shape[-1]
-    if (jax.default_backend() == "cpu" or A.dtype == jnp.float64
-            or n > MAX_PALLAS_DIM):
-        # large systems exceed the lane-parallel kernel's VMEM budget
-        # (slab is O(n^2 · lanes)); fall back to XLA's LU
+    if (not USE_PALLAS_SOLVE or jax.default_backend() == "cpu"
+            or A.dtype == jnp.float64 or n > MAX_PALLAS_DIM):
         return jnp.linalg.solve(A, b[..., None])[..., 0]
     return gauss_solve_pallas(A, b)
 
