@@ -41,7 +41,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import hpfx  # noqa: E402
-from hpfx.solve import Scenarios, hpf_sweep  # noqa: E402
+from hpfx.solve import Scenarios, hpf_sweep_adaptive  # noqa: E402
 
 
 def main():
@@ -58,15 +58,19 @@ def main():
     key_i = jnp.linspace(0.6, 1.4, BATCH)
     scen = Scenarios(p_scale=key_p, q_scale=key_p, injection_scale=key_i)
 
+    # two-phase sweep: stragglers re-solve warm-started instead of
+    # holding the whole lockstep batch at max_iter (identical solutions)
+    run = lambda: hpf_sweep_adaptive(net, dev, s, scen, phase_iters=24)
+
     # warmup/compile
-    res = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    res = run()
     res.V_m.block_until_ready()
     conv = float(jnp.mean(res.converged.astype(jnp.float32)))
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        res = hpf_sweep(net, dev, settings=s, scenarios=scen)
+        res = run()
         res.V_m.block_until_ready()
         times.append(time.perf_counter() - t0)
     dt = min(times)
