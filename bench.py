@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = int(os.environ.get("HPFX_BENCH_BATCH", "2048"))
+BATCH = int(os.environ.get("HPFX_BENCH_BATCH", "4096"))
 REPEATS = int(os.environ.get("HPFX_BENCH_REPEATS", "5"))
 TIMEOUT_S = int(os.environ.get("HPFX_BENCH_TIMEOUT", "900"))
 TARGET_V5E8 = 10_000.0  # solves/sec on 8 chips (BASELINE.md)

@@ -161,18 +161,20 @@ def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
 
 import os
 
-# Hardware measurement (v5e, round 1): the Gauss-Jordan kernel is
-# numerically correct on-chip (~2e-6 rel err) but its per-step masked
-# reductions against the traced column index lower pathologically in
-# Mosaic (~1.5 ms per elimination step — slower than XLA's LU).  Until the
-# kernel's inner loop is reworked (round-2 plan in BENCH_NOTES.md), the
-# default dispatch uses XLA LU everywhere; set HPFX_PALLAS_SOLVE=1 to
-# route eligible batches through the kernel for experiments.
-USE_PALLAS_SOLVE = os.environ.get("HPFX_PALLAS_SOLVE", "0") == "1"
+# Hardware measurement (v5e, round 1, B=1024, n=102, device-resident
+# operands): Pallas Gauss-Jordan 7.8 ms vs XLA batched LU 51.8 ms per
+# solve — 6.7x.  (An earlier host-side microbenchmark that re-uploaded
+# numpy operands per call misattributed transfer cost to the kernel.)
+# HPFX_PALLAS_SOLVE=0 forces the XLA LU path.
+USE_PALLAS_SOLVE = os.environ.get("HPFX_PALLAS_SOLVE", "1") == "1"
 
 
 def batched_solve(A, b):
-    """Batched dense solve with automatic backend dispatch."""
+    """Batched dense solve with automatic backend dispatch.
+
+    TPU: the Pallas lane-parallel Gauss-Jordan kernel above.
+    CPU (parity/x64 tests) and oversized systems: LAPACK/XLA LU.
+    """
     n = A.shape[-1]
     if (not USE_PALLAS_SOLVE or jax.default_backend() == "cpu"
             or A.dtype == jnp.float64 or n > MAX_PALLAS_DIM):
