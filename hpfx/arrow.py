@@ -34,8 +34,9 @@ import numpy as np
 
 from . import cx
 from .cx import Cx
-from .devices import DeviceSet
+from .devices import AnalyticDeviceSet, DeviceSet
 from .fundamental import _power_jacobian_blocks
+from .ops.batched_solve import nr_solve, solve_blocks
 
 
 class ArrowIndex(NamedTuple):
@@ -120,6 +121,12 @@ class ArrowPieces(NamedTuple):
 def _coupling_cx(V_m, V_a, devices: DeviceSet, m: int):
     """K_V/K_A (H, H, n_nl): the value added to the Jacobian's
     (h·n+i, p·n+i) entries (NE convention, hcne_generalized.py:425-443)."""
+    if isinstance(devices, AnalyticDeviceSet):
+        # same autodiff coupling blocks the dense path uses
+        # (hpfx/harmonic.py build_harmonic_jacobian): for Norton
+        # equivalents these reduce to the closed forms below
+        JV, JA = devices.injection_jacobians(V_m[:, m:], V_a[:, m:])
+        return JV.transpose(1, 2, 0), JA.transpose(1, 2, 0)
     Vn_nl = cx.expj(V_a)[:, m:]
     V_nl = cx.polar(V_m, V_a)[:, m:]
     if devices.coupled:
@@ -234,7 +241,10 @@ def arrow_solve(pieces: ArrowPieces, f, idx: ArrowIndex):
                             jnp.broadcast_to(Eh, (K,) + Eh.shape)], axis=2)
     D_all = jnp.concatenate([D0p[None], pieces.Dh], axis=0)
     rhs_all = jnp.concatenate([rhs0p[None], rhsh], axis=0)
-    sol_all = jnp.linalg.solve(D_all, rhs_all)
+    # one multi-RHS factorization per harmonic block; under the scenario
+    # vmap this routes the flattened (B·H, 2n, 2n) batch through the Pallas
+    # lane-parallel Gauss-Jordan kernel (hpfx/ops/batched_solve.py)
+    sol_all = solve_blocks(D_all, rhs_all)
 
     z0, X0 = sol_all[0, :d0, 0], sol_all[0, :d0, 1:]
     zh, Xh = sol_all[1:, :, 0], sol_all[1:, :, 1:]
@@ -254,7 +264,9 @@ def arrow_solve(pieces: ArrowPieces, f, idx: ArrowIndex):
     Cb = pieces.C.reshape(r, H, r_blk)
     CG = jnp.einsum("rpb,pbs->rps", Cb.transpose(0, 1, 2), Gblocks)
     S = jnp.eye(r, dtype=f.dtype) + CG.reshape(r, r)
-    y = jnp.linalg.solve(S, pieces.C @ Vz)
+    # the Woodbury capacitance solve (dim r = 2·H·n_nl); batched through
+    # the Pallas kernel under the scenario vmap, XLA LU when oversized
+    y = nr_solve(S, pieces.C @ Vz)
 
     # dx = z - D^{-1} U y
     yb = y.reshape(H, r_blk)

@@ -57,6 +57,7 @@ class DeviceSet:
 
     def scale(self, factor) -> "DeviceSet":
         """Scale injections (penetration-sweep hook; vmap-able over factor)."""
+        factor = jnp.asarray(factor, self.I_N.re.dtype)
         return dataclasses.replace(
             self, I_N=self.I_N * factor, Y_N=self.Y_N * factor)
 
@@ -190,13 +191,23 @@ class AnalyticDeviceSet:
     params: object
     inject: object = dataclasses.field(metadata=dict(static=True))
     n_nl: int = dataclasses.field(metadata=dict(static=True))
+    #: scalar injection multiplier (penetration-sweep hook; a *data* leaf so
+    #: scenario sweeps can vmap over it): every device's injected current —
+    #: and hence its Jacobian coupling — is scaled by it, matching
+    #: DeviceSet.scale's I_N/Y_N scaling semantics exactly
+    inj_scale: object = 1.0
 
     coupled = True  # treated as fully harmonic-coupled by the solver
+
+    def scale(self, factor) -> "AnalyticDeviceSet":
+        """Scale injections (penetration-sweep hook; vmap-able over factor)."""
+        return dataclasses.replace(
+            self, inj_scale=jnp.asarray(self.inj_scale) * factor)
 
     def injections(self, V_m_nl, V_a_nl) -> Cx:
         """All devices' injections: V_*_nl (H, n_nl) -> (n_nl, H)."""
         return jax.vmap(self.inject, in_axes=(0, 1, 1))(
-            self.params, V_m_nl, V_a_nl)
+            self.params, V_m_nl, V_a_nl) * self.inj_scale
 
     def injection_jacobians(self, V_m_nl, V_a_nl):
         """d I_inj / d(V_m, V_a) per device: two Cx of shape (n_nl, H, H),
@@ -207,8 +218,9 @@ class AnalyticDeviceSet:
             JA = jax.jacfwd(lambda a: self.inject(p, vm, a))(va)
             return JV, JA
 
-        return jax.vmap(per_bus, in_axes=(0, 1, 1))(
+        JV, JA = jax.vmap(per_bus, in_axes=(0, 1, 1))(
             self.params, V_m_nl, V_a_nl)
+        return JV * self.inj_scale, JA * self.inj_scale
 
 
 def norton_inject(params, V_m, V_a) -> Cx:

@@ -65,7 +65,7 @@ def _solve_scenario(Y, net: Network, devices: DeviceSet, settings: Settings,
         net,
         bus_P=net.bus_P * _expand(p_scale, net.bus_P),
         bus_Q=net.bus_Q * _expand(q_scale, net.bus_Q))
-    dev_s = devices.scale(jnp.asarray(inj_scale, devices.I_N.re.dtype))
+    dev_s = devices.scale(inj_scale)   # DeviceSet or AnalyticDeviceSet
     fund = solve_fundamental(Y[0], net_s, settings)
     return solve_harmonic(Y, fund, net_s, dev_s, settings, V0=V0)
 
@@ -95,7 +95,8 @@ def hpf_sweep(net: Network, devices: DeviceSet, settings: Settings,
 
 
 def hpf_sweep_adaptive(net: Network, devices: DeviceSet, settings: Settings,
-                       scenarios: Scenarios, phase_iters: int = 16
+                       scenarios: Scenarios, phase_iters: int = 16,
+                       phase2_settings: Optional[Settings] = None
                        ) -> HPFResult:
     """Two-phase sweep that avoids straggler lockstep.
 
@@ -107,6 +108,10 @@ def hpf_sweep_adaptive(net: Network, devices: DeviceSet, settings: Settings,
     identical to the plain sweep (same fixed points; per-scenario iteration
     totals are preserved in n_iter).  Host-driven: not jittable as a whole,
     but each phase is one compiled program.
+
+    ``phase2_settings``: optional settings override for the re-solve phase
+    (e.g. phase 1 on the fast structured ``solver="arrow"``, stragglers on
+    the dense solver, whose f32 Newton steps are sturdier).
     """
     import numpy as np
 
@@ -114,21 +119,37 @@ def hpf_sweep_adaptive(net: Network, devices: DeviceSet, settings: Settings,
     r1 = hpf_sweep(net, devices, s1, scenarios)
     pending = np.where(~np.asarray(r1.converged))[0]
     if pending.size == 0 or s1.max_iter_h == settings.max_iter_h:
+        if s1.max_iter_h < settings.max_iter_h:
+            # NaN-pad histories to the full width the caller asked for
+            B = r1.err_hist.shape[0]
+            hist = jnp.full((B, settings.max_iter_h), jnp.nan,
+                            r1.err_hist.dtype)
+            r1 = r1._replace(err_hist=hist.at[:, : s1.max_iter_h]
+                             .set(r1.err_hist))
         return r1
 
     sub = Scenarios(*(None if x is None else jnp.asarray(x)[pending]
                       for x in scenarios))
     V0 = (r1.V_m[pending], r1.V_a[pending])
-    s2 = settings.with_(max_iter_h=settings.max_iter_h - s1.max_iter_h)
+    base2 = settings if phase2_settings is None else phase2_settings
+    s2 = base2.with_(max_iter_h=settings.max_iter_h - s1.max_iter_h)
     r2 = hpf_sweep(net, devices, s2, sub, V0=V0)
 
     idx = jnp.asarray(pending)
+    # full-width residual histories: phase-1 rows NaN-padded to max_iter_h;
+    # re-solved scenarios (which by construction ran all phase_iters trips)
+    # get their phase-2 history spliced in at the phase-1 offset, so
+    # err_hist semantics match the plain sweep's (err after trip i at [i])
+    B = r1.err_hist.shape[0]
+    hist = jnp.full((B, settings.max_iter_h), jnp.nan, r1.err_hist.dtype)
+    hist = hist.at[:, : s1.max_iter_h].set(r1.err_hist)
+    hist = hist.at[idx, s1.max_iter_h:].set(r2.err_hist)
     merged = HPFResult(
         V_m=r1.V_m.at[idx].set(r2.V_m),
         V_a=r1.V_a.at[idx].set(r2.V_a),
         err=r1.err.at[idx].set(r2.err),
         n_iter=r1.n_iter.at[idx].set(r1.n_iter[idx] + r2.n_iter),
-        err_hist=r1.err_hist,
+        err_hist=hist,
         converged=r1.converged.at[idx].set(r2.converged),
         fund=r1.fund)
     return merged
@@ -150,19 +171,27 @@ class SweepSummary(NamedTuple):
     frac_over_limit: jnp.ndarray  # scalar
 
 
-@partial(jax.jit, static_argnames=("settings", "thd_limit"))
+@partial(jax.jit, static_argnames=("settings", "thd_limit", "valid_count"))
 def hosting_capacity_sweep(net: Network, devices: DeviceSet,
                            settings: Settings, scenarios: Scenarios,
-                           thd_limit: float = 0.08) -> SweepSummary:
+                           thd_limit: float = 0.08,
+                           valid_count: Optional[int] = None) -> SweepSummary:
     """Monte-Carlo hosting-capacity style sweep: batched HPF + THD screen.
 
     Reduces the batch to the fraction of scenarios whose worst-bus THD_F
     exceeds ``thd_limit`` — the aggregate that rides ICI collectives when
     the scenario axis is sharded over a mesh (see hpfx.parallel).
+
+    ``valid_count``: when the batch was padded up to a mesh-divisible size
+    (hpfx.parallel.hpf_sweep_sharded), only the first ``valid_count``
+    scenarios enter the aggregate.
     """
     res = hpf_sweep(net, devices, settings, scenarios)
     thd = jax.vmap(get_thd)(res.V_m)
     max_thd = jnp.max(thd.THD_F, axis=-1)
     over = (max_thd > thd_limit) & res.converged
-    return SweepSummary(max_thd, res.converged, res.n_iter,
-                        jnp.mean(over.astype(max_thd.dtype)))
+    B = max_thd.shape[0]
+    nv = B if valid_count is None else valid_count
+    w = (jnp.arange(B) < nv).astype(max_thd.dtype)
+    frac = jnp.sum(over.astype(max_thd.dtype) * w) / nv
+    return SweepSummary(max_thd, res.converged, res.n_iter, frac)

@@ -97,6 +97,48 @@ def test_arrow_end_to_end_parity(cfg):
                                atol=1e-8)
 
 
+def test_arrow_with_analytic_devices():
+    """solver='arrow' works with an AnalyticDeviceSet (coupling blocks from
+    injection autodiff) and matches the dense path — the crash reported in
+    round-1 review (devices.Y_N access on a device type without Y_N)."""
+    from hpfx.devices import AnalyticDeviceSet, norton_inject
+    s, net, dev = make_setup(("net2", 5, True))
+    adev = AnalyticDeviceSet(params=(dev.I_N, dev.Y_N),
+                             inject=norton_inject, n_nl=net.n_nonlinear)
+    dense = hpfx.hpf(net, adev, s)
+    arrow = hpfx.hpf(net, adev, s.with_(solver="arrow"))
+    assert int(arrow.n_iter) == int(dense.n_iter)
+    np.testing.assert_allclose(np.asarray(arrow.V_m), np.asarray(dense.V_m),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(arrow.V_a), np.asarray(dense.V_a),
+                               atol=1e-9)
+
+
+def test_sweep_with_analytic_devices():
+    """Batched scenario sweeps accept an AnalyticDeviceSet: the scale()
+    penetration hook is a data-leaf multiplier on injections, matching
+    DeviceSet's I_N/Y_N scaling semantics (round-2 fix: _solve_scenario
+    used to assume DeviceSet attributes)."""
+    import jax.numpy as jnp
+    from hpfx.devices import AnalyticDeviceSet, norton_inject
+    from hpfx.solve import Scenarios, hpf_sweep
+    s, net, dev = make_setup(("net2", 5, True))
+    adev = AnalyticDeviceSet(params=(dev.I_N, dev.Y_N),
+                             inject=norton_inject, n_nl=net.n_nonlinear)
+    scen = Scenarios(p_scale=jnp.linspace(0.9, 1.1, 3),
+                     q_scale=jnp.linspace(0.9, 1.1, 3),
+                     injection_scale=jnp.array([0.0, 0.7, 1.3]))
+    for solver in ("dense", "arrow"):
+        ra = hpf_sweep(net, adev, settings=s.with_(solver=solver),
+                       scenarios=scen)
+        rd = hpf_sweep(net, dev, settings=s.with_(solver=solver),
+                       scenarios=scen)
+        np.testing.assert_array_equal(np.asarray(ra.n_iter),
+                                      np.asarray(rd.n_iter))
+        np.testing.assert_allclose(np.asarray(ra.V_m), np.asarray(rd.V_m),
+                                   atol=1e-10)
+
+
 def test_arrow_under_vmap_sweep():
     """The arrow Newton step vmaps: a batched sweep with solver='arrow'
     matches the dense-path sweep scenario-for-scenario."""

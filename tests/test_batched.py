@@ -103,3 +103,22 @@ def test_adaptive_sweep_matches_plain():
     # allow a small difference but require the same order
     np.testing.assert_allclose(np.asarray(adaptive.n_iter)[sel],
                                np.asarray(plain.n_iter)[sel], atol=2)
+    # err_hist semantics match the plain sweep: full (B, max_iter_h) width,
+    # phase-2 histories spliced in at the phase-1 offset (the phase-2 warm
+    # start resumes from a sign/angle-normalized but numerically equivalent
+    # voltage representation, so residuals agree to fp noise, not exactly)
+    hist_a = np.asarray(adaptive.err_hist)
+    hist_p = np.asarray(plain.err_hist)
+    assert hist_a.shape == hist_p.shape == (12, s.max_iter_h)
+    both = np.isfinite(hist_a) & np.isfinite(hist_p)
+    assert both.any()
+    # phase-1 entries come from the same math on the same start: exact
+    np.testing.assert_array_equal(hist_a[:, :8][both[:, :8]],
+                                  hist_p[:, :8][both[:, :8]])
+    # phase-2 trajectories amplify the warm start's fp-level representation
+    # change through the NR transient: loose value check only
+    np.testing.assert_allclose(hist_a[both], hist_p[both],
+                               rtol=5e-2, atol=1e-8)
+    # per-scenario: history has exactly n_iter finite entries
+    n_fin = np.isfinite(hist_a).sum(axis=1)
+    np.testing.assert_array_equal(n_fin[sel], np.asarray(adaptive.n_iter)[sel])

@@ -187,8 +187,10 @@ def main():
     ns = load_reference_module()
     configs = []
     for net in ("net2", "net3", "net1"):
-        hmaxes = (5, 25, 51) if net != "net1" else (5, 25)
-        for h_max in hmaxes:
+        # net1 at H=51 is the dim-1038 scale config: slow (~minutes of
+        # reference pandas/scipy loops) but required — the committed
+        # net1_h51_{c,uc}.npz fixtures must stay reproducible from here
+        for h_max in (5, 25, 51):
             for coupled in (False, True):
                 configs.append((net, h_max, coupled))
     for net, h_max, coupled in configs:
