@@ -35,11 +35,25 @@ def test_mixed_device_hpf(coupled):
     assert float(np.max(np.asarray(thd.THD_F))) < 1.0
 
 
-def test_ev_tables_cover_h49():
-    s = hpfx.settings_for_hmax(49, coupled=True)
-    I, Y = hpfx.load_norton_equivalent(f"{DATA}/ev_4_NE.csv", s, coupled=True)
-    assert I.shape == (25,)
-    assert Y.shape == (25, 25)
+def test_ev_tables_cover_full_reference_range():
+    """The generated EV tables span the reference's full characterization
+    range 150..5050 Hz (sim_FFT.m:20-22): harmonics 1..101, a superset of
+    the shipped smps_NE.csv's 1..99.  Every shipped table loads at
+    settings_for_hmax(51) and at the smps table's own maximum h=99."""
+    for h_max in (51, 99):
+        s = hpfx.settings_for_hmax(h_max, coupled=True)
+        H = s.n_harmonics
+        for table in ("ev_1", "ev_2", "ev_4", "ev_5", "smps"):
+            I, Y = hpfx.load_norton_equivalent(
+                f"{DATA}/{table}_NE.csv", s, coupled=True)
+            assert I.shape == (H,), (table, h_max)
+            assert Y.shape == (H, H), (table, h_max)
+            assert np.all(np.isfinite(I)) and np.all(np.isfinite(Y))
+    # the EV tables reach h=101; beyond that the loader refuses cleanly
+    s101 = hpfx.settings_for_hmax(101, coupled=True)
+    I, Y = hpfx.load_norton_equivalent(f"{DATA}/ev_4_NE.csv", s101,
+                                       coupled=True)
+    assert Y.shape == (51, 51)
     with pytest.raises(ValueError, match="no Norton data"):
         hpfx.load_norton_equivalent(
-            f"{DATA}/ev_4_NE.csv", hpfx.settings_for_hmax(51), coupled=True)
+            f"{DATA}/ev_4_NE.csv", hpfx.settings_for_hmax(103), coupled=True)

@@ -1,15 +1,23 @@
-"""Time-domain rectifier simulator tests: circuit physics + the full
-L0 -> L1 -> L4 chain (simulate -> fit NE -> harmonic power flow)."""
+"""Time-domain rectifier simulator tests: circuit physics, parity with the
+reference's own Simulink measurements, and the full L0 -> L1 -> L4 chain
+(simulate -> fit NE -> harmonic power flow)."""
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 import hpfx
-from hpfx.ne_pipeline import device_set_from_fit, fit_norton_from_measurements
+from hpfx.devices import read_ne_csv
+from hpfx.ne_pipeline import (device_set_from_fit,
+                              fit_norton_from_measurements,
+                              load_measurements_mat)
 from hpfx.network import NONLINEAR, PQ, SLACK
 from hpfx.simulate import (RectifierParams, SweepProtocol,
-                           characterize_rectifier, ev_params,
+                           characterize_rectifier, ev_params, ev_protocol,
                            simulate_rectifier, smps_params)
+
+from conftest import DATA
 
 
 @pytest.fixture(scope="module")
@@ -35,6 +43,82 @@ def test_rectifier_physics():
     assert np.all(even < 0.1 * odd[0])
     # declining harmonic envelope
     assert odd[0] > odd[1] > odd[2]
+
+
+def test_matches_simulink_measurements():
+    """Fed the exact inputs recorded in the shipped smps.mat (fundamentals
+    230/200 V at 0 deg/10 deg, harmonics 2.3/23 V at 150..450 Hz — including
+    the reference script's leak of the second fundamental magnitude into
+    the harmonic sims, sim_FFT.m:242-249), the JAX simulator reproduces the
+    reference's own Simulink output spectra at every odd-harmonic bin of
+    every one of the 10 measurements.  This is the direct L0 parity gate:
+    same circuit (SMPS.mdl's hardcoded branches + powerlib diode pair),
+    same protocol, same FFT post-processing."""
+    ref = load_measurements_mat(os.path.join(DATA, "smps.mat"))
+    proto = SweepProtocol(
+        fund_mags=(230.0, 200.0), fund_phases_deg=(0.0, 10.0),
+        harm_freqs=(150.0, 250.0, 350.0, 450.0), harm_mags=(2.3, 23.0),
+        harm_phase_deg=20.0, h_max=500.0, cycles=2, substeps=8,
+        harm_fund_mag=200.0, harm_fund_phase_deg=0.0)
+    ms = characterize_rectifier(smps_params(), proto)
+    cols, rcols = ms.harmonic_cols, ref.harmonic_cols
+    pairs = [(ms.fund_I[k, cols], ref.fund_I[k, rcols]) for k in range(2)]
+    pairs += [(ms.harm_I[i, j, cols], ref.harm_I[i, j, rcols])
+              for i in range(4) for j in range(2)]
+    for ours, simulink in pairs:
+        err = np.max(np.abs(ours - simulink)) / np.abs(simulink).max()
+        assert err < 3e-3, err
+
+
+def test_reproduces_shipped_ne_table():
+    """The complete L0+L1 chain (simulate -> FFT -> Almeida/Thunberg fits)
+    reproduces the *shipped* smps_NE.csv across harmonics.  Provenance
+    established in round 2: the table was generated from SMPS.mdl's
+    hardcoded circuit (L1 = 0.006e-6 — sim_FFT.m:28's value never reached
+    the model) under the smps.mat-era protocol (fundamentals 230/200 V,
+    harmonic magnitudes 2.3/23 V, two-cycle FFT window, and the Va leak
+    into the harmonic sims), fitted with measurement-1 assumed as the
+    harmonic sims' fundamental exactly as NE_from_sim.py:146-153 does.
+    Residuals are pure integration error (~1e-3), not model mismatch."""
+    shipped = read_ne_csv(os.path.join(DATA, "smps_NE.csv"))
+    sf = shipped["freqs"]
+    proto = SweepProtocol(
+        fund_mags=(230.0, 200.0), harm_mags=(2.3, 23.0),
+        harm_freqs=tuple(50.0 * h for h in range(3, 26, 2)),
+        h_max=1300.0, substeps=8, cycles=2,
+        harm_fund_mag=200.0, harm_fund_phase_deg=0.0)
+    ms = characterize_rectifier(smps_params(), proto)
+    fit = fit_norton_from_measurements(ms)
+    assert fit.passed
+    sel = [sf.index(int(f)) for f in fit.freqs]
+    rsel = [shipped["y_row_freqs"].index(int(f)) for f in fit.freqs]
+    Yc_s = shipped["Y_c"][np.ix_(rsel, sel)]
+    # full coupled (H x H) admittance matrix, normalized infinity error
+    assert np.abs(fit.Y_c - Yc_s).max() / np.abs(Yc_s).max() < 5e-3
+    # per-element uncoupled parameters at every harmonic
+    rel_Y = np.abs(fit.Y_uc - shipped["Y_uc"][sel]) / np.abs(
+        shipped["Y_uc"][sel])
+    rel_I = np.abs(fit.I_uc - shipped["I_uc"][sel]) / np.abs(
+        shipped["I_uc"][sel])
+    assert rel_Y.max() < 2e-2, rel_Y
+    assert rel_I.max() < 1e-2, rel_I
+    # coupled current source
+    assert np.abs(fit.I_c - shipped["I_c"][sel]).max() / np.abs(
+        shipped["I_c"][sel]).max() < 5e-3
+
+
+def test_ev5_characterization():
+    """The 3-phase EV_5 charger (sim_FFT.m:67-88): per-phase supply at
+    230/sqrt(3), pu conversion reducing to r_base = v^2/p.  Its tiny EMI
+    capacitance (X_C_emi = 601 pu) makes the bridge clamp the stiffest in
+    the family (tau ~ 1.3 ns) — the case that NaN'd under explicit RK."""
+    proto = ev_protocol("EV_5", harm_freqs=(150.0, 250.0), h_max=300.0,
+                        substeps=8)
+    np.testing.assert_allclose(proto.fund_mags[0], 230.0 * np.sqrt(2 / 3))
+    ms = characterize_rectifier(ev_params("EV_5"), proto)
+    fit = fit_norton_from_measurements(ms)
+    assert np.all(np.isfinite(fit.Y_c))
+    assert fit.passed
 
 
 def test_ev_params_conversion():
