@@ -169,17 +169,80 @@ import os
 USE_PALLAS_SOLVE = os.environ.get("HPFX_PALLAS_SOLVE", "1") == "1"
 
 
+def equilibrated(solve):
+    """Wrap a batched solver with row+column max-abs equilibration.
+
+    The HPF Jacobian mixes power rows (O(1)) with current-balance rows
+    (O(|Y|), up to ~1e4 on stiff grids): raw f32 elimination loses ~the
+    scale spread in accuracy and partial pivoting picks structurally wrong
+    pivots.  Scaling D_r·A·D_c x' = D_r·b, x = D_c·x' is exact in exact
+    arithmetic (pure diagonal scalings) and restores f32 step accuracy.
+    Applied on the f32 fast path only — the f64 parity path must keep the
+    reference's raw arithmetic for trajectory/iteration-count parity.
+    """
+    def wrapped(A, b):
+        multi = b.ndim == A.ndim
+        absA = jnp.abs(A)
+        r = 1.0 / jnp.maximum(jnp.max(absA, axis=-1), 1e-30)   # (B, n)
+        As = A * r[..., :, None]
+        c = 1.0 / jnp.maximum(jnp.max(jnp.abs(As), axis=-2), 1e-30)
+        As = As * c[..., None, :]
+        bs = b * (r[..., :, None] if multi else r)
+        x = solve(As, bs)
+        return x * (c[..., :, None] if multi else c)
+    return wrapped
+
+
+def _lu_solve(A, b):
+    if b.ndim == A.ndim:              # (B, n, R)
+        return jnp.linalg.solve(A, b)
+    return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
 def batched_solve(A, b):
     """Batched dense solve with automatic backend dispatch.
 
     TPU: the Pallas lane-parallel Gauss-Jordan kernel above.
-    CPU (parity/x64 tests) and oversized systems: LAPACK/XLA LU.
+    CPU (f32 sweeps) and oversized systems: XLA LU.  f64 (the parity/x64
+    tests): raw XLA LU, bit-compatible with round-1 behavior.
+    ``b`` may be (B, n) or (B, n, R) (multi-RHS).
     """
     n = A.shape[-1]
+    if A.dtype == jnp.float64:
+        return _lu_solve(A, b)
     if (not USE_PALLAS_SOLVE or jax.default_backend() == "cpu"
-            or A.dtype == jnp.float64 or n > MAX_PALLAS_DIM):
-        return jnp.linalg.solve(A, b[..., None])[..., 0]
-    return gauss_solve_pallas(A, b)
+            or n > MAX_PALLAS_DIM):
+        return equilibrated(_lu_solve)(A, b)
+    return equilibrated(gauss_solve_pallas)(A, b)
+
+
+@jax.custom_batching.custom_vmap
+def solve_blocks(D, rhs):
+    """Uniform multi-RHS block solves: D (H, k, k), rhs (H, k, R).
+
+    This is the arrow solver's inner primitive (hpfx/arrow.py): one small
+    dense factorization per harmonic block, shared by the mismatch RHS and
+    the Woodbury U columns.  Unbatched (a single scenario) it is XLA's LU;
+    under ``vmap`` — the scenario sweep — the rule below flattens the
+    (scenario, harmonic) axes into one big batch for the Pallas
+    lane-parallel Gauss-Jordan kernel, which is where the structured path
+    earns its keep on TPU (the (B·H, 2n) batch at small k beats one (B,)
+    batch at dimension 2·H·n by ~H² in flops).
+    """
+    return jnp.linalg.solve(D, rhs)
+
+
+@solve_blocks.def_vmap
+def _solve_blocks_vmap(axis_size, in_batched, D, rhs):
+    D_b, r_b = in_batched
+    if not D_b:
+        D = jnp.broadcast_to(D, (axis_size,) + D.shape)
+    if not r_b:
+        rhs = jnp.broadcast_to(rhs, (axis_size,) + rhs.shape)
+    B, H, k, _ = D.shape
+    R = rhs.shape[-1]
+    out = batched_solve(D.reshape(B * H, k, k), rhs.reshape(B * H, k, R))
+    return out.reshape(B, H, k, R), True
 
 
 @jax.custom_batching.custom_vmap

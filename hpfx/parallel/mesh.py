@@ -39,6 +39,27 @@ def scenario_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (SCENARIO_AXIS,))
 
 
+def _pad_scenarios(scenarios: Scenarios, mesh: Mesh):
+    """Pad the batch up to a mesh-divisible size by repeating the last
+    scenario (discarded from results/aggregates by the callers).  Returns
+    (padded_scenarios, original_batch)."""
+    import jax.numpy as jnp
+
+    B = scenarios.batch
+    n_dev = int(np.prod(mesh.devices.shape))
+    Bp = -(-B // n_dev) * n_dev
+    if Bp == B:
+        return scenarios, B
+
+    def pad(x):
+        if x is None:
+            return None
+        reps = jnp.broadcast_to(x[-1:], (Bp - B,) + x.shape[1:])
+        return jnp.concatenate([x, reps], axis=0)
+
+    return Scenarios(*(pad(x) for x in scenarios)), B
+
+
 def shard_scenarios(scenarios: Scenarios, mesh: Mesh) -> Scenarios:
     """Place scenario arrays with the batch axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
@@ -57,10 +78,12 @@ def hpf_sweep_sharded(net: Network, devices: DeviceSet, settings: Settings,
                       scenarios: Scenarios, mesh: Mesh) -> HPFResult:
     """Batched HPF with the scenario axis sharded over ``mesh``.
 
-    Batch size must be divisible by the mesh size.  Each chip runs its
+    Batch sizes that don't divide the mesh are padded by repeating the
+    last scenario; padding is sliced off the result.  Each chip runs its
     shard of scenarios independently; no collective is needed until the
     caller reduces the result.
     """
+    scenarios, B = _pad_scenarios(scenarios, mesh)
     net = _replicate(net, mesh)
     devices = _replicate(devices, mesh)
     scenarios = shard_scenarios(scenarios, mesh)
@@ -69,7 +92,10 @@ def hpf_sweep_sharded(net: Network, devices: DeviceSet, settings: Settings,
         partial(hpf_sweep.__wrapped__, settings=settings),
         static_argnames=(),
         out_shardings=out_spec)
-    return fn(net, devices, scenarios=scenarios)
+    res = fn(net, devices, scenarios=scenarios)
+    if res.V_m.shape[0] != B:
+        res = jax.tree.map(lambda x: x[:B], res)
+    return res
 
 
 def hosting_capacity_sharded(net: Network, devices: DeviceSet,
@@ -79,14 +105,19 @@ def hosting_capacity_sharded(net: Network, devices: DeviceSet,
     """Sharded Monte-Carlo hosting-capacity sweep.
 
     Per-scenario outputs stay sharded; the over-limit fraction is a global
-    mean XLA lowers to an ICI all-reduce.
+    mean XLA lowers to an ICI all-reduce.  Non-mesh-divisible batches are
+    padded; padding is masked out of the aggregate and sliced off the
+    per-scenario outputs.
     """
+    scenarios, B = _pad_scenarios(scenarios, mesh)
     net = _replicate(net, mesh)
     devices = _replicate(devices, mesh)
+    Bp = scenarios.batch
     scenarios = shard_scenarios(scenarios, mesh)
     fn = jax.jit(
         partial(hosting_capacity_sweep.__wrapped__,
-                settings=settings, thd_limit=thd_limit),
+                settings=settings, thd_limit=thd_limit,
+                valid_count=B if Bp != B else None),
         out_shardings=(
             SweepSummary(
                 max_thd_f=NamedSharding(mesh, P(SCENARIO_AXIS)),
@@ -94,4 +125,8 @@ def hosting_capacity_sharded(net: Network, devices: DeviceSet,
                 n_iter=NamedSharding(mesh, P(SCENARIO_AXIS)),
                 frac_over_limit=NamedSharding(mesh, P()),
             )))
-    return fn(net, devices, scenarios=scenarios)
+    out = fn(net, devices, scenarios=scenarios)
+    if Bp != B:
+        out = SweepSummary(out.max_thd_f[:B], out.converged[:B],
+                           out.n_iter[:B], out.frac_over_limit)
+    return out

@@ -13,8 +13,16 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# Default: CPU + x64 (the 1e-8 parity gate needs f64).  Set
+# HPFX_TEST_PLATFORM=tpu to run the TPU-gated tier instead (e.g.
+# tests/test_compile_probe.py — AOT compile checks of the Pallas kernels
+# on the real Mosaic compiler); the parity tests skip there.
+_PLATFORM = os.environ.get("HPFX_TEST_PLATFORM", "cpu")
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+# else: leave platform selection to the environment (the axon
+# sitecustomize registers the TPU under its own platform name)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -56,6 +56,38 @@ def test_gauss_solve_batch_padding():
     assert x.shape == (5, 10)
 
 
+def test_solve_blocks_vmap_flattening():
+    """solve_blocks' custom vmap rule flattens (scenario, harmonic) into
+    one batch; results must equal per-scenario LAPACK solves exactly in
+    semantics (CPU backend: both paths are LAPACK)."""
+    import jax
+
+    from hpfx.ops.batched_solve import solve_blocks
+    B, H, k, R = 3, 5, 8, 4
+    D = (rng.normal(size=(B, H, k, k)) +
+         3.0 * np.sqrt(k) * np.eye(k)).astype(np.float32)
+    rhs = rng.normal(size=(B, H, k, R)).astype(np.float32)
+    out = jax.vmap(solve_blocks)(jnp.asarray(D), jnp.asarray(rhs))
+    ref = np.linalg.solve(D, rhs)
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               atol=1e-4 * np.abs(ref).max())
+    # unbatched base case
+    one = solve_blocks(jnp.asarray(D[0]), jnp.asarray(rhs[0]))
+    np.testing.assert_allclose(np.asarray(one), ref[0],
+                               atol=1e-4 * np.abs(ref).max())
+
+
+def test_batched_solve_multi_rhs_dispatch_cpu():
+    """The dispatcher accepts (B, n, R) right-hand sides on every path."""
+    A, _, _ = _systems(4, 12)
+    R = 3
+    rhs = rng.normal(size=(4, 12, R)).astype(np.float32)
+    x = batched_solve(jnp.asarray(A), jnp.asarray(rhs))
+    ref = np.linalg.solve(A, rhs)
+    np.testing.assert_allclose(np.asarray(x), ref,
+                               atol=1e-4 * np.abs(ref).max())
+
+
 def test_gauss_solve_multi_rhs():
     """Multi-RHS elimination (the arrow solver's per-block pattern)."""
     A, _, _ = _systems(6, 20)
@@ -66,3 +98,27 @@ def test_gauss_solve_multi_rhs():
     ref = np.stack([np.linalg.solve(A[i], Brhs[i]) for i in range(6)])
     np.testing.assert_allclose(np.asarray(x), ref,
                                atol=3e-5 * np.abs(ref).max())
+
+
+def test_equilibration_restores_f32_accuracy():
+    """Row/column max-abs equilibration (applied on the f32 solve path):
+    exact for diagonal scalings, and decisively more accurate when rows
+    span several orders of magnitude — the HPF Jacobian's shape (power
+    rows O(1), current rows O(|Y|) ~ 1e4)."""
+    from hpfx.ops.batched_solve import _lu_solve, equilibrated
+    B, n = 8, 60
+    A, b, _ = _systems(B, n)
+    # blow up half the rows by 1e4 (keeps the exact solution if b scales)
+    scale = np.ones((1, n, 1), np.float32)
+    scale[:, ::2] = 1e4
+    A64 = A.astype(np.float64) * scale
+    b64 = b.astype(np.float64) * scale[..., 0]
+    ref = np.linalg.solve(A64, b64[..., None])[..., 0]
+    As, bs = A64.astype(np.float32), b64.astype(np.float32)
+    x_eq = np.asarray(equilibrated(_lu_solve)(jnp.asarray(As),
+                                              jnp.asarray(bs)))
+    err_eq = np.abs(x_eq - ref).max() / np.abs(ref).max()
+    x_raw = np.asarray(_lu_solve(jnp.asarray(As), jnp.asarray(bs)))
+    err_raw = np.abs(x_raw - ref).max() / np.abs(ref).max()
+    assert err_eq < 1e-4, err_eq
+    assert err_eq <= err_raw * 1.5  # never meaningfully worse

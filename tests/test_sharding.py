@@ -60,6 +60,29 @@ def test_sharded_hosting_capacity_reduction():
     assert out.frac_over_limit.sharding.is_fully_replicated
 
 
+def test_sharded_sweep_non_divisible_batch():
+    """B % mesh != 0: the batch is padded (last scenario repeated), results
+    sliced back, and the hosting-capacity aggregate masks the padding."""
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    scen = _scen(13)                       # 13 % 8 != 0
+    mesh = scenario_mesh(8)
+    ref = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    out = hpf_sweep_sharded(net, dev, s, scen, mesh)
+    assert out.V_m.shape[0] == 13
+    np.testing.assert_allclose(np.asarray(out.V_m), np.asarray(ref.V_m),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(out.n_iter),
+                                  np.asarray(ref.n_iter))
+    refh = hosting_capacity_sweep(net, dev, settings=s, scenarios=scen,
+                                  thd_limit=0.3)
+    outh = hosting_capacity_sharded(net, dev, s, scen, mesh, thd_limit=0.3)
+    assert outh.max_thd_f.shape[0] == 13
+    # the padded duplicate of scenario 13 must not bias the fraction
+    np.testing.assert_allclose(float(outh.frac_over_limit),
+                               float(refh.frac_over_limit))
+
+
 def test_mesh_subset():
     mesh = scenario_mesh(4)
     cfg = ("net2", 5, False)

@@ -8,7 +8,8 @@ optimization effort goes where the time is:
   4. batched Newton solve               (per trip; Pallas GJ vs XLA LU)
   5. full hpf_sweep end to end
 
-Usage: python validation/bench_components.py [B]
+Usage: python validation/bench_components.py [B] [net] [h_max]
+(defaults: 1024 net2 25)
 """
 import os
 import sys
@@ -27,6 +28,8 @@ from hpfx.ops.batched_solve import gauss_solve_pallas
 from hpfx.solve import Scenarios, hpf_sweep
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+NET = sys.argv[2] if len(sys.argv) > 2 else "net2"
+HMAX = int(sys.argv[3]) if len(sys.argv) > 3 else 25
 
 
 def timeit(name, fn, *args, reps=10):
@@ -46,11 +49,11 @@ def timeit(name, fn, *args, reps=10):
 
 
 def main():
-    s = hpfx.settings_for_hmax(25, coupled=True)
+    s = hpfx.settings_for_hmax(HMAX, coupled=True)
     data = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "hpfx", "data")
-    net = hpfx.load_network(os.path.join(data, "net2_buses.csv"),
-                            os.path.join(data, "net2_lines.csv"), s)
+    net = hpfx.load_network(os.path.join(data, f"{NET}_buses.csv"),
+                            os.path.join(data, f"{NET}_lines.csv"), s)
     dev = hpfx.load_device_set(net, s)
     m, n, c, H = net.m, net.n, net.c, s.n_harmonics
     S = Cx(net.bus_P, net.bus_Q)
@@ -73,20 +76,33 @@ def main():
                                                         m, n, c)))
     J = timeit("batched J assembly", jac, V_m, V_a)
 
+    from hpfx.ops.batched_solve import MAX_PALLAS_DIM
     f = jnp.asarray(rng.standard_normal((B, J.shape[1])), jnp.float32)
-    if jax.default_backend() != "cpu":
-        timeit("Pallas GJ solve", jax.jit(gauss_solve_pallas), J, f)
-    timeit("XLA batched LU", jax.jit(
+    if jax.default_backend() != "cpu" and J.shape[1] <= MAX_PALLAS_DIM:
+        timeit("Pallas GJ solve (dense J)", jax.jit(gauss_solve_pallas),
+               J, f)
+    timeit("XLA batched LU (dense J)", jax.jit(
         lambda A, b: jnp.linalg.solve(A, b[..., None])[..., 0]), J, f)
+
+    # structured arrow Newton step: pieces assembly + block/Woodbury solve
+    from hpfx.arrow import arrow_solve, build_arrow_pieces, make_arrow_index
+    idx = make_arrow_index(H, n, m, c)
+    pieces_fn = jax.jit(jax.vmap(
+        lambda vm, va: build_arrow_pieces(vm, va, Y, dev, idx)))
+    pieces = timeit("arrow pieces assembly", pieces_fn, V_m, V_a)
+    timeit("arrow block+Woodbury solve", jax.jit(jax.vmap(
+        lambda p_, f_: arrow_solve(p_, f_, idx))), pieces, f)
 
     scen = Scenarios(p_scale=jnp.linspace(0.8, 1.2, B),
                      q_scale=jnp.linspace(0.8, 1.2, B),
                      injection_scale=jnp.linspace(0.6, 1.4, B))
-    res = timeit("hpf_sweep end-to-end", lambda: hpf_sweep(
-        net, dev, settings=s, scenarios=scen), reps=3)
-    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
-    print(f"conv={conv:.3f}; mean iters="
-          f"{float(jnp.mean(res.n_iter.astype(jnp.float32))):.1f}")
+    for solver in ("dense", "arrow"):
+        res = timeit(f"hpf_sweep end-to-end [{solver}]", lambda: hpf_sweep(
+            net, dev, settings=s.with_(solver=solver), scenarios=scen),
+            reps=3)
+        conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+        print(f"  conv={conv:.3f}; mean iters="
+              f"{float(jnp.mean(res.n_iter.astype(jnp.float32))):.1f}")
 
 
 if __name__ == "__main__":
