@@ -1,12 +1,19 @@
 """Benchmark: batched coupled-NR harmonic power flow throughput on TPU.
 
 Measures end-to-end HPF solves/sec (Ybus + fundamental warm start + coupled
-harmonic NR to convergence, per scenario) for a vmapped scenario sweep on
-net2 at H<=25 — the BASELINE.md headline config.  Baseline target:
-10,000 solves/sec on a v5e-8; per chip that is 1,250/s, and vs_baseline is
-reported against the per-chip share scaled by the local device count.
+harmonic NR to convergence, per scenario) for vmapped scenario sweeps on
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- net2 at H<=25 (Jacobian dim 102) — the BASELINE.md headline config, and
+- net1 at H<=25 (20 buses, 7 nonlinear devices, Jacobian dim 518) — the
+  reference's own scale test (hcne.jl:496,505), solved via the structured
+  arrow (block + Woodbury) Newton step.
+
+Baseline target: 10,000 solves/sec on a v5e-8; per chip that is 1,250/s,
+and vs_baseline is reported against the per-chip share scaled by the local
+device count.  The headline ``value`` counts *converged* solves only
+(raw throughput and convergence rate ride along in the JSON line).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
@@ -17,8 +24,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = int(os.environ.get("HPFX_BENCH_BATCH", "4096"))
+BATCH_NET1 = int(os.environ.get("HPFX_BENCH_BATCH_NET1", "512"))
 REPEATS = int(os.environ.get("HPFX_BENCH_REPEATS", "5"))
-TIMEOUT_S = int(os.environ.get("HPFX_BENCH_TIMEOUT", "900"))
+TIMEOUT_S = int(os.environ.get("HPFX_BENCH_TIMEOUT", "1500"))
+SOLVER_NET2 = os.environ.get("HPFX_BENCH_SOLVER_NET2", "arrow")
+SOLVER_NET1 = os.environ.get("HPFX_BENCH_SOLVER_NET1", "arrow")
+SKIP_NET1 = os.environ.get("HPFX_BENCH_SKIP_NET1", "0") == "1"
 TARGET_V5E8 = 10_000.0  # solves/sec on 8 chips (BASELINE.md)
 
 
@@ -43,47 +54,80 @@ import jax.numpy as jnp  # noqa: E402
 import hpfx  # noqa: E402
 from hpfx.solve import Scenarios, hpf_sweep_adaptive  # noqa: E402
 
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "hpfx", "data")
 
-def main():
-    n_dev = len(jax.devices())
-    s = hpfx.settings_for_hmax(25, coupled=True)
-    data = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "hpfx", "data")
-    net = hpfx.load_network(os.path.join(data, "net2_buses.csv"),
-                            os.path.join(data, "net2_lines.csv"), s)
+
+def bench_config(net_name: str, h_max: int, solver: str, batch: int,
+                 repeats: int):
+    """Time one sweep config; returns raw/converged solves/sec + stats."""
+    # stable_mismatch: cancellation-free residual evaluation — required for
+    # reference-threshold f32 convergence on stiff grids (see BENCH_NOTES)
+    s = hpfx.settings_for_hmax(h_max, coupled=True).with_(
+        solver=solver, stable_mismatch=True)
+    net = hpfx.load_network(os.path.join(DATA, f"{net_name}_buses.csv"),
+                            os.path.join(DATA, f"{net_name}_lines.csv"), s)
     dev = hpfx.load_device_set(net, s)
 
     # scenario spread representative of a hosting-capacity sweep
-    key_p = jnp.linspace(0.8, 1.2, BATCH)
-    key_i = jnp.linspace(0.6, 1.4, BATCH)
-    scen = Scenarios(p_scale=key_p, q_scale=key_p, injection_scale=key_i)
+    scen = Scenarios(p_scale=jnp.linspace(0.8, 1.2, batch),
+                     q_scale=jnp.linspace(0.8, 1.2, batch),
+                     injection_scale=jnp.linspace(0.6, 1.4, batch))
 
     # two-phase sweep: stragglers re-solve warm-started instead of
-    # holding the whole lockstep batch at max_iter (identical solutions)
-    run = lambda: hpf_sweep_adaptive(net, dev, s, scen, phase_iters=24)
+    # holding the whole lockstep batch at max_iter (identical solutions);
+    # the re-solve runs the dense solver, whose f32 Newton steps are
+    # sturdier than arrow's on hard scenarios
+    s2 = s.with_(solver="dense")
+    run = lambda: hpf_sweep_adaptive(net, dev, s, scen, phase_iters=24,
+                                     phase2_settings=s2)
 
-    # warmup/compile
-    res = run()
+    res = run()                      # warmup/compile
     res.V_m.block_until_ready()
     conv = float(jnp.mean(res.converged.astype(jnp.float32)))
 
     times = []
-    for _ in range(REPEATS):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         res = run()
         res.V_m.block_until_ready()
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    solves_per_sec = BATCH / dt
+    return dict(raw=batch / dt, conv=conv, converged=conv * batch / dt,
+                solver=solver, batch=batch)
 
+
+def main():
+    n_dev = len(jax.devices())
     per_chip_target = TARGET_V5E8 / 8.0 * n_dev
+
+    net2 = bench_config("net2", 25, SOLVER_NET2, BATCH, REPEATS)
+    extras = {
+        "net2_raw_solves_per_sec": round(net2["raw"], 1),
+        "net2_convergence": round(net2["conv"], 4),
+        "net2_solver": net2["solver"],
+    }
+    if not SKIP_NET1:
+        net1 = bench_config("net1", 25, SOLVER_NET1, BATCH_NET1,
+                            max(2, REPEATS // 2))
+        extras.update({
+            "net1_solves_per_sec": round(net1["converged"], 1),
+            "net1_raw_solves_per_sec": round(net1["raw"], 1),
+            "net1_convergence": round(net1["conv"], 4),
+            "net1_batch": net1["batch"],
+            "net1_solver": net1["solver"],
+        })
+
     signal.alarm(0)
     print(json.dumps({
-        "metric": "batched coupled-NR HPF solves/sec (net2, H<=25, "
-                  f"B={BATCH}, conv={conv:.3f}, {n_dev} chip(s))",
-        "value": round(solves_per_sec, 1),
+        "metric": "batched coupled-NR HPF converged-solves/sec (net2, "
+                  f"H<=25, B={BATCH}, conv={net2['conv']:.3f}, "
+                  f"solver={net2['solver']}, {n_dev} chip(s); "
+                  "net1_* keys = reference-scale config, J dim 518)",
+        "value": round(net2["converged"], 1),
         "unit": "solves/sec",
-        "vs_baseline": round(solves_per_sec / per_chip_target, 3),
+        "vs_baseline": round(net2["converged"] / per_chip_target, 3),
+        **extras,
     }))
 
 

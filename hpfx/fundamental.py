@@ -49,14 +49,21 @@ class FundResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def fund_mismatch(V_m, V_a, Y1: Cx, S: Cx, c: int):
+def fund_mismatch(V_m, V_a, Y1: Cx, S: Cx, c: int, lineY=None):
     """Power mismatch and its residual (hcne_generalized.py:195-202).
 
     f = [Re(mis)[1:], Im(mis)[c:]] where mis = V∘conj(Y1·V) + S;
-    err is the max-abs entry.
+    err is the max-abs entry.  ``lineY``: optional fundamental-sliced
+    ``hpfx.ybus.LineYbus`` for the cancellation-free Y·V form
+    (Settings.stable_mismatch; see hpfx.ybus.stable_matvec).
     """
     V = cx.polar(V_m, V_a)
-    mis = V * cx.matvec(Y1, V).conj() + S
+    if lineY is None:
+        I = cx.matvec(Y1, V)
+    else:
+        from .ybus import stable_matvec
+        I = stable_matvec(lineY, V_m[None], V_a[None])[0]
+    mis = V * I.conj() + S
     f = jnp.concatenate([mis.re[1:], mis.im[c:]])
     return f, jnp.max(jnp.abs(f))
 
@@ -110,14 +117,30 @@ def solve_fundamental(Y1: Cx, net: Network, settings: Settings) -> FundResult:
     n, c = net.n, net.c
     S = Cx(net.bus_P, net.bus_Q)
     V_m, V_a = init_fund_voltages(net, settings)
+    lineY = None
+    if settings.stable_mismatch:
+        from .ybus import LineYbus, build_line_ybus
+        full = build_line_ybus(net, settings)
+        lineY = LineYbus(Ys=full.Ys[:1], a_ff=full.a_ff, a_ft=full.a_ft,
+                         a_tf=full.a_tf, d=full.d[:1],
+                         f_idx=full.f_idx, t_idx=full.t_idx)
 
     x0 = jnp.concatenate([V_a[1:], V_m[c:]])
-    f0, err0 = fund_mismatch(V_m, V_a, Y1, S, c)
+    f0, err0 = fund_mismatch(V_m, V_a, Y1, S, c, lineY)
     hist0 = jnp.full((settings.max_iter_f,), jnp.nan, settings.real_dtype)
+
+    # floor-aware convergence (see hpfx.harmonic.mismatch_floor): the power
+    # mismatch V∘conj(Y·V)+S can only be evaluated to eps·|V|·sum|Y||V|;
+    # in f64 this reduces to the reference's absolute thresh_f
+    eps = jnp.finfo(settings.real_dtype).eps
+    rows = jnp.abs(V_m) * jnp.einsum("ij,j->i", Y1.abs(), jnp.abs(V_m))
+    thresh_eff = jnp.maximum(
+        jnp.asarray(settings.thresh_f, settings.real_dtype),
+        settings.floor_kappa * eps * jnp.max(rows + S.abs()))
 
     def cond(carry):
         _, _, _, _, err, it, _ = carry
-        return (err > settings.thresh_f) & (it < settings.max_iter_f)
+        return (err > thresh_eff) & (it < settings.max_iter_f)
 
     def body(carry):
         V_m, V_a, x, f, err, it, hist = carry
@@ -125,14 +148,14 @@ def solve_fundamental(Y1: Cx, net: Network, settings: Settings) -> FundResult:
         x = x - nr_solve(J, f)
         V_a = V_a.at[1:].set(x[: n - 1])
         V_m = V_m.at[c:].set(x[n - 1:])
-        f, err = fund_mismatch(V_m, V_a, Y1, S, c)
+        f, err = fund_mismatch(V_m, V_a, Y1, S, c, lineY)
         hist = hist.at[it].set(err)
         return V_m, V_a, x, f, err, it + 1, hist
 
     V_m, V_a, _, _, err, n_iter, hist = lax.while_loop(
         cond, body, (V_m, V_a, x0, f0, err0, jnp.int32(0), hist0))
     return FundResult(V_m, V_a, err, n_iter, hist,
-                      err <= settings.thresh_f)
+                      err <= thresh_eff)
 
 
 def pf(Y: Cx, net: Network, settings: Settings) -> FundResult:

@@ -47,7 +47,7 @@ from .fundamental import (FundResult, _power_jacobian_blocks,
 from .network import Network
 from .ops.batched_solve import nr_solve
 from .utils.precision import highest_precision
-from .ybus import build_ybus
+from .ybus import build_line_ybus, build_ybus, stable_matvec
 
 _all = slice(None)
 
@@ -96,32 +96,44 @@ def current_injections(V_c: Cx, devices, m: int,
 
 
 def current_balance(V_c: Cx, Y: Cx, devices, m: int, n: int,
-                    V_m=None, V_a=None) -> Cx:
+                    V_m=None, V_a=None, YV: Optional[Cx] = None) -> Cx:
     """Current balance vector (hcne_generalized.py:326-357).
 
     Fundamental balance at nonlinear buses (n-m+1 entries), then harmonic
     balance at all buses for each harmonic above the fundamental (n·K),
-    injections added at the nonlinear-bus positions.
+    injections added at the nonlinear-bus positions.  ``YV``: optional
+    precomputed (H, n) Y·V (the stable_mismatch path).
     """
     I_inj = current_injections(V_c, devices, m, V_m, V_a)  # (n_nl, H)
-    dI_f = cx.matvec(Y[0, m:, :], V_c[0]) + I_inj[:, 0]
-    dI_h = cx.einsum("hij,hj->hi", Y[1:], V_c[1:])      # (K, n)
+    if YV is None:
+        dI_f = cx.matvec(Y[0, m:, :], V_c[0]) + I_inj[:, 0]
+        dI_h = cx.einsum("hij,hj->hi", Y[1:], V_c[1:])      # (K, n)
+    else:
+        dI_f = YV[0, m:] + I_inj[:, 0]
+        dI_h = YV[1:]
     dI_h = dI_h.at_add((_all, slice(m, None)), I_inj[:, 1:].T)
     return cx.concatenate([dI_f, dI_h.reshape(-1)])
 
 
 def harmonic_mismatch(V_m, V_a, Y: Cx, S: Cx, devices,
-                      m: int, n: int, c: int):
+                      m: int, n: int, c: int, lineY=None):
     """Harmonic mismatch f and residual err (hcne_generalized.py:360-390).
 
     f_c = [dS (power, linear non-slack buses), dI (current balance)];
     f = [Re f_c, Im f_c[c-1:]] — the PV bus contributes a P-row but no
     Q-row.  err is the infinity norm.
+
+    ``lineY``: optional ``hpfx.ybus.LineYbus``; when given, every Y·V is
+    evaluated in the cancellation-free line-difference form
+    (Settings.stable_mismatch) — algebraically identical, but with an f32
+    residual floor ~two orders of magnitude lower.
     """
     V_c = cx.polar(V_m, V_a)
-    Sl = V_c[0, 1:m] * cx.matvec(Y[0, 1:m, :], V_c[0]).conj()
+    YV = None if lineY is None else stable_matvec(lineY, V_m, V_a)
+    I1 = cx.matvec(Y[0, 1:m, :], V_c[0]) if YV is None else YV[0, 1:m]
+    Sl = V_c[0, 1:m] * I1.conj()
     dS = S[1:m] + Sl
-    dI = current_balance(V_c, Y, devices, m, n, V_m, V_a)
+    dI = current_balance(V_c, Y, devices, m, n, V_m, V_a, YV=YV)
     f_c = cx.concatenate([dS, dI])
     f = jnp.concatenate([f_c.re, f_c[c - 1:].im])
     return f, jnp.max(jnp.abs(f))
@@ -229,6 +241,31 @@ def build_harmonic_jacobian(V_m, V_a, Y: Cx, devices,
     ])
 
 
+def mismatch_floor(V_m, Y: Cx, devices, m: int, settings: Settings):
+    """Evaluation-accuracy floor of the harmonic mismatch: eps·scale with
+    scale = the largest row sensitivity max_{h,i} [sum_j |Y[h,i,j]|·|V_j|
+    (+ sum_p |Y_N[·,h,p]|·|V_p| on nonlinear rows, + |S| on power rows)].
+
+    This is what the computed residual can physically resolve given the
+    state stored in ``settings.real_dtype``: any f stored below eps·scale
+    is indistinguishable from rounding of the large cancelling terms
+    (line flows obeying Kirchhoff, Norton fundamental-column couplings).
+    Used by the floor-aware convergence test (Settings.floor_kappa).
+    """
+    eps = jnp.finfo(settings.real_dtype).eps
+    vmax = jnp.abs(V_m)                                    # (H, n) proxy
+    rows = jnp.einsum("hij,hj->hi", Y.abs(), vmax)         # current rows
+    scale = jnp.max(rows)
+    if isinstance(devices, DeviceSet) and devices.n_devices > 0:
+        v_nl = vmax[:, m:]                                 # (H, n_nl)
+        if devices.coupled:
+            inj = jnp.einsum("dhp,pd->dh", devices.Y_N.abs(), v_nl)
+        else:
+            inj = (devices.Y_N.abs() * v_nl.T)
+        scale = jnp.maximum(scale, jnp.max(inj))
+    return eps * scale
+
+
 def init_harmonic_voltages(fund: FundResult, net: Network, settings: Settings):
     """Flat-start harmonic voltages seeded with the fundamental solution
     (hcne_generalized.py:174-184 + the warm start at :525)."""
@@ -262,12 +299,19 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
     """
     H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
     S = Cx(net.bus_P, net.bus_Q)
+    lineY = build_line_ybus(net, settings) if settings.stable_mismatch \
+        else None
 
     if V0 is None:
         V_m, V_a = init_harmonic_voltages(fund, net, settings)
     else:
         V_m, V_a = V0
-    f0, err0 = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c)
+    f0, err0 = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c, lineY)
+    # floor-aware effective threshold (see mismatch_floor); reduces to the
+    # plain absolute thresh_h in f64 where the floor is ~1e-12
+    thresh_eff = jnp.maximum(
+        jnp.asarray(settings.thresh_h, settings.real_dtype),
+        settings.floor_kappa * mismatch_floor(V_m, Y, devices, m, settings))
     x0 = harmonic_state_vector(V_m, V_a, c)
     hist0 = jnp.full((settings.max_iter_h,), jnp.nan, settings.real_dtype)
     traj0 = None
@@ -277,7 +321,7 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
         traj0 = traj0.at[0].set(jnp.stack([V_m, V_a]))
 
     def cond(state: HPFState):
-        return (state.err > settings.thresh_h) & \
+        return (state.err > thresh_eff) & \
             (state.n_iter < settings.max_iter_h)
 
     if settings.solver == "arrow":
@@ -294,7 +338,7 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
     def body(state: HPFState) -> HPFState:
         x = state.x - _newton_step(state.V_m, state.V_a, state.f)
         V_m, V_a = update_harmonic_voltages(state.V_m, state.V_a, x, H, n, c)
-        f, err = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c)
+        f, err = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c, lineY)
         hist = state.err_hist.at[state.n_iter].set(err)
         traj = state.traj
         if traj is not None:
@@ -307,7 +351,7 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
 
     V_m, V_a = cleanup_voltages(final.V_m, final.V_a)
     return HPFResult(V_m, V_a, final.err, final.n_iter, final.err_hist,
-                     final.err <= settings.thresh_h, fund, final.traj)
+                     final.err <= thresh_eff, fund, final.traj)
 
 
 def hpf(net: Network, devices: DeviceSet, settings: Settings,

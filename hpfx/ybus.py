@@ -34,6 +34,8 @@ with nonzero G/B.
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 from . import cx
@@ -89,3 +91,127 @@ def build_ybus(net: Network, settings: Settings) -> Cx:
     idx = jnp.arange(n)
     Y = Y.at_add((_all, idx, idx), Cx(jnp.zeros_like(y_sh_im), y_sh_im))
     return Y
+
+class LineYbus(NamedTuple):
+    """Line-structured admittance: the ingredients of ``build_ybus`` kept
+    un-summed, for the numerically stable matvec below.
+
+    ``Ys`` (H, L) series admittances; ``a_ft``/``a_tf`` (L,) O(1) tap/shift
+    couplings; ``d`` (H, n) every diagonal-only term (pi-line shunts, bus
+    shunt reactances); ``f_idx``/``t_idx`` (L,) endpoint bus indices.
+    """
+
+    Ys: Cx
+    a_ff: jnp.ndarray     # (L,) real 1/tau^2
+    a_ft: Cx              # (L,) e^{+j shift}/tau
+    a_tf: Cx              # (L,) e^{-j shift}/tau
+    d: Cx                 # (H, n)
+    f_idx: jnp.ndarray
+    t_idx: jnp.ndarray
+
+
+def build_line_ybus(net: Network, settings: Settings) -> LineYbus:
+    """Assemble the line-structured form of the same physics as
+    ``build_ybus`` (identical in exact arithmetic; see ``stable_matvec``)."""
+    rd = settings.real_dtype
+    h = jnp.asarray(settings.harmonics, dtype=rd)[:, None]
+    n = net.n
+    H = len(settings.harmonics)
+    _all = slice(None)
+
+    R, X = net.line_R, net.line_X
+    Xh = X * h
+    den = R * R + Xh * Xh
+    Ys = Cx(R / den, -Xh / den)
+    tau = net.line_tau
+    a_ff = 1.0 / (tau * tau)
+    a_ft = cx.expj(net.line_shift) * (1.0 / tau)
+    a_tf = cx.expj(-net.line_shift) * (1.0 / tau)
+
+    f, t = net.line_from, net.line_to
+    d = cx.zeros((H, n), rd)
+    Ysh = Cx(jnp.broadcast_to(net.line_G / 2.0, Xh.shape),
+             h * net.line_B / 2.0)
+    if settings.compat_shunt_bug:
+        f_sh = jnp.where(f + 1 < n, f + 1, n)
+        t_sh = jnp.where(t + 1 < n, t + 1, n)
+        d = d.at_add((_all, f_sh), Ysh, mode="drop")
+        d = d.at_add((_all, t_sh), Ysh, mode="drop")
+    else:
+        d = d.at_add((_all, f), Ysh * a_ff)
+        d = d.at_add((_all, t), Ysh)
+
+    xsh = net.bus_Xsh[None, :]
+    apply = (h != 1.0) & (xsh != 0.0)
+    safe = jnp.where(xsh != 0.0, xsh, 1.0)
+    y_sh_im = jnp.where(apply, -1.0 / (safe * h), 0.0)
+    d = d + Cx(jnp.zeros_like(y_sh_im), y_sh_im)
+    return LineYbus(Ys=Ys, a_ff=a_ff, a_ft=a_ft, a_tf=a_tf, d=d,
+                    f_idx=f, t_idx=t)
+
+
+def _polar_diff(mu_a, th_a, mu_b, th_b) -> Cx:
+    """mu_a·e^{j th_a} - mu_b·e^{j th_b}, computed cancellation-free.
+
+    Rectangular evaluation first converts each operand with ~eps·|mu|
+    absolute noise, so the difference of nearby phasors (fundamental-row
+    line flows: |diff| ~ 1e-2·|V|) carries eps·|V|, which the series
+    admittance then amplifies by |Ys| (~4e2 on net1) — an f32 floor of
+    ~1e-4, above the reference's thresh_h.  Factoring the difference in
+    polar form instead,
+
+        e^{j th_a}·[ (mu_a - mu_b) + 2·mu_b·sin²(Δ/2) - j·mu_b·sin Δ ],
+        Δ = th_b - th_a,
+
+    every bracket term is individually small: mu_a - mu_b is exact for
+    nearby magnitudes (Sterbenz), Δ is exact for nearby angles, and
+    1 - cos Δ is evaluated as 2 sin²(Δ/2) without cancellation.  The error
+    becomes relative to the *difference*, not to |V|.  Valid for any
+    magnitudes/angles (incl. the solver's signed mid-iteration magnitudes);
+    when the operands aren't close the rounding is relative anyway.
+    """
+    dmu = mu_a - mu_b
+    delta = th_b - th_a
+    s_half = jnp.sin(0.5 * delta)
+    re_local = dmu + 2.0 * mu_b * s_half * s_half
+    im_local = -mu_b * jnp.sin(delta)
+    return cx.expj(th_a) * Cx(re_local, im_local)
+
+
+def stable_matvec(lineY: LineYbus, V_m, V_a) -> Cx:
+    """Cancellation-free Y·V for (H, n) voltage spectra given in polar form.
+
+    The dense matvec sums O(|Ys|·|V|) products that cancel to a near-zero
+    mismatch, flooring the f32 residual at |Ys|·eps·|V| (~1e-4 for stiff
+    grids like net1 — above the reference's thresh_h, so f32 Newton
+    stalls).  Algebraically identical regrouping using Ybus's own structure
+    (diagonal = -sum of off-diagonals + shunts):
+
+        (Y·V)_f = sum_lines Ys·(V_f/tau^2 - V_t·e^{j s}/tau) + d_f·V_f
+
+    with each line's voltage difference evaluated by :func:`_polar_diff`,
+    so every flow term carries rounding relative to the flow itself.  The
+    f32 residual floor drops ~two orders of magnitude, which is what makes
+    reference-threshold convergence attainable on TPU hardware (measured
+    on net1 H<=25: dense-form floor 7.9e-5, this form ~1e-6).
+    """
+    f, t = lineY.f_idx, lineY.t_idx
+    mu_f = V_m[:, f] * lineY.a_ff          # a_ff real: 1/tau^2
+    th_f = V_a[:, f]
+    # a_ft = e^{+j shift}/tau and a_tf = e^{-j shift}/tau are unit-modulus
+    # up to the real tap: fold their phase into the angle, their modulus
+    # into the magnitude (exact polar representation of V_t·a_ft)
+    shift = jnp.arctan2(lineY.a_ft.im, lineY.a_ft.re)
+    inv_tau = jnp.hypot(lineY.a_ft.re, lineY.a_ft.im)
+    mu_t = V_m[:, t] * inv_tau
+    th_t = V_a[:, t] + shift
+    flow_f = lineY.Ys * _polar_diff(mu_f, th_f, mu_t, th_t)
+    mu_t2 = V_m[:, t]
+    th_t2 = V_a[:, t]
+    mu_f2 = V_m[:, f] * inv_tau
+    th_f2 = V_a[:, f] - shift
+    flow_t = lineY.Ys * _polar_diff(mu_t2, th_t2, mu_f2, th_f2)
+    out = lineY.d * cx.polar(V_m, V_a)
+    out = out.at_add((slice(None), f), flow_f)
+    out = out.at_add((slice(None), t), flow_t)
+    return out
