@@ -42,12 +42,16 @@ except Exception:  # pragma: no cover
 LANE = 128
 SUBLANE = 8
 BLOCK = 128               # lanes (systems) per grid step (one native row)
-# The kernel keeps ~4 full-size (N, N, BLOCK) arrays live on the VMEM stack
-# (pipelined input, loop carry, iota mask, one temporary); the default
-# 16 MiB scoped-vmem compiler limit is raised accordingly (v5e has far
-# more physical VMEM).
-VMEM_LIMIT = 32 * 2**20
-VMEM_BUDGET = 6 * 2**20   # bytes for one (N, N, BLOCK) slab
+# The kernel keeps ~5 full-size (N, N, BLOCK) arrays live on the VMEM stack
+# (pipelined input, loop carry, iota mask, temporaries); the scoped-vmem
+# compiler limit is raised accordingly (a compiler default, not hardware —
+# v5e has 128 MiB physical VMEM).  Budget sized so the arrow solver's
+# Woodbury capacitance systems at reference scale (net1 H<=25: dim 182)
+# stay on the lane-parallel kernel instead of the ~10x-slower XLA LU;
+# compile-probed and hardware-validated at dim 184 (see
+# tests/test_compile_probe.py and BENCH_NOTES.md round 2).
+VMEM_LIMIT = 112 * 2**20
+VMEM_BUDGET = 18 * 2**20  # bytes for one (N, N, BLOCK) slab
 # largest system dim whose slab fits the budget
 MAX_PALLAS_DIM = int((VMEM_BUDGET / (4 * BLOCK)) ** 0.5) // SUBLANE * SUBLANE
 
@@ -199,6 +203,28 @@ def _lu_solve(A, b):
     return jnp.linalg.solve(A, b[..., None])[..., 0]
 
 
+def _lu_solve_tpu(A, b):
+    """XLA batched LU with the batch padded to a multiple of 128.
+
+    This TPU backend's batched-LU codegen faults (TPU worker crash) at
+    specific (batch, dim) shapes — observed at B in {87, 88} with n = 518
+    while 64/95/96/104/128/256 are fine, so there is no clean alignment
+    rule to rely on.  Padding with identity systems keeps every LU launch
+    in the shape class the benchmarks exercise continuously.  Data-
+    dependent batch sizes (the adaptive sweep's straggler re-solve) hit
+    arbitrary B, which is how this was found.
+    """
+    B, n = A.shape[0], A.shape[-1]
+    Bp = -(-B // 128) * 128
+    if Bp == B:
+        return _lu_solve(A, b)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (Bp - B, n, n))
+    Ap = jnp.concatenate([A, eye], axis=0)
+    pad = jnp.zeros((Bp - B,) + b.shape[1:], b.dtype)
+    bp = jnp.concatenate([b, pad], axis=0)
+    return _lu_solve(Ap, bp)[:B]
+
+
 def batched_solve(A, b):
     """Batched dense solve with automatic backend dispatch.
 
@@ -210,9 +236,10 @@ def batched_solve(A, b):
     n = A.shape[-1]
     if A.dtype == jnp.float64:
         return _lu_solve(A, b)
-    if (not USE_PALLAS_SOLVE or jax.default_backend() == "cpu"
-            or n > MAX_PALLAS_DIM):
+    if jax.default_backend() == "cpu":
         return equilibrated(_lu_solve)(A, b)
+    if not USE_PALLAS_SOLVE or n > MAX_PALLAS_DIM:
+        return equilibrated(_lu_solve_tpu)(A, b)
     return equilibrated(gauss_solve_pallas)(A, b)
 
 
