@@ -69,29 +69,41 @@ def bench_config(net_name: str, h_max: int, solver: str, batch: int,
                             os.path.join(DATA, f"{net_name}_lines.csv"), s)
     dev = hpfx.load_device_set(net, s)
 
-    # scenario spread representative of a hosting-capacity sweep
-    scen = Scenarios(p_scale=jnp.linspace(0.8, 1.2, batch),
-                     q_scale=jnp.linspace(0.8, 1.2, batch),
-                     injection_scale=jnp.linspace(0.6, 1.4, batch))
+    import numpy as np
+
+    # scenario spread representative of a hosting-capacity sweep.  Every
+    # repetition gets a *distinct* scenario set, and timing is closed by
+    # full host materialization of the result: on this backend
+    # block_until_ready does not actually synchronize (only host
+    # transfers do) — naive timing measures dispatch, not execution.
+    def scen(k):
+        return Scenarios(
+            p_scale=jnp.asarray(np.linspace(0.8, 1.2, batch) + 1e-4 * k,
+                                jnp.float32),
+            q_scale=jnp.asarray(np.linspace(0.8, 1.2, batch), jnp.float32),
+            injection_scale=jnp.asarray(np.linspace(0.6, 1.4, batch),
+                                        jnp.float32))
 
     # two-phase sweep: stragglers re-solve warm-started instead of
     # holding the whole lockstep batch at max_iter (identical solutions);
     # the re-solve runs the dense solver, whose f32 Newton steps are
     # sturdier than arrow's on hard scenarios
     s2 = s.with_(solver="dense")
-    run = lambda: hpf_sweep_adaptive(net, dev, s, scen, phase_iters=24,
-                                     phase2_settings=s2)
+    run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc, phase_iters=24,
+                                        phase2_settings=s2)
 
-    res = run()                      # warmup/compile
-    res.V_m.block_until_ready()
-    conv = float(jnp.mean(res.converged.astype(jnp.float32)))
+    res = run(scen(-1))              # warmup/compile
+    np.asarray(res.V_m)              # real device sync
 
     times = []
-    for _ in range(repeats):
+    conv = 0.0
+    for k in range(repeats):
+        sc = scen(k)
         t0 = time.perf_counter()
-        res = run()
-        res.V_m.block_until_ready()
+        res = run(sc)
+        np.asarray(res.V_m)          # host materialization = sync
         times.append(time.perf_counter() - t0)
+        conv = float(np.mean(np.asarray(res.converged)))
     dt = min(times)
     return dict(raw=batch / dt, conv=conv, converged=conv * batch / dt,
                 solver=solver, batch=batch)

@@ -72,13 +72,17 @@ def _solve_scenario(Y, net: Network, devices: DeviceSet, settings: Settings,
 
 @partial(jax.jit, static_argnames=("settings",))
 def hpf_sweep(net: Network, devices: DeviceSet, settings: Settings,
-              scenarios: Scenarios, V0=None) -> HPFResult:
+              scenarios: Scenarios, V0=None, Y=None) -> HPFResult:
     """Solve B independent HPF cases in one compiled program.
 
     Returns an HPFResult whose leaves carry a leading batch dimension.
-    ``V0``: optional batched (V_m, V_a) warm starts.
+    ``V0``: optional batched (V_m, V_a) warm starts.  ``Y``: optional
+    precomputed admittance tensor overriding ``build_ybus`` (the
+    Kron-reduced sweep path, where the dense reduced blocks replace the
+    line-built ones).
     """
-    Y = build_ybus(net, settings)
+    if Y is None:
+        Y = build_ybus(net, settings)
     q = scenarios.q_scale if scenarios.q_scale is not None \
         else scenarios.p_scale
     inj = scenarios.injection_scale if scenarios.injection_scale is not None \
@@ -128,14 +132,25 @@ def hpf_sweep_adaptive(net: Network, devices: DeviceSet, settings: Settings,
                              .set(r1.err_hist))
         return r1
 
-    sub = Scenarios(*(None if x is None else jnp.asarray(x)[pending]
+    # bucket the re-solve batch to the next power of two (padding with
+    # duplicates of the first straggler): the pending count is data-
+    # dependent, and exact-size phase-2/merge programs would recompile on
+    # every new scenario set — each a multi-second stall on this backend's
+    # relay that dwarfs the solve itself.  The padded index is used for
+    # the merge too (duplicates scatter identical rows), so every op below
+    # has call-count-independent shapes and compiles exactly once.
+    n_pend = pending.size
+    bucket = min(1 << (n_pend - 1).bit_length(), r1.V_m.shape[0])
+    pend_p = np.concatenate(
+        [pending, np.full(bucket - n_pend, pending[0], pending.dtype)])
+    sub = Scenarios(*(None if x is None else jnp.asarray(x)[pend_p]
                       for x in scenarios))
-    V0 = (r1.V_m[pending], r1.V_a[pending])
+    V0 = (r1.V_m[pend_p], r1.V_a[pend_p])
     base2 = settings if phase2_settings is None else phase2_settings
     s2 = base2.with_(max_iter_h=settings.max_iter_h - s1.max_iter_h)
     r2 = hpf_sweep(net, devices, s2, sub, V0=V0)
 
-    idx = jnp.asarray(pending)
+    idx = jnp.asarray(pend_p)
     # full-width residual histories: phase-1 rows NaN-padded to max_iter_h;
     # re-solved scenarios (which by construction ran all phase_iters trips)
     # get their phase-2 history spliced in at the phase-1 offset, so
@@ -195,3 +210,49 @@ def hosting_capacity_sweep(net: Network, devices: DeviceSet,
     w = (jnp.arange(B) < nv).astype(max_thd.dtype)
     frac = jnp.sum(over.astype(max_thd.dtype) * w) / nv
     return SweepSummary(max_thd, res.converged, res.n_iter, frac)
+
+
+def hpf_sweep_kron(net: Network, devices: DeviceSet, settings: Settings,
+                   scenarios: Scenarios) -> HPFResult:
+    """Batched sweep with automatic Kron reduction of passive buses.
+
+    Passive buses (PQ, zero load, no shunt, no device) are Schur-
+    complemented out of every harmonic admittance block before solving
+    (hpfx.kron) — the Newton dimension 2·H·n-1-c shrinks by 2·H per
+    eliminated bus with an *identical* solution on the kept buses; the
+    eliminated buses' voltages are recovered algebraically afterwards, so
+    the returned HPFResult is full-size and directly comparable.
+
+    Host-side dispatch: with no passive buses this is exactly
+    ``hpf_sweep``.  The reduced admittance blocks are dense (no line
+    structure), so the reduced solve always uses the reference-form
+    mismatch (``stable_mismatch`` is ignored on this path); Y·V scales
+    shrink under reduction, which is itself good for the f32 floor.
+    """
+    from .kron import kron_reduce, passive_buses
+
+    elim = passive_buses(net)
+    if elim.size == 0:
+        return hpf_sweep(net, devices, settings=settings,
+                         scenarios=scenarios)
+    red = kron_reduce(net, settings)
+    s_red = settings.with_(stable_mismatch=False)
+    res = hpf_sweep(red.net, devices, settings=s_red, scenarios=scenarios,
+                    Y=red.Y)
+
+    # batched recovery of eliminated-bus voltages: V_e[h] = R[h] @ V_k[h]
+    from . import cx
+    V_k = cx.polar(res.V_m, res.V_a)                    # (B, H, n_k)
+    mm = lambda r, v: jnp.einsum("hek,bhk->bhe", r, v)
+    V_e = cx.Cx(mm(red.R.re, V_k.re) - mm(red.R.im, V_k.im),
+                mm(red.R.re, V_k.im) + mm(red.R.im, V_k.re))
+    B, H = res.V_m.shape[:2]
+    V_m = jnp.zeros((B, H, net.n), res.V_m.dtype)
+    V_a = jnp.zeros((B, H, net.n), res.V_a.dtype)
+    keep = jnp.asarray(red.keep)
+    elim_j = jnp.asarray(red.elim)
+    V_m = V_m.at[:, :, keep].set(res.V_m)
+    V_a = V_a.at[:, :, keep].set(res.V_a)
+    V_m = V_m.at[:, :, elim_j].set(V_e.abs())
+    V_a = V_a.at[:, :, elim_j].set(V_e.angle() % (2 * jnp.pi))
+    return res._replace(V_m=V_m, V_a=V_a)

@@ -59,3 +59,26 @@ def test_reduction_on_feeder():
     V_red = np.asarray(V_m) * np.exp(1j * np.asarray(V_a))
     V_full = np.asarray(full.V_m) * np.exp(1j * np.asarray(full.V_a))
     np.testing.assert_allclose(V_red, V_full, atol=1e-6)
+
+
+def test_hpf_sweep_kron_auto():
+    """hpf_sweep_kron auto-eliminates passive buses (net2: bus 2, net1:
+    buses 5/10) and returns full-size results matching the unreduced sweep;
+    nets without passive buses pass through hpf_sweep unchanged."""
+    import jax.numpy as jnp
+
+    from hpfx.solve import Scenarios, hpf_sweep, hpf_sweep_kron
+
+    scen = Scenarios(p_scale=jnp.linspace(0.9, 1.1, 3),
+                     q_scale=jnp.linspace(0.9, 1.1, 3),
+                     injection_scale=jnp.linspace(0.8, 1.2, 3))
+    for cfg, tol in [(("net2", 25, True), 1e-9), (("net1", 25, True), 1e-7),
+                     (("net3", 25, True), 0.0)]:
+        s, net, dev = make_setup(cfg)
+        full = hpf_sweep(net, dev, settings=s, scenarios=scen)
+        kron = hpf_sweep_kron(net, dev, s, scen)
+        assert kron.V_m.shape == full.V_m.shape
+        np.testing.assert_allclose(np.asarray(kron.V_m),
+                                   np.asarray(full.V_m), atol=max(tol, 1e-30))
+        np.testing.assert_array_equal(np.asarray(kron.converged),
+                                      np.asarray(full.converged))
