@@ -59,7 +59,7 @@ DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def bench_config(net_name: str, h_max: int, solver: str, batch: int,
-                 repeats: int):
+                 repeats: int, phase2_solver: str = "dense"):
     """Time one sweep config; returns raw/converged solves/sec + stats."""
     # stable_mismatch: cancellation-free residual evaluation — required for
     # reference-threshold f32 convergence on stiff grids (see BENCH_NOTES)
@@ -85,10 +85,12 @@ def bench_config(net_name: str, h_max: int, solver: str, batch: int,
                                         jnp.float32))
 
     # two-phase sweep: stragglers re-solve warm-started instead of
-    # holding the whole lockstep batch at max_iter (identical solutions);
-    # the re-solve runs the dense solver, whose f32 Newton steps are
-    # sturdier than arrow's on hard scenarios
-    s2 = s.with_(solver="dense")
+    # holding the whole lockstep batch at max_iter (identical solutions).
+    # Measured phase-2 choice: net2's dim-102 dense re-solve is cheap and
+    # sturdiest; at net1 scale the dense phase 2 costs more than it saves
+    # and the warm-started arrow re-solve converges everything (the warm
+    # start breaks the cold-start oscillation seen on hard scenarios)
+    s2 = s.with_(solver=phase2_solver)
     run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc, phase_iters=24,
                                         phase2_settings=s2)
 
@@ -113,7 +115,8 @@ def main():
     n_dev = len(jax.devices())
     per_chip_target = TARGET_V5E8 / 8.0 * n_dev
 
-    net2 = bench_config("net2", 25, SOLVER_NET2, BATCH, REPEATS)
+    net2 = bench_config("net2", 25, SOLVER_NET2, BATCH, REPEATS,
+                        phase2_solver="dense")
     extras = {
         "net2_raw_solves_per_sec": round(net2["raw"], 1),
         "net2_convergence": round(net2["conv"], 4),
@@ -121,7 +124,7 @@ def main():
     }
     if not SKIP_NET1:
         net1 = bench_config("net1", 25, SOLVER_NET1, BATCH_NET1,
-                            max(2, REPEATS // 2))
+                            max(2, REPEATS // 2), phase2_solver="arrow")
         extras.update({
             "net1_solves_per_sec": round(net1["converged"], 1),
             "net1_raw_solves_per_sec": round(net1["raw"], 1),

@@ -25,6 +25,8 @@ from .results import THD, HPFReport, get_thd, report, voltage_phasors
 from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
                     hpf_single, hpf_sweep)
 from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
+from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
+                       solve_harmonic_extended)
 from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
@@ -54,4 +56,6 @@ __all__ = [
     "Sensitivity", "injection_sensitivity",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
+    "ControlledDeviceSet", "ExtendedResult", "hpf_extended",
+    "solve_harmonic_extended",
 ]

@@ -121,7 +121,7 @@ class ArrowPieces(NamedTuple):
 def _coupling_cx(V_m, V_a, devices: DeviceSet, m: int):
     """K_V/K_A (H, H, n_nl): the value added to the Jacobian's
     (h·n+i, p·n+i) entries (NE convention, hcne_generalized.py:425-443)."""
-    if isinstance(devices, AnalyticDeviceSet):
+    if not isinstance(devices, DeviceSet):  # analytic-style device
         # same autodiff coupling blocks the dense path uses
         # (hpfx/harmonic.py build_harmonic_jacobian): for Norton
         # equivalents these reduce to the closed forms below

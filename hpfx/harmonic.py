@@ -87,7 +87,7 @@ def current_injections(V_c: Cx, devices, m: int,
     injection function (AnalyticDeviceSet).  Returns (n_nl, H)
     split-complex.
     """
-    if isinstance(devices, AnalyticDeviceSet):
+    if not isinstance(devices, DeviceSet):  # analytic-style device
         return devices.injections(V_m[:, m:], V_a[:, m:])
     V_nl = V_c[:, m:]                                   # (H, n_nl)
     if devices.coupled:
@@ -196,7 +196,7 @@ def build_harmonic_jacobian(V_m, V_a, Y: Cx, devices,
     # [h, i, p, j] += K[h, p, i]·δ_ij·(i nonlinear), K padded over buses
     Vn_nl = Vn[:, m:]                                    # (H, n_nl)
     V_nl = V_c[:, m:]
-    if isinstance(devices, AnalyticDeviceSet):
+    if not isinstance(devices, DeviceSet):  # analytic-style device
         # coupling blocks from autodiff of the injection: the current
         # balance is dI = Y·V + I_inj, so the (h·n+i, p·n+i) entries get
         # +∂I_inj[i,h]/∂V_m[p,i] and +∂I_inj[i,h]/∂V_a[p,i] (for Norton

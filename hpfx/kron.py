@@ -92,18 +92,14 @@ def kron_reduce(net: Network, settings: Settings, Y: Cx = None,
 
 
 def _bmm(a: Cx, b: Cx) -> Cx:
+    """Split-complex batched matmul at HIGHEST precision (the bf16 default
+    would corrupt the Schur complement; see hpfx.utils.precision)."""
+    import jax
     import jax.numpy as jnp
-    mm = lambda x, y: jnp.matmul(x, y, precision=_PREC)
+
+    mm = lambda x, y: jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST)
     return Cx(mm(a.re, b.re) - mm(a.im, b.im),
               mm(a.re, b.im) + mm(a.im, b.re))
-
-
-_PREC = None
-try:
-    import jax
-    _PREC = jax.lax.Precision.HIGHEST
-except Exception:  # pragma: no cover
-    pass
 
 
 def recover_voltages(red: KronReduction, result: HPFResult, n_full: int
