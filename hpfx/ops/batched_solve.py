@@ -82,6 +82,50 @@ def _gj_kernel(a_ref, b_ref, x_ref, *, n: int, N: int, B: int, R: int = 1):
         bp = jnp.sum(on_p[:, None, :] * b, axis=0)                    # (R,B)
         pivot = jnp.sum(on_p * colk, axis=0)                          # (B,)
         inv_piv = 1.0 / pivot
+        w = (1.0 - on_p) * colk * inv_piv[None, :] + \
+            on_p * (1.0 - inv_piv[None, :])                           # (N,B)
+        A = A - w[:, None, :] * rowp[None, :, :]
+        b = b - w[:, None, :] * bp[None, :, :]
+        return A, b, jnp.maximum(used, on_p)
+
+    used0 = (row_nb >= n).astype(jnp.float32)
+    A, b, _ = jax.lax.fori_loop(
+        0, n, step, (a_ref[:], b_ref[:], used0))
+    for r in range(R):
+        x_ref[:, r, :] = jnp.sum(A * b[:, r:r + 1, :], axis=0)
+
+
+#: dims >= this use the carried-column kernel (fused update+extraction
+#: wins on big slabs); below it the 3-pass form is faster (measured)
+_KERNEL_SWITCH_DIM = 64
+
+
+def _gj_kernel_carried(a_ref, b_ref, x_ref, *, n: int, N: int, B: int,
+                       R: int = 1):
+    """Large-dim variant of :func:`_gj_kernel`: the working column of the
+    next step is reduced out of the freshly *updated* slab in the same
+    loop body, so Mosaic can fuse it with the rank-1 update's traversal
+    instead of paying a separate pre-step extraction pass over the old
+    slab.  Measured 1.38x over the 3-pass form at dim 182 (B=512, v5e);
+    slower at small dims where per-op overhead dominates — dispatch picks
+    per dimension (see _KERNEL_SWITCH_DIM).
+    """
+    row_nb = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
+    col_nnb = jax.lax.broadcasted_iota(jnp.int32, (N, N, B), 1)
+
+    def step(k, carry):
+        A, b, used, colk = carry
+        # per-system pivot row: largest |A[r,k]| among unused valid rows
+        # (`used` is a 0/1 f32 mask — Mosaic miscompiles mixed-rank i1 ops)
+        score = jnp.abs(colk) - 1e30 * used
+        p = jnp.argmax(score, axis=0)                                 # (B,)
+        on_p = (row_nb == p[None, :]).astype(A.dtype)                 # (N,B)
+        # the one full-slab reduce: pivot row of A (all columns)
+        rowp = jnp.sum(jnp.broadcast_to(on_p[:, None, :], A.shape) * A,
+                       axis=0)                                        # (N,B)
+        bp = jnp.sum(on_p[:, None, :] * b, axis=0)                    # (R,B)
+        pivot = jnp.sum(on_p * colk, axis=0)                          # (B,)
+        inv_piv = 1.0 / pivot
         # single fused rank-1 update: w = factor on non-pivot rows and
         # (1 - 1/pivot) on the pivot row, then A -= w ⊗ rowp performs both
         # the elimination and the pivot-row normalization (keeps VMEM-stack
@@ -90,12 +134,22 @@ def _gj_kernel(a_ref, b_ref, x_ref, *, n: int, N: int, B: int, R: int = 1):
             on_p * (1.0 - inv_piv[None, :])                           # (N,B)
         A = A - w[:, None, :] * rowp[None, :, :]
         b = b - w[:, None, :] * bp[None, :, :]
-        return A, b, jnp.maximum(used, on_p)
+        return A, b, jnp.maximum(used, on_p), colk
 
     # padded rows (r >= n) are all-zero: mark them used up front
     used0 = (row_nb >= n).astype(jnp.float32)
-    A, b, _ = jax.lax.fori_loop(
-        0, n, step, (a_ref[:], b_ref[:], used0))
+
+    def step2(k, carry):
+        A, b, used, colnext = carry
+        A, b, used, _ = step(k, (A, b, used, colnext))
+        # column k+1 of the updated slab, one masked reduce (same cost
+        # class as the rowp reduce; replaces the round-1 colk extraction)
+        colnext = jnp.sum(jnp.where(col_nnb == k + 1, A, 0.0), axis=1)
+        return A, b, used, colnext
+
+    col0 = jnp.sum(jnp.where(col_nnb == 0, a_ref[:], 0.0), axis=1)
+    A, b, _, _ = jax.lax.fori_loop(
+        0, n, step2, (a_ref[:], b_ref[:], used0, col0))
     # A is now a per-system permutation: x[k] = sum_r A[r,k] * b[r]; one
     # full-slab temporary per RHS (R is small, statically unrolled; pure
     # slicing only — integer+newaxis indexing lowers to an unsupported
@@ -139,7 +193,8 @@ def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
         jnp.moveaxis(b3.astype(jnp.float32), 0, -1))       # (n, R, B)
     bt = bt.reshape(N, R, G, Bb).transpose(2, 0, 1, 3)     # (G, N, R, Bb)
 
-    kernel = functools.partial(_gj_kernel, n=n, N=N, B=Bb, R=R)
+    kfn = _gj_kernel_carried if n >= _KERNEL_SWITCH_DIM else _gj_kernel
+    kernel = functools.partial(kfn, n=n, N=N, B=Bb, R=R)
     mem = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
