@@ -109,21 +109,20 @@ def init_fund_voltages(net: Network, settings: Settings):
 
 
 @highest_precision
-def solve_fundamental(Y1: Cx, net: Network, settings: Settings) -> FundResult:
+def solve_fundamental(Y1: Cx, net: Network, settings: Settings,
+                      lineY=None) -> FundResult:
     """Fundamental NR loop (pf, hcne_generalized.py:244-275) as a jittable
     ``lax.while_loop``.  Safe under vmap: JAX's while-loop batching rule
     predicates the carry per batch element, so each scenario stops updating
-    exactly when its own convergence test fires — matching serial behavior."""
+    exactly when its own convergence test fires — matching serial behavior.
+
+    ``lineY``: optional fundamental-sliced ``hpfx.ybus.LineYbus`` for the
+    stable mismatch — supplied by the entry points that built ``Y1`` from
+    the network (it must describe the SAME system as Y1; callers that
+    override Y, e.g. the Kron-reduced path, pass None)."""
     n, c = net.n, net.c
     S = Cx(net.bus_P, net.bus_Q)
     V_m, V_a = init_fund_voltages(net, settings)
-    lineY = None
-    if settings.stable_mismatch:
-        from .ybus import LineYbus, build_line_ybus
-        full = build_line_ybus(net, settings)
-        lineY = LineYbus(Ys=full.Ys[:1], a_ff=full.a_ff, a_ft=full.a_ft,
-                         a_tf=full.a_tf, d=full.d[:1],
-                         f_idx=full.f_idx, t_idx=full.t_idx)
 
     x0 = jnp.concatenate([V_a[1:], V_m[c:]])
     f0, err0 = fund_mismatch(V_m, V_a, Y1, S, c, lineY)

@@ -47,7 +47,7 @@ from .fundamental import (FundResult, _power_jacobian_blocks,
 from .network import Network
 from .ops.batched_solve import nr_solve
 from .utils.precision import highest_precision
-from .ybus import build_line_ybus, build_ybus, stable_matvec
+from .ybus import build_ybus, line_ybus_pair, stable_matvec
 
 _all = slice(None)
 
@@ -289,18 +289,23 @@ def cleanup_voltages(V_m, V_a):
 @highest_precision
 def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
                    settings: Settings, V0=None,
-                   record_trajectory: bool = False) -> HPFResult:
+                   record_trajectory: bool = False, lineY=None) -> HPFResult:
     """The harmonic NR hot loop (hcne_generalized.py:530-549) as one
     ``lax.while_loop``.
 
     ``V0``: optional (V_m, V_a) warm start, e.g. from a checkpointed or
     previously converged solution (hpfx.checkpoint) — replaces the flat
     start while keeping the fundamental row from ``fund``.
+
+    ``lineY``: optional ``hpfx.ybus.LineYbus`` enabling the stable
+    mismatch.  Supplied by entry points that built ``Y`` from the network
+    (hpf/hpf_single/hpf_sweep when Settings.stable_mismatch is on) — it
+    must describe the SAME system as ``Y``, so callers that override Y
+    (e.g. the Kron-reduced path, whose reduced blocks have no line
+    structure) leave it None and get the reference-form dense mismatch.
     """
     H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
     S = Cx(net.bus_P, net.bus_Q)
-    lineY = build_line_ybus(net, settings) if settings.stable_mismatch \
-        else None
 
     if V0 is None:
         V_m, V_a = init_harmonic_voltages(fund, net, settings)
@@ -360,9 +365,14 @@ def hpf(net: Network, devices: DeviceSet, settings: Settings,
     """Full harmonic power flow (hcne_generalized.py:511-560): Ybus assembly
     -> fundamental NR warm start -> harmonic NR.  Jit this (settings and the
     network's structural metadata are static).  ``V0`` resumes from a
-    previous harmonic solution (see hpfx.checkpoint)."""
+    previous harmonic solution (see hpfx.checkpoint).
+
+    When ``Y`` is overridden the stable mismatch is disabled (the line
+    structure belongs to the network Y was NOT built from)."""
+    lineY = lineY_f = None
     if Y is None:
         Y = build_ybus(net, settings)
-    fund = solve_fundamental(Y[0], net, settings)
+        lineY, lineY_f = line_ybus_pair(net, settings)
+    fund = solve_fundamental(Y[0], net, settings, lineY=lineY_f)
     return solve_harmonic(Y, fund, net, devices, settings, V0=V0,
-                          record_trajectory=record_trajectory)
+                          record_trajectory=record_trajectory, lineY=lineY)

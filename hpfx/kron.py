@@ -102,26 +102,36 @@ def _bmm(a: Cx, b: Cx) -> Cx:
               mm(a.re, b.im) + mm(a.im, b.re))
 
 
+def expand_voltages(red: KronReduction, V_m_k, V_a_k, n_full: int):
+    """Expand kept-bus voltages (..., H, n_k) to all original buses.
+
+    Eliminated-bus phasors come from V_e = R @ V_k per harmonic; accepts an
+    optional leading batch axis (the sweep path).  All contractions request
+    HIGHEST precision — the TPU bf16 matmul default would corrupt the
+    recovered voltages (CLAUDE.md rule 3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    hi = jax.lax.Precision.HIGHEST
+    V_k = cx.polar(V_m_k, V_a_k)                        # (..., H, n_k)
+    mm = lambda r, v: jnp.einsum("hek,...hk->...he", r, v, precision=hi)
+    V_e = Cx(mm(red.R.re, V_k.re) - mm(red.R.im, V_k.im),
+             mm(red.R.re, V_k.im) + mm(red.R.im, V_k.re))
+    shape = V_m_k.shape[:-1] + (n_full,)
+    keep = jnp.asarray(red.keep)
+    elim = jnp.asarray(red.elim)
+    V_m = jnp.zeros(shape, V_m_k.dtype).at[..., keep].set(V_m_k)
+    V_a = jnp.zeros(shape, V_a_k.dtype).at[..., keep].set(V_a_k)
+    V_m = V_m.at[..., elim].set(V_e.abs())
+    V_a = V_a.at[..., elim].set(V_e.angle() % (2 * jnp.pi))
+    return V_m, V_a
+
+
 def recover_voltages(red: KronReduction, result: HPFResult, n_full: int
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Expand a reduced-solution HPFResult back to all original buses.
 
-    Returns (V_m, V_a) of shape (H, n_full); eliminated-bus phasors come
-    from V_e = R @ V_k per harmonic.
+    Returns (V_m, V_a) of shape (H, n_full); see :func:`expand_voltages`.
     """
-    import jax.numpy as jnp
-
-    V_k = cx.polar(result.V_m, result.V_a)              # (H, n_k)
-    V_e = cx.Cx(
-        jnp.einsum("hek,hk->he", red.R.re, V_k.re)
-        - jnp.einsum("hek,hk->he", red.R.im, V_k.im),
-        jnp.einsum("hek,hk->he", red.R.re, V_k.im)
-        + jnp.einsum("hek,hk->he", red.R.im, V_k.re))
-    H = result.V_m.shape[0]
-    V_m = jnp.zeros((H, n_full), result.V_m.dtype)
-    V_a = jnp.zeros((H, n_full), result.V_a.dtype)
-    V_m = V_m.at[:, jnp.asarray(red.keep)].set(result.V_m)
-    V_a = V_a.at[:, jnp.asarray(red.keep)].set(result.V_a)
-    V_m = V_m.at[:, jnp.asarray(red.elim)].set(V_e.abs())
-    V_a = V_a.at[:, jnp.asarray(red.elim)].set(V_e.angle() % (2 * jnp.pi))
-    return V_m, V_a
+    return expand_voltages(red, result.V_m, result.V_a, n_full)

@@ -304,14 +304,18 @@ def solve_blocks(D, rhs):
 
     This is the arrow solver's inner primitive (hpfx/arrow.py): one small
     dense factorization per harmonic block, shared by the mismatch RHS and
-    the Woodbury U columns.  Unbatched (a single scenario) it is XLA's LU;
-    under ``vmap`` — the scenario sweep — the rule below flattens the
-    (scenario, harmonic) axes into one big batch for the Pallas
-    lane-parallel Gauss-Jordan kernel, which is where the structured path
-    earns its keep on TPU (the (B·H, 2n) batch at small k beats one (B,)
-    batch at dimension 2·H·n by ~H² in flops).
+    the Woodbury U columns.  Under ``vmap`` — the scenario sweep — the
+    rule below flattens the (scenario, harmonic) axes into one big batch
+    for the Pallas lane-parallel Gauss-Jordan kernel, which is where the
+    structured path earns its keep on TPU (the (B·H, 2n) batch at small k
+    beats one (B,) batch at dimension 2·H·n by ~H² in flops).  A single
+    scenario's (H, k, k) blocks are already a batch and use the same
+    dispatcher (equilibration + TPU-LU workarounds) for f32; f64 keeps the
+    raw LAPACK solve for reference parity.
     """
-    return jnp.linalg.solve(D, rhs)
+    if D.dtype == jnp.float64:
+        return jnp.linalg.solve(D, rhs)
+    return batched_solve(D, rhs)
 
 
 @solve_blocks.def_vmap
@@ -331,14 +335,17 @@ def _solve_blocks_vmap(axis_size, in_batched, D, rhs):
 def nr_solve(J, f):
     """The Newton-Raphson linear solve J·dx = f.
 
-    Single (unbatched) solves use XLA's LU.  Under ``vmap`` — the scenario
-    sweep — the custom batching rule below routes the whole batch through
-    ``batched_solve`` (the Pallas lane-parallel kernel on TPU), instead of
-    letting XLA lower a batched LU that runs ~30x slower at HPF Jacobian
-    sizes.  This keeps the solver code written for one scenario while the
-    batched execution path stays hand-optimized.
+    Under ``vmap`` — the scenario sweep — the custom batching rule below
+    routes the whole batch through ``batched_solve`` (the Pallas
+    lane-parallel kernel on TPU), instead of letting XLA lower a batched
+    LU that runs ~30x slower at HPF Jacobian sizes.  Single f32 solves go
+    through the same dispatcher as a batch of one, so they get the same
+    equilibration and TPU-LU workarounds the swept path relies on; f64
+    keeps the raw LAPACK solve the reference-parity gates were tuned on.
     """
-    return jnp.linalg.solve(J, f)
+    if J.dtype == jnp.float64:
+        return jnp.linalg.solve(J, f)
+    return batched_solve(J[None], f[None])[0]
 
 
 @nr_solve.def_vmap

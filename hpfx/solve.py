@@ -29,7 +29,7 @@ from .fundamental import solve_fundamental
 from .harmonic import HPFResult, solve_harmonic
 from .network import Network
 from .results import get_thd
-from .ybus import build_ybus
+from .ybus import build_ybus, line_ybus_pair
 
 
 class Scenarios(NamedTuple):
@@ -60,14 +60,16 @@ def _expand(scale, like):
 
 
 def _solve_scenario(Y, net: Network, devices: DeviceSet, settings: Settings,
-                    p_scale, q_scale, inj_scale, V0=None) -> HPFResult:
+                    p_scale, q_scale, inj_scale, V0=None,
+                    lineY=None, lineY_f=None) -> HPFResult:
     net_s = dataclasses.replace(
         net,
         bus_P=net.bus_P * _expand(p_scale, net.bus_P),
         bus_Q=net.bus_Q * _expand(q_scale, net.bus_Q))
     dev_s = devices.scale(inj_scale)   # DeviceSet or AnalyticDeviceSet
-    fund = solve_fundamental(Y[0], net_s, settings)
-    return solve_harmonic(Y, fund, net_s, dev_s, settings, V0=V0)
+    fund = solve_fundamental(Y[0], net_s, settings, lineY=lineY_f)
+    return solve_harmonic(Y, fund, net_s, dev_s, settings, V0=V0,
+                          lineY=lineY)
 
 
 @partial(jax.jit, static_argnames=("settings",))
@@ -81,8 +83,13 @@ def hpf_sweep(net: Network, devices: DeviceSet, settings: Settings,
     Kron-reduced sweep path, where the dense reduced blocks replace the
     line-built ones).
     """
+    lineY = lineY_f = None
     if Y is None:
         Y = build_ybus(net, settings)
+        # the stable-mismatch line structure is only valid for the Y built
+        # from this network; an overridden Y (Kron-reduced blocks) gets
+        # the reference-form dense mismatch instead
+        lineY, lineY_f = line_ybus_pair(net, settings)
     q = scenarios.q_scale if scenarios.q_scale is not None \
         else scenarios.p_scale
     inj = scenarios.injection_scale if scenarios.injection_scale is not None \
@@ -90,11 +97,13 @@ def hpf_sweep(net: Network, devices: DeviceSet, settings: Settings,
     if V0 is None:
         return jax.vmap(
             lambda p, qq, i: _solve_scenario(Y, net, devices, settings,
-                                             p, qq, i)
+                                             p, qq, i, lineY=lineY,
+                                             lineY_f=lineY_f)
         )(scenarios.p_scale, q, inj)
     return jax.vmap(
         lambda p, qq, i, vm, va: _solve_scenario(
-            Y, net, devices, settings, p, qq, i, V0=(vm, va))
+            Y, net, devices, settings, p, qq, i, V0=(vm, va),
+            lineY=lineY, lineY_f=lineY_f)
     )(scenarios.p_scale, q, inj, V0[0], V0[1])
 
 
@@ -175,8 +184,9 @@ def hpf_single(net: Network, devices: DeviceSet,
                settings: Settings) -> HPFResult:
     """Jitted single-case HPF (compiled once per (settings, net-structure))."""
     Y = build_ybus(net, settings)
-    fund = solve_fundamental(Y[0], net, settings)
-    return solve_harmonic(Y, fund, net, devices, settings)
+    lineY, lineY_f = line_ybus_pair(net, settings)
+    fund = solve_fundamental(Y[0], net, settings, lineY=lineY_f)
+    return solve_harmonic(Y, fund, net, devices, settings, lineY=lineY)
 
 
 class SweepSummary(NamedTuple):
@@ -229,7 +239,7 @@ def hpf_sweep_kron(net: Network, devices: DeviceSet, settings: Settings,
     mismatch (``stable_mismatch`` is ignored on this path); Y·V scales
     shrink under reduction, which is itself good for the f32 floor.
     """
-    from .kron import kron_reduce, passive_buses
+    from .kron import expand_voltages, kron_reduce, passive_buses
 
     elim = passive_buses(net)
     if elim.size == 0:
@@ -239,20 +249,6 @@ def hpf_sweep_kron(net: Network, devices: DeviceSet, settings: Settings,
     s_red = settings.with_(stable_mismatch=False)
     res = hpf_sweep(red.net, devices, settings=s_red, scenarios=scenarios,
                     Y=red.Y)
-
     # batched recovery of eliminated-bus voltages: V_e[h] = R[h] @ V_k[h]
-    from . import cx
-    V_k = cx.polar(res.V_m, res.V_a)                    # (B, H, n_k)
-    mm = lambda r, v: jnp.einsum("hek,bhk->bhe", r, v)
-    V_e = cx.Cx(mm(red.R.re, V_k.re) - mm(red.R.im, V_k.im),
-                mm(red.R.re, V_k.im) + mm(red.R.im, V_k.re))
-    B, H = res.V_m.shape[:2]
-    V_m = jnp.zeros((B, H, net.n), res.V_m.dtype)
-    V_a = jnp.zeros((B, H, net.n), res.V_a.dtype)
-    keep = jnp.asarray(red.keep)
-    elim_j = jnp.asarray(red.elim)
-    V_m = V_m.at[:, :, keep].set(res.V_m)
-    V_a = V_a.at[:, :, keep].set(res.V_a)
-    V_m = V_m.at[:, :, elim_j].set(V_e.abs())
-    V_a = V_a.at[:, :, elim_j].set(V_e.angle() % (2 * jnp.pi))
+    V_m, V_a = expand_voltages(red, res.V_m, res.V_a, net.n)
     return res._replace(V_m=V_m, V_a=V_a)

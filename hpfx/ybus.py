@@ -96,15 +96,16 @@ class LineYbus(NamedTuple):
     """Line-structured admittance: the ingredients of ``build_ybus`` kept
     un-summed, for the numerically stable matvec below.
 
-    ``Ys`` (H, L) series admittances; ``a_ft``/``a_tf`` (L,) O(1) tap/shift
-    couplings; ``d`` (H, n) every diagonal-only term (pi-line shunts, bus
-    shunt reactances); ``f_idx``/``t_idx`` (L,) endpoint bus indices.
+    ``Ys`` (H, L) series admittances; ``a_ff``/``inv_tau``/``shift`` (L,)
+    O(1) tap/phase couplings (precomputed once — the matvec runs inside
+    the Newton while-loop); ``d`` (H, n) every diagonal-only term (pi-line
+    shunts, bus shunt reactances); ``f_idx``/``t_idx`` (L,) endpoints.
     """
 
     Ys: Cx
     a_ff: jnp.ndarray     # (L,) real 1/tau^2
-    a_ft: Cx              # (L,) e^{+j shift}/tau
-    a_tf: Cx              # (L,) e^{-j shift}/tau
+    inv_tau: jnp.ndarray  # (L,) real 1/tau
+    shift: jnp.ndarray    # (L,) phase shift [rad]
     d: Cx                 # (H, n)
     f_idx: jnp.ndarray
     t_idx: jnp.ndarray
@@ -125,8 +126,8 @@ def build_line_ybus(net: Network, settings: Settings) -> LineYbus:
     Ys = Cx(R / den, -Xh / den)
     tau = net.line_tau
     a_ff = 1.0 / (tau * tau)
-    a_ft = cx.expj(net.line_shift) * (1.0 / tau)
-    a_tf = cx.expj(-net.line_shift) * (1.0 / tau)
+    inv_tau = 1.0 / tau
+    shift = jnp.asarray(net.line_shift, rd)
 
     f, t = net.line_from, net.line_to
     d = cx.zeros((H, n), rd)
@@ -146,7 +147,7 @@ def build_line_ybus(net: Network, settings: Settings) -> LineYbus:
     safe = jnp.where(xsh != 0.0, xsh, 1.0)
     y_sh_im = jnp.where(apply, -1.0 / (safe * h), 0.0)
     d = d + Cx(jnp.zeros_like(y_sh_im), y_sh_im)
-    return LineYbus(Ys=Ys, a_ff=a_ff, a_ft=a_ft, a_tf=a_tf, d=d,
+    return LineYbus(Ys=Ys, a_ff=a_ff, inv_tau=inv_tau, shift=shift, d=d,
                     f_idx=f, t_idx=t)
 
 
@@ -198,11 +199,11 @@ def stable_matvec(lineY: LineYbus, V_m, V_a) -> Cx:
     f, t = lineY.f_idx, lineY.t_idx
     mu_f = V_m[:, f] * lineY.a_ff          # a_ff real: 1/tau^2
     th_f = V_a[:, f]
-    # a_ft = e^{+j shift}/tau and a_tf = e^{-j shift}/tau are unit-modulus
-    # up to the real tap: fold their phase into the angle, their modulus
-    # into the magnitude (exact polar representation of V_t·a_ft)
-    shift = jnp.arctan2(lineY.a_ft.im, lineY.a_ft.re)
-    inv_tau = jnp.hypot(lineY.a_ft.re, lineY.a_ft.im)
+    # the tap/shift couplings e^{+-j shift}/tau are unit-modulus up to the
+    # real tap: fold the phase into the angle, the modulus into the
+    # magnitude (exact polar representation of V_t·e^{j shift}/tau)
+    shift = lineY.shift
+    inv_tau = lineY.inv_tau
     mu_t = V_m[:, t] * inv_tau
     th_t = V_a[:, t] + shift
     flow_f = lineY.Ys * _polar_diff(mu_f, th_f, mu_t, th_t)
@@ -215,3 +216,17 @@ def stable_matvec(lineY: LineYbus, V_m, V_a) -> Cx:
     out = out.at_add((slice(None), f), flow_f)
     out = out.at_add((slice(None), t), flow_t)
     return out
+
+def line_ybus_pair(net: Network, settings: Settings):
+    """(full, fundamental-sliced) LineYbus pair for the stable mismatch,
+    or (None, None) when Settings.stable_mismatch is off.  Built by the
+    solver entry points alongside ``build_ybus`` so the two always
+    describe the same system (a caller-overridden Y never gets a stale
+    line structure)."""
+    if not settings.stable_mismatch:
+        return None, None
+    full = build_line_ybus(net, settings)
+    fund = LineYbus(Ys=full.Ys[:1], a_ff=full.a_ff, inv_tau=full.inv_tau,
+                    shift=full.shift, d=full.d[:1],
+                    f_idx=full.f_idx, t_idx=full.t_idx)
+    return full, fund

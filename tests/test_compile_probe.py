@@ -28,10 +28,12 @@ pytestmark = pytest.mark.skipif(
 #   - the kernel's maximum dim,
 #   - arrow per-harmonic blocks for net2 (2n=8, 1+2 RHS) and net1
 #     (2n=40, 1+14 RHS),
-#   - arrow Woodbury capacitance solves (dim 26 net2, dim 182 net1 —
-#     the latter exceeds MAX_PALLAS_DIM and must compile on the LU path
-#     through batched_solve's dispatcher instead).
-KERNEL_SHAPES = [(102, 1, 256), (8, 3, 1024), (40, 15, 256), (26, 1, 512)]
+#   - arrow Woodbury capacitance solves: dim 26 (net2) and dim 182 (net1)
+#     — the latter rides the enlarged-VMEM carried-column kernel (round 2:
+#     MAX_PALLAS_DIM = 192), the riskiest launch on this wedge-prone
+#     backend and exactly what this wedge-safe tier exists to gate.
+KERNEL_SHAPES = [(102, 1, 256), (8, 3, 1024), (40, 15, 256), (26, 1, 512),
+                 (182, 1, 512)]
 
 
 @pytest.mark.parametrize("n,R,B", KERNEL_SHAPES)

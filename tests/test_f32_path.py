@@ -112,3 +112,21 @@ def test_f32_net1_reference_scale_converges():
                             phase2_settings=s32.with_(solver="dense"))
     assert bool(np.asarray(r1.converged)[0])
     assert np.abs(np.asarray(r1.V_m)[0] - g["V_m"]).max() < 3e-4
+
+
+def test_f32_net1_single_solve_converges():
+    """Unbatched f32 solves route through the same equilibrated dispatcher
+    as the sweep (round-2 review finding: the base cases of nr_solve /
+    solve_blocks used raw LU and hit the exact f32 stall the sweep path
+    fixes).  Single-case hpf at net1 scale must converge on both solvers."""
+    DATA = __import__('conftest').DATA
+    s64, _, _ = make_setup(("net1", 25, True))
+    s = s64.with_(dtype="float32", stable_mismatch=True)
+    net = hpfx.load_network(f"{DATA}/net1_buses.csv",
+                            f"{DATA}/net1_lines.csv", s)
+    dev = hpfx.load_device_set(net, s)
+    g = load_golden(("net1", 25, True))
+    for solver in ("dense", "arrow"):
+        res = hpfx.hpf(net, dev, s.with_(solver=solver))
+        assert bool(res.converged), (solver, float(res.err))
+        assert np.abs(np.asarray(res.V_m) - g["V_m"]).max() < 3e-4, solver
