@@ -76,6 +76,15 @@ class Settings:
     # bit-level trajectory/iteration-count parity gates rely on.
     stable_mismatch: bool = False
 
+    # Batch layout of hpf_sweep: "vmap" carries the scenario batch axis
+    # FIRST (jax.vmap), which presents the tiny per-scenario trailing axes
+    # to the TPU's (8, 128) vreg tiling — every op in the trip then runs at
+    # a few percent utilization.  "lanes" carries the batch LAST
+    # (hpfx.lanes), the lane-parallel layout the Pallas solve kernel uses,
+    # for the whole program.  "auto" = lanes on TPU when the configuration
+    # is supported (arrow solver + stacked Norton devices), vmap otherwise.
+    layout: str = "auto"
+
     # Floor-aware convergence: the mismatch can only be *evaluated* to
     # ~eps·scale, scale = max_i sum_j |Y_ij|·|V_j| (+ Norton |Y_N|·|V|
     # sensitivities) — in f32 on stiff grids (net1: scale ~ 2e3) that

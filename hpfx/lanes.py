@@ -1,0 +1,521 @@
+"""Lane-major (batch-minor) batched HPF — the TPU sweep fast path.
+
+``jax.vmap`` puts the scenario batch axis FIRST, so every tensor inside the
+batched Newton trip — (B, H, n) voltages, (B, H, n, n) blocks, (B, dim)
+residuals — presents its *last two, tiny* axes to the TPU's (8, 128)
+vector-register tiling.  At HPF problem sizes (n = 4..20, 2n = 8..40) each
+vreg is 2..40% occupied and every elementwise op, reduce and relayout in
+the trip runs at that utilization: the sweep is layout-bound, not
+flop-bound (measured: the whole trip sustains ~100 GF/s ~ 5% of the v5e
+VPU; BENCH_NOTES round-2 utilization accounting).
+
+This module is the same solver with the batch carried on the LAST axis
+instead: voltages are (H, n, B), Jacobian blocks (H, 2n, 2n, B), residuals
+(dim, B).  Every op then tiles (x, B) with B = the full lane dimension —
+the exact layout the Pallas Gauss-Jordan kernel already uses internally
+(hpfx/ops/batched_solve.py), which now consumes the blocks *without* the
+per-trip (B, n, n) -> (n, n, B) relayout.  This is the lane-parallel
+principle of the solve kernel extended to the entire program.
+
+Scope: the structured arrow Newton step (Settings.solver = "arrow") with
+stacked Norton-equivalent devices (DeviceSet, coupled or uncoupled), plain
+or stable mismatch, PV buses, warm starts — i.e. the production sweep
+configuration.  Everything else (dense solver, AnalyticDeviceSet, single
+solves, trajectory recording) stays on the vmap path in hpfx.solve; the
+dispatcher there falls back automatically.  Both paths compute the same
+iteration (same formulas, same per-scenario convergence predication as
+JAX's batched while_loop) and are equality-tested against each other
+(tests/test_lanes.py).
+
+Reference parity contract: the math is hcne_generalized.py:313-560
+exactly as implemented per-scenario in hpfx.harmonic / hpfx.arrow — see
+those modules' docstrings for the per-function line cites; this module
+only changes the batch layout.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import cx
+from .arrow import ArrowIndex, make_arrow_index
+from .config import Settings
+from .cx import Cx
+from .devices import DeviceSet
+from .fundamental import FundResult
+from .harmonic import HPFResult, cleanup_voltages
+from .network import Network
+from .ops.batched_solve import batched_solve_lanes
+from .utils.precision import highest_precision
+from .ybus import LineYbus, build_ybus, line_ybus_pair
+
+_all = slice(None)
+
+
+# ---------------------------------------------------------------------------
+# mismatch (lane-major): hpfx.harmonic.harmonic_mismatch with batch last
+# ---------------------------------------------------------------------------
+
+def _polar_diff_lanes(mu_a, th_a, mu_b, th_b) -> Cx:
+    """hpfx.ybus._polar_diff — elementwise, so identical code works on
+    (H, L, B) operands."""
+    dmu = mu_a - mu_b
+    delta = th_b - th_a
+    s_half = jnp.sin(0.5 * delta)
+    re_local = dmu + 2.0 * mu_b * s_half * s_half
+    im_local = -mu_b * jnp.sin(delta)
+    return cx.expj(th_a) * Cx(re_local, im_local)
+
+
+def stable_matvec_lanes(lineY: LineYbus, V_m, V_a) -> Cx:
+    """Cancellation-free Y·V (hpfx.ybus.stable_matvec) on (H, n, B)."""
+    f, t = lineY.f_idx, lineY.t_idx
+    a_ff = lineY.a_ff[:, None]                  # (L, 1)
+    inv_tau = lineY.inv_tau[:, None]
+    shift = lineY.shift[:, None]
+    mu_f = V_m[:, f] * a_ff
+    th_f = V_a[:, f]
+    mu_t = V_m[:, t] * inv_tau
+    th_t = V_a[:, t] + shift
+    flow_f = lineY.Ys[..., None] * _polar_diff_lanes(mu_f, th_f, mu_t, th_t)
+    mu_t2 = V_m[:, t]
+    th_t2 = V_a[:, t]
+    mu_f2 = V_m[:, f] * inv_tau
+    th_f2 = V_a[:, f] - shift
+    flow_t = lineY.Ys[..., None] * _polar_diff_lanes(mu_t2, th_t2,
+                                                     mu_f2, th_f2)
+    out = lineY.d[..., None] * cx.polar(V_m, V_a)
+    out = out.at_add((_all, f), flow_f)
+    out = out.at_add((_all, t), flow_t)
+    return out
+
+
+def _injections_lanes(V_c: Cx, devices: DeviceSet, inj, m: int) -> Cx:
+    """Current injections (hpfx.harmonic.current_injections) on (H, n, B)
+    voltages -> (n_nl, H, B).  ``inj`` (B,) scales the Norton parameters
+    (I_N and Y_N scale together, so the injection scales linearly)."""
+    V_nl = V_c[:, m:]                                    # (H, n_nl, B)
+    if devices.coupled:
+        raw = devices.I_N[..., None] - cx.einsum("dhp,pdb->dhb",
+                                                 devices.Y_N, V_nl)
+    else:
+        raw = devices.I_N[..., None] - \
+            devices.Y_N[..., None] * V_nl.transpose(1, 0, 2)
+    return raw * inj[None, None, :]
+
+
+def mismatch_lanes(V_m, V_a, Y: Cx, S: Cx, devices: DeviceSet, inj,
+                   m: int, n: int, c: int, lineY: Optional[LineYbus]):
+    """Harmonic mismatch/residual (hpfx.harmonic.harmonic_mismatch) on
+    (H, n, B) voltages; S is the scaled (n, B) load.  Returns
+    (f (rows, B), err (B,))."""
+    V_c = cx.polar(V_m, V_a)
+    if lineY is None:
+        YV = cx.einsum("hij,hjb->hib", Y, V_c)
+    else:
+        YV = stable_matvec_lanes(lineY, V_m, V_a)
+    I1 = YV[0, 1:m]
+    Sl = V_c[0, 1:m] * I1.conj()
+    dS = S[1:m] + Sl                                     # (m-1, B)
+    I_inj = _injections_lanes(V_c, devices, inj, m)      # (n_nl, H, B)
+    dI_f = YV[0, m:] + I_inj[:, 0]
+    dI_h = YV[1:]                                        # (K, n, B)
+    dI_h = dI_h.at_add((_all, slice(m, None)),
+                       I_inj[:, 1:].transpose(1, 0, 2))
+    K_, B = dI_h.shape[0], dI_h.shape[2]
+    dI = cx.concatenate([dI_f, dI_h.reshape(K_ * n, B)])
+    f_c = cx.concatenate([dS, dI])
+    f = jnp.concatenate([f_c.re, f_c[c - 1:].im], axis=0)
+    return f, jnp.max(jnp.abs(f), axis=0)
+
+
+def mismatch_floor_lanes(V_m, Y: Cx, devices: DeviceSet, inj, m: int,
+                         settings: Settings):
+    """Per-scenario mismatch evaluation floor (hpfx.harmonic.mismatch_floor)
+    -> (B,)."""
+    eps = jnp.finfo(settings.real_dtype).eps
+    vmax = jnp.abs(V_m)                                   # (H, n, B)
+    rows = jnp.einsum("hij,hjb->hib", Y.abs(), vmax)
+    scale = jnp.max(rows, axis=(0, 1))                    # (B,)
+    if devices.n_devices > 0:
+        v_nl = vmax[:, m:]                                # (H, n_nl, B)
+        if devices.coupled:
+            d_inj = jnp.einsum("dhp,pdb->dhb", devices.Y_N.abs(), v_nl)
+        else:
+            d_inj = devices.Y_N.abs()[..., None] * v_nl.transpose(1, 0, 2)
+        scale = jnp.maximum(scale,
+                            jnp.max(d_inj, axis=(0, 1)) * jnp.abs(inj))
+    return eps * scale
+
+
+# ---------------------------------------------------------------------------
+# arrow Newton step (lane-major): hpfx.arrow with batch last
+# ---------------------------------------------------------------------------
+
+def _power_jacobian_blocks_lanes(V: Cx, Vn: Cx, Y: Cx, n: int):
+    """hpfx.fundamental._power_jacobian_blocks on (n, B) voltages ->
+    (n, n, B) split-complex dS/dA, dS/dV."""
+    I = cx.einsum("ij,jb->ib", Y, V)
+    eye = jnp.eye(n, dtype=V.re.dtype)[:, :, None]        # (n, n, 1)
+    diag_I = Cx(eye * I.re[:, None, :], eye * I.im[:, None, :])
+    YV = Y[..., None] * V[None, :]                        # Y_ij·V_j
+    dSdA = (V[:, None] * (diag_I - YV).conj()).jmul()
+    w = Vn * I.conj()
+    diag_w = Cx(eye * w.re[:, None, :], eye * w.im[:, None, :])
+    YVn = Y[..., None] * Vn[None, :]
+    dSdV = diag_w + V[:, None] * YVn.conj()
+    return dSdA, dSdV
+
+
+def _coupling_lanes(V_m, V_a, devices: DeviceSet, inj, m: int):
+    """K_V/K_A (H, H, n_nl, B): hpfx.arrow._coupling_cx, batch last."""
+    Vn_nl = cx.expj(V_a)[:, m:]                           # (H, n_nl, B)
+    V_nl = cx.polar(V_m, V_a)[:, m:]
+    if devices.coupled:
+        K_V = -cx.einsum("dhp,pdb->hpdb", devices.Y_N, Vn_nl)
+        K_A = -cx.einsum("dhp,pdb->hpdb", devices.Y_N, V_nl).jmul()
+    else:
+        H, n_nl, B = Vn_nl.shape
+        diag_V = -(devices.Y_N.T[..., None] * Vn_nl)      # (H, n_nl, B)
+        diag_A = -(devices.Y_N.T[..., None] * V_nl).jmul()
+        hh = jnp.arange(H)
+        K_V = cx.zeros((H, H, n_nl, B), V_m.dtype).at_set((hh, hh), diag_V)
+        K_A = cx.zeros((H, H, n_nl, B), V_m.dtype).at_set((hh, hh), diag_A)
+    s = inj[None, None, None, :]
+    return K_V * s, K_A * s
+
+
+class _ArrowConsts(NamedTuple):
+    """Host-side constants of the lane-major arrow solve (see
+    hpfx.arrow.arrow_solve for their derivation)."""
+    idx: ArrowIndex
+    E0: np.ndarray        # (d0, r_blk) unit columns of U, block 0
+    Eh: np.ndarray        # (2n, r_blk) unit columns of U, blocks h>=1
+
+
+def _make_arrow_consts(H: int, n: int, m: int, c: int) -> _ArrowConsts:
+    idx = make_arrow_index(H, n, m, c)
+    n_nl = n - m
+    r_blk = 2 * n_nl
+    rows0 = np.concatenate([
+        (m - 1) + np.arange(n_nl),
+        (m - 1) + n_nl + (m - c) + np.arange(n_nl)])
+    rowsh = np.concatenate([np.arange(m, n), n + np.arange(m, n)])
+    E0 = np.zeros((idx.d0, r_blk), np.float32)
+    E0[rows0, np.arange(r_blk)] = 1.0
+    Eh = np.zeros((2 * n, r_blk), np.float32)
+    Eh[rowsh, np.arange(r_blk)] = 1.0
+    return _ArrowConsts(idx=idx, E0=E0, Eh=Eh)
+
+
+def arrow_step_lanes(V_m, V_a, f, Y: Cx, devices: DeviceSet, inj,
+                     consts: _ArrowConsts):
+    """One arrow Newton-step solve J dx = f on (H, n, B) state, (dim, B)
+    mismatch -> dx (dim, B).  Same block + Woodbury factorization as
+    hpfx.arrow.build_arrow_pieces/arrow_solve, batch kept lane-minor so the
+    Pallas kernel consumes the blocks without relayout."""
+    idx = consts.idx
+    H, n, m, c, d0 = idx.H, idx.n, idx.m, idx.c, idx.d0
+    n_nl = n - m
+    K = H - 1
+    r = 2 * H * n_nl
+    r_blk = 2 * n_nl
+    rd = V_m.dtype
+    B = V_m.shape[-1]
+
+    V_c = cx.polar(V_m, V_a)
+    Vn = cx.expj(V_a)
+
+    blocks_V = Y[..., None] * Vn[:, None, :, :]           # (H, n, n, B)
+    blocks_A = (Y[..., None] * V_c[:, None, :, :]).jmul()
+    K_V, K_A = _coupling_lanes(V_m, V_a, devices, inj, m)  # (H, H, n_nl, B)
+
+    # fold the h == p coupling into the diagonal blocks
+    nl = jnp.arange(m, n)
+    hh = jnp.arange(H)
+    M_V = blocks_V.at_add((_all, nl, nl), K_V[hh, hh])
+    M_A = blocks_A.at_add((_all, nl, nl), K_A[hh, hh])
+
+    dS1dA1, dS1dV1 = _power_jacobian_blocks_lanes(V_c[0], Vn[0], Y[0], n)
+
+    def _hcat(a, b):
+        return jnp.concatenate([a, b], axis=1)
+
+    D0 = jnp.concatenate([
+        _hcat(dS1dA1.re[1:m, 1:], dS1dV1.re[1:m, c:]),
+        _hcat(M_A.re[0, m:, 1:], M_V.re[0, m:, c:]),
+        _hcat(dS1dA1.im[c:m, 1:], dS1dV1.im[c:m, c:]),
+        _hcat(M_A.im[0, m:, 1:], M_V.im[0, m:, c:]),
+    ], axis=0)                                            # (d0, d0, B)
+    Dh = jnp.concatenate([
+        jnp.concatenate([M_A.re[1:], M_V.re[1:]], axis=2),
+        jnp.concatenate([M_A.im[1:], M_V.im[1:]], axis=2),
+    ], axis=1)                                            # (K, 2n, 2n, B)
+
+    # dense coupling matrix C (r, r, B): h != p, d == d' entries only
+    off = ~jnp.eye(H, dtype=bool)[:, :, None, None]       # (H, H, 1, 1)
+    zero = jnp.zeros_like(K_V.re)
+    KVr = jnp.where(off, K_V.re, zero)
+    KVi = jnp.where(off, K_V.im, zero)
+    KAr = jnp.where(off, K_A.re, zero)
+    KAi = jnp.where(off, K_A.im, zero)
+    eye_d = jnp.eye(n_nl, dtype=rd)
+    # (H, H, n_nl, B, rc, c): rows use (Re, Im), cols use (angle, magnitude)
+    Cfull = jnp.stack([
+        jnp.stack([KAr, KVr], axis=-1),                   # rc=0 (Re row)
+        jnp.stack([KAi, KVi], axis=-1),                   # rc=1 (Im row)
+    ], axis=-2)                                           # (H,H,n_nl,B,2,2)
+    Cexp = jnp.einsum("hpdbrc,de->hrdpceb", Cfull, eye_d)
+    C = Cexp.reshape(r, r, B)
+
+    # identity-pad the fundamental block to 2n (one uniform batched solve)
+    D0p = jnp.broadcast_to(jnp.eye(2 * n, dtype=rd)[:, :, None],
+                           (2 * n, 2 * n, B)).at[:d0, :d0].set(D0)
+    D_all = jnp.concatenate([D0p[None], Dh], axis=0)      # (H, 2n, 2n, B)
+
+    # grouped RHS + Woodbury U columns through one multi-RHS factorization
+    fp = jnp.zeros_like(f).at[jnp.asarray(idx.f_perm)].set(f)   # (dim, B)
+    f0 = fp[:d0]
+    fh = fp[d0:].reshape(K, 2 * n, B)
+    E0 = jnp.asarray(consts.E0, rd)
+    Eh = jnp.asarray(consts.Eh, rd)
+    rhs0 = jnp.concatenate(
+        [f0[:, None, :], jnp.broadcast_to(E0[:, :, None],
+                                          (d0, r_blk, B))], axis=1)
+    rhs0p = jnp.zeros((2 * n, 1 + r_blk, B), rd).at[:d0].set(rhs0)
+    rhsh = jnp.concatenate(
+        [fh[:, :, None, :],
+         jnp.broadcast_to(Eh[None, :, :, None], (K, 2 * n, r_blk, B))],
+        axis=2)                                           # (K, 2n, R, B)
+    rhs_all = jnp.concatenate([rhs0p[None], rhsh], axis=0)
+
+    # (H, 2n, 2n, B) -> (2n, 2n, H·B): fold the harmonic-block axis into
+    # the lane batch for the kernel (one launch for all blocks)
+    k2 = 2 * n
+    R = 1 + r_blk
+    D_flat = D_all.transpose(1, 2, 0, 3).reshape(k2, k2, H * B)
+    rhs_flat = rhs_all.transpose(1, 2, 0, 3).reshape(k2, R, H * B)
+    sol = batched_solve_lanes(D_flat, rhs_flat)
+    sol_all = sol.reshape(k2, R, H, B).transpose(2, 0, 1, 3)  # (H,2n,R,B)
+
+    z0, X0 = sol_all[0, :d0, 0], sol_all[0, :d0, 1:]      # (d0,B),(d0,rb,B)
+    zh, Xh = sol_all[1:, :, 0], sol_all[1:, :, 1:]
+
+    cpl0 = jnp.asarray(idx.cpl0)
+    cplh = jnp.asarray(idx.cplh)
+    Vz = jnp.concatenate([z0[cpl0][None], zh[:, cplh]], axis=0)  # (H,rb,B)
+    Vz = Vz.reshape(r, B)
+
+    G0 = X0[cpl0]                                         # (r_blk,r_blk,B)
+    Gh = Xh[:, cplh, :]
+    Gblocks = jnp.concatenate([G0[None], Gh], axis=0)     # (H,rb,rb,B)
+
+    Cb = C.reshape(r, H, r_blk, B)
+    CG = jnp.einsum("rpsb,pstb->rptb", Cb, Gblocks)
+    S_w = jnp.eye(r, dtype=rd)[:, :, None] + CG.reshape(r, r, B)
+    rhs_w = jnp.einsum("rub,ub->rb", C, Vz)
+    y = batched_solve_lanes(S_w, rhs_w[:, None, :])[:, 0]  # (r, B)
+
+    yb = y.reshape(H, r_blk, B)
+    corr0 = jnp.einsum("dsb,sb->db", X0, yb[0])
+    corrh = jnp.einsum("kdsb,ksb->kdb", Xh, yb[1:])
+    x0 = z0 - corr0
+    xh = zh - corrh
+    xp = jnp.concatenate([x0, xh.reshape(K * k2, B)], axis=0)
+    return xp[jnp.asarray(idx.x_perm)]
+
+
+# ---------------------------------------------------------------------------
+# fundamental NR (lane-major)
+# ---------------------------------------------------------------------------
+
+class FundLanes(NamedTuple):
+    V_m: jnp.ndarray       # (n, B)
+    V_a: jnp.ndarray       # (n, B)
+    err: jnp.ndarray       # (B,)
+    n_iter: jnp.ndarray    # (B,)
+    err_hist: jnp.ndarray  # (max_iter_f, B)
+    converged: jnp.ndarray
+
+
+def _fund_mismatch_lanes(V_m, V_a, Y1: Cx, S: Cx, c: int,
+                         lineY: Optional[LineYbus]):
+    V = cx.polar(V_m, V_a)
+    if lineY is None:
+        I = cx.einsum("ij,jb->ib", Y1, V)
+    else:
+        I = stable_matvec_lanes(lineY, V_m[None], V_a[None])[0]
+    mis = V * I.conj() + S
+    f = jnp.concatenate([mis.re[1:], mis.im[c:]], axis=0)
+    return f, jnp.max(jnp.abs(f), axis=0)
+
+
+def solve_fundamental_lanes(Y1: Cx, S: Cx, net: Network, settings: Settings,
+                            B: int, lineY: Optional[LineYbus]) -> FundLanes:
+    """Fundamental NR (hpfx.fundamental.solve_fundamental) with the batch
+    lane-minor; S is the per-scenario scaled (n, B) load."""
+    n, c = net.n, net.c
+    rd = settings.real_dtype
+    V_m = jnp.full((n, B), settings.v_init_f, rd)
+    V_a = jnp.full((n, B), settings.a_init_f, rd)
+
+    x0 = jnp.concatenate([V_a[1:], V_m[c:]], axis=0)
+    f0, err0 = _fund_mismatch_lanes(V_m, V_a, Y1, S, c, lineY)
+    hist0 = jnp.full((settings.max_iter_f, B), jnp.nan, rd)
+
+    eps = jnp.finfo(rd).eps
+    rows = jnp.abs(V_m) * jnp.einsum("ij,jb->ib", Y1.abs(), jnp.abs(V_m))
+    thresh_eff = jnp.maximum(
+        jnp.asarray(settings.thresh_f, rd),
+        settings.floor_kappa * eps * jnp.max(rows + S.abs(), axis=0))
+
+    def active(err, it):
+        return (err > thresh_eff) & (it < settings.max_iter_f)
+
+    def cond(carry):
+        _, _, _, _, err, it, _, _ = carry
+        return jnp.any(active(err, it))
+
+    def body(carry):
+        V_m, V_a, x, f, err, it, hist, t = carry
+        act = active(err, it)
+        J = _fund_jacobian_lanes(V_m, V_a, Y1, n, c)
+        dx = batched_solve_lanes(J, f[:, None, :])[:, 0]
+        x_new = x - dx
+        Va_new = jnp.concatenate([V_a[:1], x_new[: n - 1]], axis=0)
+        Vm_new = jnp.concatenate([V_m[:c], x_new[n - 1:]], axis=0)
+        f_new, err_new = _fund_mismatch_lanes(Vm_new, Va_new, Y1, S, c,
+                                              lineY)
+        V_m = jnp.where(act, Vm_new, V_m)
+        V_a = jnp.where(act, Va_new, V_a)
+        x = jnp.where(act, x_new, x)
+        f = jnp.where(act, f_new, f)
+        err = jnp.where(act, err_new, err)
+        hist = hist.at[t].set(jnp.where(act, err_new, hist[t]))
+        return V_m, V_a, x, f, err, it + act.astype(it.dtype), hist, t + 1
+
+    it0 = jnp.zeros((B,), jnp.int32)
+    V_m, V_a, _, _, err, n_iter, hist, _ = lax.while_loop(
+        cond, body, (V_m, V_a, x0, f0, err0, it0, hist0, jnp.int32(0)))
+    return FundLanes(V_m, V_a, err, n_iter, hist, err <= thresh_eff)
+
+
+def _fund_jacobian_lanes(V_m, V_a, Y1: Cx, n: int, c: int):
+    V = cx.polar(V_m, V_a)
+    Vn = V * (1.0 / V.abs())
+    dSdA, dSdV = _power_jacobian_blocks_lanes(V, Vn, Y1, n)
+    top = jnp.concatenate([dSdA.re[1:, 1:], dSdV.re[1:, c:]], axis=1)
+    bot = jnp.concatenate([dSdA.im[c:, 1:], dSdV.im[c:, c:]], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# the harmonic sweep
+# ---------------------------------------------------------------------------
+
+def supports_lanes(devices, settings: Settings, net: Network) -> bool:
+    """Whether the lane-major path implements this configuration."""
+    return (settings.solver == "arrow"
+            and isinstance(devices, DeviceSet)
+            and devices.n_devices > 0
+            and net.n > net.m)
+
+
+def _scale_cols(base, scale, n: int, B: int):
+    """Per-scenario load scaling -> (n, B): scale is (B,) or (B, n)."""
+    s = jnp.asarray(scale, base.dtype)
+    if s.ndim == 1:
+        return base[:, None] * s[None, :]
+    return base[:, None] * s.T
+
+
+@highest_precision
+def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
+                    scenarios, V0=None, Y: Optional[Cx] = None) -> HPFResult:
+    """Batched HPF sweep with the scenario batch lane-minor throughout.
+
+    Drop-in equivalent of ``hpfx.solve.hpf_sweep`` for the supported
+    configuration (see :func:`supports_lanes`); returns the usual
+    batch-major ``HPFResult``.  The final transpose back to batch-major is
+    the only layout change the caller sees.
+    """
+    H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
+    rd = settings.real_dtype
+    B = scenarios.p_scale.shape[0]
+
+    lineY = lineY_f = None
+    if Y is None:
+        Y = build_ybus(net, settings)
+        lineY, lineY_f = line_ybus_pair(net, settings)
+
+    q_scale = scenarios.q_scale if scenarios.q_scale is not None \
+        else scenarios.p_scale
+    inj = scenarios.injection_scale if scenarios.injection_scale is not None \
+        else jnp.ones((B,), rd)
+    inj = jnp.asarray(inj, rd)
+    S = Cx(_scale_cols(net.bus_P, scenarios.p_scale, n, B),
+           _scale_cols(net.bus_Q, q_scale, n, B))
+
+    fund = solve_fundamental_lanes(Y[0], S, net, settings, B, lineY_f)
+
+    if V0 is None:
+        V_m = jnp.full((H, n, B), settings.v_init_h, rd).at[0].set(fund.V_m)
+        V_a = jnp.full((H, n, B), settings.a_init_h, rd).at[0].set(fund.V_a)
+    else:
+        V_m = jnp.moveaxis(jnp.asarray(V0[0], rd), 0, -1)
+        V_a = jnp.moveaxis(jnp.asarray(V0[1], rd), 0, -1)
+
+    consts = _make_arrow_consts(H, n, m, c)
+    f0, err0 = mismatch_lanes(V_m, V_a, Y, S, devices, inj, m, n, c, lineY)
+    thresh_eff = jnp.maximum(
+        jnp.asarray(settings.thresh_h, rd),
+        settings.floor_kappa *
+        mismatch_floor_lanes(V_m, Y, devices, inj, m, settings))
+    x0 = jnp.concatenate([V_a.reshape(H * n, B)[1:],
+                          V_m.reshape(H * n, B)[c:]], axis=0)
+    hist0 = jnp.full((settings.max_iter_h, B), jnp.nan, rd)
+
+    def active(err, it):
+        return (err > thresh_eff) & (it < settings.max_iter_h)
+
+    def cond(carry):
+        _, _, _, _, err, it, _, _ = carry
+        return jnp.any(active(err, it))
+
+    D = H * n
+
+    def body(carry):
+        V_m, V_a, x, f, err, it, hist, t = carry
+        act = active(err, it)
+        dx = arrow_step_lanes(V_m, V_a, f, Y, devices, inj, consts)
+        x_new = x - dx
+        Va_new = jnp.concatenate([V_a.reshape(D, B)[:1],
+                                  x_new[: D - 1]], axis=0).reshape(H, n, B)
+        Vm_new = jnp.concatenate([V_m.reshape(D, B)[:c],
+                                  x_new[D - 1:]], axis=0).reshape(H, n, B)
+        f_new, err_new = mismatch_lanes(Vm_new, Va_new, Y, S, devices, inj,
+                                        m, n, c, lineY)
+        V_m = jnp.where(act, Vm_new, V_m)
+        V_a = jnp.where(act, Va_new, V_a)
+        x = jnp.where(act, x_new, x)
+        f = jnp.where(act, f_new, f)
+        err = jnp.where(act, err_new, err)
+        hist = hist.at[t].set(jnp.where(act, err_new, hist[t]))
+        return V_m, V_a, x, f, err, it + act.astype(it.dtype), hist, t + 1
+
+    it0 = jnp.zeros((B,), jnp.int32)
+    V_m, V_a, _, _, err, n_iter, hist, _ = lax.while_loop(
+        cond, body, (V_m, V_a, x0, f0, err0, it0, hist0, jnp.int32(0)))
+
+    V_m, V_a = cleanup_voltages(V_m, V_a)
+    fund_bm = FundResult(
+        V_m=fund.V_m.T, V_a=fund.V_a.T, err=fund.err, n_iter=fund.n_iter,
+        err_hist=fund.err_hist.T, converged=fund.converged)
+    return HPFResult(
+        V_m=jnp.moveaxis(V_m, -1, 0), V_a=jnp.moveaxis(V_a, -1, 0),
+        err=err, n_iter=n_iter, err_hist=hist.T,
+        converged=err <= thresh_eff, fund=fund_bm)

@@ -158,6 +158,43 @@ def _gj_kernel_carried(a_ref, b_ref, x_ref, *, n: int, N: int, B: int,
         x_ref[:, r, :] = jnp.sum(A * b[:, r:r + 1, :], axis=0)
 
 
+def _gj_pallas_core(At, bt, *, n: int, N: int, R: int, Bb: int, G: int,
+                    interpret: bool):
+    """Shared pallas_call: At (G, N, N, Bb), bt (G, N, R, Bb) f32 slabs."""
+    kfn = _gj_kernel_carried if n >= _KERNEL_SWITCH_DIM else _gj_kernel
+    kernel = functools.partial(kfn, n=n, N=N, B=Bb, R=R)
+    mem = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec((None, N, N, Bb), lambda i: (i, 0, 0, 0),
+                               **mem),
+                  pl.BlockSpec((None, N, R, Bb), lambda i: (i, 0, 0, 0),
+                               **mem)],
+        out_specs=pl.BlockSpec((None, N, R, Bb), lambda i: (i, 0, 0, 0),
+                               **mem),
+        out_shape=jax.ShapeDtypeStruct((G, N, R, Bb), jnp.float32),
+        interpret=interpret,
+        compiler_params=(None if pltpu is None else
+                         pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * N * N * Bb * G, bytes_accessed=N * N * Bb * G * 4,
+            transcendentals=0),
+    )(At, bt)
+
+
+def _check_block(n: int, N: int, block):
+    if block is None:
+        # one native lane row.  (Wider blocks — 256/512 lanes — miscompile
+        # into a device hang on this backend's Mosaic; do not raise.)
+        block = BLOCK
+        if N * N * 4 * block > VMEM_BUDGET:
+            raise ValueError(
+                f"system dim {n} exceeds the VMEM budget of the lane-"
+                "parallel kernel; use batched_solve() for auto-fallback")
+    return block
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
     """Solve A[i] @ x[i] = b[i] for a batch of dense real systems.
@@ -170,15 +207,7 @@ def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
     R = b.shape[2] if multi else 1
     b3 = b if multi else b[..., None]                      # (B, n, R)
     N = _round_up(n, SUBLANE)
-    if block is None:
-        # one native lane row.  (Wider blocks — 256/512 lanes — miscompile
-        # into a device hang on this backend's Mosaic; do not raise.)
-        block = BLOCK
-        if N * N * 4 * block > VMEM_BUDGET:
-            raise ValueError(
-                f"system dim {n} exceeds the VMEM budget of the lane-"
-                "parallel kernel; use batched_solve() for auto-fallback")
-    Bb = block
+    Bb = _check_block(n, N, block)
     Bp = _round_up(Bt, Bb)
 
     # batch lives in a leading grid axis of G slabs of Bb lanes each; Bb is
@@ -193,29 +222,40 @@ def gauss_solve_pallas(A, b, block=None, interpret: bool = False):
         jnp.moveaxis(b3.astype(jnp.float32), 0, -1))       # (n, R, B)
     bt = bt.reshape(N, R, G, Bb).transpose(2, 0, 1, 3)     # (G, N, R, Bb)
 
-    kfn = _gj_kernel_carried if n >= _KERNEL_SWITCH_DIM else _gj_kernel
-    kernel = functools.partial(kfn, n=n, N=N, B=Bb, R=R)
-    mem = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(G,),
-        in_specs=[pl.BlockSpec((None, N, N, Bb), lambda i: (i, 0, 0, 0),
-                               **mem),
-                  pl.BlockSpec((None, N, R, Bb), lambda i: (i, 0, 0, 0),
-                               **mem)],
-        out_specs=pl.BlockSpec((None, N, R, Bb), lambda i: (i, 0, 0, 0),
-                               **mem),
-        out_shape=jax.ShapeDtypeStruct((G, N, R, Bb), jnp.float32),
-        interpret=interpret,
-        compiler_params=(None if pltpu is None else
-                         pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n * N * N * Bp, bytes_accessed=N * N * Bp * 4,
-            transcendentals=0),
-    )(At, bt)
+    out = _gj_pallas_core(At, bt, n=n, N=N, R=R, Bb=Bb, G=G,
+                          interpret=interpret)
     out = out.transpose(1, 2, 0, 3).reshape(N, R, Bp)
     out = jnp.moveaxis(out[:n, :, :Bt], -1, 0)             # (B, n, R)
     return (out if multi else out[..., 0]).astype(A.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def gauss_solve_pallas_lanes(A, b, block=None, interpret: bool = False):
+    """Batch-minor entry: A (n, n, B), b (n, R, B) -> x (n, R, B).
+
+    Same kernel as :func:`gauss_solve_pallas`, but the operands already
+    carry the batch on the last (lane) axis — the layout the kernel wants —
+    so no (B, n, n) -> (n, n, B) relayout is paid per call.  This is the
+    solve primitive of the lane-major sweep path (hpfx.lanes), where every
+    tensor in the Newton trip keeps the scenario batch lane-minor.
+    """
+    n, _, Bt = A.shape
+    R = b.shape[1]
+    N = _round_up(n, SUBLANE)
+    Bb = _check_block(n, N, block)
+    Bp = _round_up(Bt, Bb)
+    G = Bp // Bb
+    At = jnp.zeros((N, N, Bp), jnp.float32)
+    At = At.at[:n, :n, :Bt].set(A.astype(jnp.float32))
+    At = At.reshape(N, N, G, Bb).transpose(2, 0, 1, 3)     # (G, N, N, Bb)
+    bt = jnp.zeros((N, R, Bp), jnp.float32)
+    bt = bt.at[:n, :, :Bt].set(b.astype(jnp.float32))
+    bt = bt.reshape(N, R, G, Bb).transpose(2, 0, 1, 3)     # (G, N, R, Bb)
+
+    out = _gj_pallas_core(At, bt, n=n, N=N, R=R, Bb=Bb, G=G,
+                          interpret=interpret)
+    out = out.transpose(1, 2, 0, 3).reshape(N, R, Bp)
+    return out[:n, :, :Bt].astype(A.dtype)
 
 
 import os
@@ -296,6 +336,45 @@ def batched_solve(A, b):
     if not USE_PALLAS_SOLVE or n > MAX_PALLAS_DIM:
         return equilibrated(_lu_solve_tpu)(A, b)
     return equilibrated(gauss_solve_pallas)(A, b)
+
+
+def equilibrated_lanes(solve):
+    """Batch-minor twin of :func:`equilibrated`: A (n, n, B), b (n, R, B)."""
+    def wrapped(A, b):
+        absA = jnp.abs(A)
+        r = 1.0 / jnp.maximum(jnp.max(absA, axis=1), 1e-30)    # (n, B)
+        As = A * r[:, None, :]
+        c = 1.0 / jnp.maximum(jnp.max(jnp.abs(As), axis=0), 1e-30)
+        As = As * c[None, :, :]
+        bs = b * r[:, None, :]
+        x = solve(As, bs)
+        return x * c[:, None, :]
+    return wrapped
+
+
+def _lu_solve_lanes(A, b):
+    """LAPACK/XLA-LU fallback for batch-minor operands (relayout both ways)."""
+    Am = jnp.moveaxis(A, -1, 0)
+    bm = jnp.moveaxis(b, -1, 0)
+    lu = _lu_solve_tpu if jax.default_backend() == "tpu" else _lu_solve
+    return jnp.moveaxis(lu(Am, bm), 0, -1)
+
+
+def batched_solve_lanes(A, b):
+    """Batch-minor twin of :func:`batched_solve`: A (n, n, B), b (n, R, B).
+
+    The dispatch mirrors batched_solve (Pallas lane-parallel kernel on TPU
+    with equilibration; XLA LU on CPU / for oversized dims; raw LAPACK for
+    f64) but operands stay lane-minor end to end on the fast path.
+    """
+    n = A.shape[0]
+    if A.dtype == jnp.float64:
+        return jnp.moveaxis(jnp.linalg.solve(
+            jnp.moveaxis(A, -1, 0), jnp.moveaxis(b, -1, 0)), 0, -1)
+    if jax.default_backend() == "cpu" or not USE_PALLAS_SOLVE \
+            or n > MAX_PALLAS_DIM:
+        return equilibrated_lanes(_lu_solve_lanes)(A, b)
+    return equilibrated_lanes(gauss_solve_pallas_lanes)(A, b)
 
 
 @jax.custom_batching.custom_vmap

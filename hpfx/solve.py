@@ -83,6 +83,16 @@ def hpf_sweep(net: Network, devices: DeviceSet, settings: Settings,
     Kron-reduced sweep path, where the dense reduced blocks replace the
     line-built ones).
     """
+    from .lanes import hpf_sweep_lanes, supports_lanes
+    if settings.layout != "vmap" and supports_lanes(devices, settings, net) \
+            and (settings.layout == "lanes"
+                 or jax.default_backend() == "tpu"):
+        # lane-major fast path: batch carried on the last (lane) axis
+        # through the whole trip (see hpfx.lanes) — identical iteration,
+        # TPU-friendly tiling
+        return hpf_sweep_lanes(net, devices, settings, scenarios,
+                               V0=V0, Y=Y)
+
     lineY = lineY_f = None
     if Y is None:
         Y = build_ybus(net, settings)

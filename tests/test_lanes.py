@@ -1,0 +1,174 @@
+"""Lane-major (batch-minor) sweep path: equivalence with the vmap path.
+
+The lanes path (hpfx.lanes) is the TPU-fast layout of the exact same
+batched solver hpfx.solve.hpf_sweep runs under vmap; these tests pin down
+that both layouts compute the same iteration.  Comparisons allow the
+fp-reorder noise Newton amplifies near the convergence threshold: the two
+paths stop at (slightly) different points of the same basin, so states are
+compared as phasors at the thresh_h·sensitivity scale, and scenario
+convergence flags must match exactly.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import hpfx
+from hpfx.lanes import supports_lanes
+from hpfx.solve import Scenarios, hpf_sweep, hpf_sweep_adaptive
+
+from conftest import DATA, load_golden
+
+
+def _setup(net_name, h_max, coupled, stable=True, dtype="float32"):
+    s = hpfx.settings_for_hmax(h_max, coupled=coupled).with_(
+        solver="arrow", stable_mismatch=stable, dtype=dtype)
+    net = hpfx.load_network(f"{DATA}/{net_name}_buses.csv",
+                            f"{DATA}/{net_name}_lines.csv", s)
+    dev = hpfx.load_device_set(net, s)
+    return s, net, dev
+
+
+def _scen(B, dtype=jnp.float32):
+    return Scenarios(
+        p_scale=jnp.linspace(0.9, 1.1, B, dtype=dtype),
+        q_scale=jnp.linspace(0.95, 1.05, B, dtype=dtype),
+        injection_scale=jnp.linspace(0.8, 1.2, B, dtype=dtype))
+
+
+def _phasor_dist(r_a, r_b):
+    """Max |V_a - V_b| as phasors (angle noise where V_m ~ 0 is physically
+    meaningless and excluded by construction)."""
+    pa = np.asarray(r_a.V_m) * np.exp(1j * np.asarray(r_a.V_a))
+    pb = np.asarray(r_b.V_m) * np.exp(1j * np.asarray(r_b.V_a))
+    return np.abs(pa - pb).max()
+
+
+CONFIGS = [
+    ("net2", 25, True, True),
+    ("net2", 25, False, False),
+    ("net3", 25, True, True),    # PV bus (c = 2)
+    ("net3", 5, False, True),
+    ("net1", 25, True, True),    # reference-scale, 7 devices
+]
+
+
+@pytest.mark.parametrize("net_name,h_max,coupled,stable", CONFIGS,
+                         ids=lambda v: str(v))
+def test_lanes_matches_vmap(net_name, h_max, coupled, stable):
+    s, net, dev = _setup(net_name, h_max, coupled, stable)
+    assert supports_lanes(dev, s, net)
+    sc = _scen(6)
+    r_v = hpf_sweep(net, dev, s.with_(layout="vmap"), sc)
+    r_l = hpf_sweep(net, dev, s.with_(layout="lanes"), sc)
+    assert np.array_equal(np.asarray(r_v.converged),
+                          np.asarray(r_l.converged))
+    assert np.asarray(r_l.converged).all()
+    assert _phasor_dist(r_v, r_l) < 5e-4
+    # fundamental warm start identical (same ops, same layout-insensitive
+    # convergence) to f32 noise
+    np.testing.assert_allclose(np.asarray(r_v.fund.V_m),
+                               np.asarray(r_l.fund.V_m), atol=1e-5)
+
+
+def test_lanes_matches_golden_nominal():
+    """The lanes f32 solution at the nominal scenario stays within the
+    same distance of the f64 golden the vmap f32 path is held to
+    (tests/test_f32_path.py)."""
+    for cfg in (("net2", 25, True), ("net1", 25, True)):
+        net_name, h_max, coupled = cfg
+        g = load_golden(cfg)
+        s, net, dev = _setup(net_name, h_max, coupled, stable=True)
+        one = jnp.ones((4,), jnp.float32)
+        res = hpf_sweep(net, dev, s.with_(layout="lanes"),
+                        Scenarios(one, one, one))
+        assert np.asarray(res.converged).all()
+        assert np.abs(np.asarray(res.V_m)[0] - g["V_m"]).max() < 3e-4
+
+
+def test_lanes_err_hist_semantics():
+    """err_hist rows: finite for exactly the first n_iter trips, NaN after
+    (same contract as the vmap path)."""
+    s, net, dev = _setup("net2", 25, True)
+    sc = _scen(5)
+    res = hpf_sweep(net, dev, s.with_(layout="lanes"), sc)
+    hist = np.asarray(res.err_hist)
+    n_iter = np.asarray(res.n_iter)
+    for i in range(hist.shape[0]):
+        assert np.isfinite(hist[i, : n_iter[i]]).all()
+        assert np.isnan(hist[i, n_iter[i]:]).all()
+
+
+def test_lanes_warm_start_and_adaptive():
+    """V0 warm starts flow through the lanes path (the adaptive sweep's
+    phase-2 re-solve) and the adaptive sweep converges everything."""
+    s, net, dev = _setup("net2", 25, True)
+    sc = _scen(8)
+    full = hpf_sweep(net, dev, s.with_(layout="lanes"), sc)
+    warm = hpf_sweep(net, dev, s.with_(layout="lanes"), sc,
+                     V0=(full.V_m, full.V_a))
+    # warm-started from the converged solution: 0 or 1 touch-up iterations
+    assert int(np.asarray(warm.n_iter).max()) <= 1
+    assert np.asarray(warm.converged).all()
+
+    ada = hpf_sweep_adaptive(net, dev, s.with_(layout="lanes"), sc,
+                             phase_iters=8)
+    assert np.asarray(ada.converged).all()
+    assert _phasor_dist(full, ada) < 5e-4
+
+
+def test_lanes_per_bus_scaling():
+    """p/q scales given per (scenario, bus) — the (B, n) broadcast arm."""
+    s, net, dev = _setup("net2", 25, True)
+    B, n = 4, net.n
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(1.0 + 0.1 * rng.standard_normal((B, n)), jnp.float32)
+    q = jnp.asarray(1.0 + 0.1 * rng.standard_normal((B, n)), jnp.float32)
+    inj = jnp.linspace(0.9, 1.1, B, dtype=jnp.float32)
+    sc = Scenarios(p_scale=p, q_scale=q, injection_scale=inj)
+    r_v = hpf_sweep(net, dev, s.with_(layout="vmap"), sc)
+    r_l = hpf_sweep(net, dev, s.with_(layout="lanes"), sc)
+    assert np.array_equal(np.asarray(r_v.converged),
+                          np.asarray(r_l.converged))
+    assert _phasor_dist(r_v, r_l) < 5e-4
+
+
+def test_lanes_f64_trajectory_parity():
+    """In f64 the two layouts follow the same trajectory to fp noise for
+    the early iterations (before chaotic NR amplification) — a much
+    stronger check than final-state agreement."""
+    s, net, dev = _setup("net2", 25, True, dtype="float64")
+    sc = Scenarios(p_scale=jnp.linspace(0.9, 1.1, 4),
+                   q_scale=jnp.ones((4,)),
+                   injection_scale=jnp.ones((4,)))
+    r_v = hpf_sweep(net, dev, s.with_(layout="vmap"), sc)
+    r_l = hpf_sweep(net, dev, s.with_(layout="lanes"), sc)
+    h_v = np.asarray(r_v.err_hist)[:, :4]
+    h_l = np.asarray(r_l.err_hist)[:, :4]
+    np.testing.assert_allclose(h_v, h_l, rtol=1e-6)
+
+
+def test_lanes_fallback_unsupported():
+    """Configurations outside the lanes scope (dense solver) silently use
+    the vmap path under layout='auto' — results must exist and converge."""
+    s, net, dev = _setup("net2", 25, True)
+    s_dense = s.with_(solver="dense", layout="auto")
+    assert not supports_lanes(dev, s_dense, net)
+    res = hpf_sweep(net, dev, s_dense, _scen(3))
+    assert np.asarray(res.converged).all()
+
+
+def test_solve_lanes_kernel_interpret():
+    """Batch-minor Pallas entry (interpret mode) vs LAPACK."""
+    from hpfx.ops.batched_solve import gauss_solve_pallas_lanes
+    rng = np.random.default_rng(1)
+    n, R, B = 18, 3, 40
+    A = rng.standard_normal((B, n, n)).astype(np.float32)
+    A += n * np.eye(n, dtype=np.float32)
+    b = rng.standard_normal((B, n, R)).astype(np.float32)
+    x_ref = np.linalg.solve(A, b)
+    Al = jnp.moveaxis(jnp.asarray(A), 0, -1)
+    bl = jnp.moveaxis(jnp.asarray(b), 0, -1)
+    x = gauss_solve_pallas_lanes(Al, bl, interpret=True)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(x), -1, 0), x_ref,
+                               atol=2e-4)

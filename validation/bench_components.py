@@ -32,17 +32,25 @@ NET = sys.argv[2] if len(sys.argv) > 2 else "net2"
 HMAX = int(sys.argv[3]) if len(sys.argv) > 3 else 25
 
 
+def _sync(out):
+    """Force device completion by host-materializing one scalar per leaf.
+
+    block_until_ready does NOT synchronize on the axon relay (BENCH_NOTES
+    "measurement integrity") — only host transfers wait, so the sync is a
+    reduction to a scalar pulled to the host.
+    """
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype"):
+            np.asarray(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def timeit(name, fn, *args, reps=10):
     out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / reps
     print(f"{name:35s} {dt * 1e3:8.2f} ms")
     return out
