@@ -85,6 +85,17 @@ class Settings:
     # is supported (arrow solver + stacked Norton devices), vmap otherwise.
     layout: str = "auto"
 
+    # Fused NR-trip megakernel (hpfx.ops.fused_trip): one Pallas program
+    # per Newton iteration (block assembly + simultaneous per-harmonic
+    # Gauss-Jordan + Woodbury + state update + mismatch, VMEM-resident).
+    # "off" (default): the unfused lane-major XLA trip — on THIS backend's
+    # Mosaic the fused kernel miscompiles (wrong results vs its own
+    # interpret mode) and its per-elimination-step overhead is ~30x the
+    # unfused path (see BENCH_NOTES "fused-trip negative result");
+    # "on" = force the compiled kernel on TPU (for re-testing on newer
+    # runtimes); "interpret" = Pallas interpret mode (the tests' oracle).
+    fused_trip: str = "off"
+
     # Floor-aware convergence: the mismatch can only be *evaluated* to
     # ~eps·scale, scale = max_i sum_j |Y_ij|·|V_j| (+ Norton |Y_N|·|V|
     # sensitivities) — in f32 on stiff grids (net1: scale ~ 2e3) that
