@@ -338,6 +338,52 @@ def batched_solve(A, b):
     return equilibrated(gauss_solve_pallas)(A, b)
 
 
+#: dims <= this use the statically-unrolled pure-XLA Gauss-Jordan on the
+#: lane-minor path.  At tiny dims the Pallas kernel pays one sequential
+#: grid step per 128 systems while XLA executes the same unrolled
+#: arithmetic as fused ops over the full (n, n, B) batch.  Measured on
+#: v5e at sweep shapes (honest sync): dim 8 XLA 4.97 ms vs Pallas 6.22 ms
+#: isolated, dim 26 tie, dim 40 Pallas wins 4x; END-TO-END the net2 sweep
+#: is identical either way (the tiny-dim solve is no longer the trip
+#: bottleneck), so this keeps the small isolated win and reduces Pallas
+#: launch surface.
+XLA_GJ_MAX_DIM = 16
+
+
+def gj_solve_xla_lanes(A, b):
+    """Statically-unrolled Gauss-Jordan with virtual partial pivoting, as
+    plain XLA ops on lane-minor operands: A (n, n, B), b (n, R, B).
+
+    Mathematically identical to the Pallas kernel's elimination
+    (hpfx/ops/batched_solve.py top docstring) — per-system pivot row
+    selected by max |A[r, k]| among unused rows, fused rank-1
+    update+normalization, solution recovered by one contraction since A
+    converges to a per-system permutation.  The loop over columns is
+    unrolled at trace time (n is static and small on this path), so the
+    column extraction is a static slice and XLA fuses each step into a
+    few kernels over the full batch — no per-128-lane grid serialization.
+    """
+    n, _, B = A.shape
+    R = b.shape[1]
+    row_nb = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
+    used = jnp.zeros((n, B), A.dtype)
+    for k in range(n):
+        colk = A[:, k, :]                                      # (n, B)
+        score = jnp.abs(colk) - 1e30 * used
+        p = jnp.argmax(score, axis=0)                          # (B,)
+        on_p = (row_nb == p[None, :]).astype(A.dtype)          # (n, B)
+        rowp = jnp.sum(on_p[:, None, :] * A, axis=0)           # (n, B)
+        bp = jnp.sum(on_p[:, None, :] * b, axis=0)             # (R, B)
+        pivot = jnp.sum(on_p * colk, axis=0)                   # (B,)
+        inv_piv = 1.0 / pivot
+        w = (1.0 - on_p) * colk * inv_piv[None, :] + \
+            on_p * (1.0 - inv_piv[None, :])
+        A = A - w[:, None, :] * rowp[None, :, :]
+        b = b - w[:, None, :] * bp[None, :, :]
+        used = jnp.maximum(used, on_p)
+    return jnp.einsum("kib,krb->irb", A, b)
+
+
 def equilibrated_lanes(solve):
     """Batch-minor twin of :func:`equilibrated`: A (n, n, B), b (n, R, B)."""
     def wrapped(A, b):
@@ -371,8 +417,11 @@ def batched_solve_lanes(A, b):
     if A.dtype == jnp.float64:
         return jnp.moveaxis(jnp.linalg.solve(
             jnp.moveaxis(A, -1, 0), jnp.moveaxis(b, -1, 0)), 0, -1)
-    if jax.default_backend() == "cpu" or not USE_PALLAS_SOLVE \
-            or n > MAX_PALLAS_DIM:
+    if jax.default_backend() == "cpu" or not USE_PALLAS_SOLVE:
+        return equilibrated_lanes(_lu_solve_lanes)(A, b)
+    if n <= XLA_GJ_MAX_DIM:
+        return equilibrated_lanes(gj_solve_xla_lanes)(A, b)
+    if n > MAX_PALLAS_DIM:
         return equilibrated_lanes(_lu_solve_lanes)(A, b)
     return equilibrated_lanes(gauss_solve_pallas_lanes)(A, b)
 

@@ -158,6 +158,22 @@ def test_lanes_fallback_unsupported():
     assert np.asarray(res.converged).all()
 
 
+def test_gj_solve_xla_lanes():
+    """Statically-unrolled pure-XLA Gauss-Jordan (the tiny-dim solve of
+    the lane-minor dispatch) vs LAPACK."""
+    from hpfx.ops.batched_solve import gj_solve_xla_lanes
+    rng = np.random.default_rng(2)
+    for n, R, B in [(8, 3, 100), (16, 1, 64)]:
+        A = rng.standard_normal((B, n, n)).astype(np.float32)
+        A += n * np.eye(n, dtype=np.float32)
+        b = rng.standard_normal((B, n, R)).astype(np.float32)
+        x_ref = np.linalg.solve(A, b)
+        x = gj_solve_xla_lanes(jnp.moveaxis(jnp.asarray(A), 0, -1),
+                               jnp.moveaxis(jnp.asarray(b), 0, -1))
+        np.testing.assert_allclose(np.moveaxis(np.asarray(x), -1, 0),
+                                   x_ref, atol=2e-4)
+
+
 def test_solve_lanes_kernel_interpret():
     """Batch-minor Pallas entry (interpret mode) vs LAPACK."""
     from hpfx.ops.batched_solve import gauss_solve_pallas_lanes
