@@ -100,6 +100,42 @@ def _gj_kernel(a_ref, b_ref, x_ref, *, n: int, N: int, B: int, R: int = 1):
 _KERNEL_SWITCH_DIM = 64
 
 
+def _gj_kernel_unrolled(a_ref, b_ref, x_ref, *, n: int, N: int, B: int,
+                        R: int = 1):
+    """Statically-unrolled variant of :func:`_gj_kernel_carried`: the
+    elimination loop is unrolled at trace time, so the working column is
+    a FREE static slice ``A[:, k, :]`` instead of a masked reduce against
+    the traced loop index.
+
+    MEASURED NEGATIVE RESULT (keep for re-testing on newer runtimes):
+    at dim 182 / B=512 on v5e this runs 240 ms vs the carried fori-loop
+    kernel's 48 ms (5x slower) and costs 290 s of Mosaic compile —
+    straight-line unrolling defeats Mosaic's loop software-pipelining on
+    this backend, the opposite of the round-2 plan's expectation.
+    Numerically correct (3e-7 vs LAPACK).  Env-gated via
+    HPFX_GJ_UNROLLED=1; never selected by default.
+    """
+    row_nb = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
+    A = a_ref[:]
+    b = b_ref[:]
+    used = (row_nb >= n).astype(jnp.float32)
+    for k in range(n):
+        colk = A[:, k, :]                                          # free
+        score = jnp.abs(colk) - 1e30 * used
+        p = jnp.argmax(score, axis=0)                              # (B,)
+        on_p = (row_nb == p[None, :]).astype(A.dtype)              # (N,B)
+        rowp = jnp.sum(on_p[:, None, :] * A, axis=0)               # (N,B)
+        bp = jnp.sum(on_p[:, None, :] * b, axis=0)                 # (R,B)
+        pivot = jnp.sum(on_p * colk, axis=0, keepdims=True)        # (1,B)
+        inv_piv = 1.0 / pivot
+        w = (1.0 - on_p) * colk * inv_piv + on_p * (1.0 - inv_piv)
+        A = A - w[:, None, :] * rowp[None, :, :]
+        b = b - w[:, None, :] * bp[None, :, :]
+        used = jnp.maximum(used, on_p)
+    for r in range(R):
+        x_ref[:, r, :] = jnp.sum(A * b[:, r:r + 1, :], axis=0)
+
+
 def _gj_kernel_carried(a_ref, b_ref, x_ref, *, n: int, N: int, B: int,
                        R: int = 1):
     """Large-dim variant of :func:`_gj_kernel`: the working column of the
@@ -161,7 +197,13 @@ def _gj_kernel_carried(a_ref, b_ref, x_ref, *, n: int, N: int, B: int,
 def _gj_pallas_core(At, bt, *, n: int, N: int, R: int, Bb: int, G: int,
                     interpret: bool):
     """Shared pallas_call: At (G, N, N, Bb), bt (G, N, R, Bb) f32 slabs."""
-    kfn = _gj_kernel_carried if n >= _KERNEL_SWITCH_DIM else _gj_kernel
+    import os as _os
+    if n >= _KERNEL_SWITCH_DIM:
+        kfn = (_gj_kernel_unrolled
+               if _os.environ.get("HPFX_GJ_UNROLLED", "0") == "1"
+               else _gj_kernel_carried)
+    else:
+        kfn = _gj_kernel
     kernel = functools.partial(kfn, n=n, N=N, B=Bb, R=R)
     mem = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -158,6 +158,32 @@ def test_lanes_fallback_unsupported():
     assert np.asarray(res.converged).all()
 
 
+def test_lanes_sharded_matches_unsharded():
+    """The lanes layout under GSPMD scenario sharding (8-device CPU mesh,
+    non-divisible batch -> padding arm) equals the unsharded sweep."""
+    from hpfx.parallel import hpf_sweep_sharded, scenario_mesh
+    s, net, dev = _setup("net2", 25, True, True)
+    s = s.with_(layout="lanes")
+    # mild spread: robustly convergent, so flags can't flip on fp noise
+    sc = Scenarios(
+        p_scale=jnp.linspace(0.95, 1.05, 12, dtype=jnp.float32),
+        q_scale=jnp.linspace(0.98, 1.02, 12, dtype=jnp.float32),
+        injection_scale=jnp.linspace(0.9, 1.1, 12, dtype=jnp.float32))
+    mesh = scenario_mesh(8)
+    r_sh = hpf_sweep_sharded(net, dev, s, sc, mesh)
+    r_un = hpf_sweep(net, dev, s, sc)
+    conv_sh = np.asarray(r_sh.converged)
+    conv_un = np.asarray(r_un.converged)
+    assert conv_sh.shape == (12,)
+    # net2-coupled-f32 has basin-boundary scenarios whose convergence can
+    # flip on ANY fp difference (incl. batch-padding-induced fusion
+    # changes) — compare states on the commonly-converged set only
+    both = conv_sh & conv_un
+    assert both.sum() >= 10
+    take = lambda r: r._replace(V_m=r.V_m[both], V_a=r.V_a[both])
+    assert _phasor_dist(take(r_sh), take(r_un)) < 5e-4
+
+
 def test_gj_solve_xla_lanes():
     """Statically-unrolled pure-XLA Gauss-Jordan (the tiny-dim solve of
     the lane-minor dispatch) vs LAPACK."""
