@@ -289,13 +289,24 @@ def cleanup_voltages(V_m, V_a):
 @highest_precision
 def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
                    settings: Settings, V0=None,
-                   record_trajectory: bool = False, lineY=None) -> HPFResult:
+                   record_trajectory: bool = False, lineY=None,
+                   vsharding=None) -> HPFResult:
     """The harmonic NR hot loop (hcne_generalized.py:530-549) as one
     ``lax.while_loop``.
 
     ``V0``: optional (V_m, V_a) warm start, e.g. from a checkpointed or
     previously converged solution (hpfx.checkpoint) — replaces the flat
     start while keeping the fundamental row from ``fund``.
+
+    ``vsharding``: optional ``jax.sharding.NamedSharding`` for the (H, n)
+    voltage state — the harmonic-axis model-parallel hook
+    (hpfx.parallel.hpf_single_hsharded).  Applied as a
+    ``with_sharding_constraint`` to the while-loop carry so GSPMD keeps
+    every per-harmonic op (Ybus matvecs, block Jacobians, the arrow block
+    solves) partitioned over the mesh's harmonic axis and inserts the ICI
+    collectives only where harmonics actually couple (the Norton
+    cross-harmonic einsum and the Woodbury capacitance reduction).
+    Requires being called under ``jit``; ``None`` = no constraint.
 
     ``lineY``: optional ``hpfx.ybus.LineYbus`` enabling the stable
     mismatch.  Supplied by entry points that built ``Y`` from the network
@@ -311,6 +322,14 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
         V_m, V_a = init_harmonic_voltages(fund, net, settings)
     else:
         V_m, V_a = V0
+
+    def _vc(V_m, V_a):
+        if vsharding is None:
+            return V_m, V_a
+        return (lax.with_sharding_constraint(V_m, vsharding),
+                lax.with_sharding_constraint(V_a, vsharding))
+
+    V_m, V_a = _vc(V_m, V_a)
     f0, err0 = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c, lineY)
     # floor-aware effective threshold (see mismatch_floor); reduces to the
     # plain absolute thresh_h in f64 where the floor is ~1e-12
@@ -343,6 +362,7 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
     def body(state: HPFState) -> HPFState:
         x = state.x - _newton_step(state.V_m, state.V_a, state.f)
         V_m, V_a = update_harmonic_voltages(state.V_m, state.V_a, x, H, n, c)
+        V_m, V_a = _vc(V_m, V_a)
         f, err = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c, lineY)
         hist = state.err_hist.at[state.n_iter].set(err)
         traj = state.traj

@@ -435,13 +435,21 @@ def _scale_cols(base, scale, n: int, B: int):
 
 @highest_precision
 def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
-                    scenarios, V0=None, Y: Optional[Cx] = None) -> HPFResult:
+                    scenarios, V0=None, Y: Optional[Cx] = None,
+                    vsharding=None) -> HPFResult:
     """Batched HPF sweep with the scenario batch lane-minor throughout.
 
     Drop-in equivalent of ``hpfx.solve.hpf_sweep`` for the supported
     configuration (see :func:`supports_lanes`); returns the usual
     batch-major ``HPFResult``.  The final transpose back to batch-major is
     the only layout change the caller sees.
+
+    ``vsharding``: optional ``NamedSharding`` for the (H, n, B) voltage
+    carry — the 2-D scenario × harmonic mesh hook
+    (hpfx.parallel.hpf_sweep_sharded2d): the lane-major layout exposes
+    both parallel axes of the problem as array axes, so a single
+    ``P(harmonic, None, scenario)`` constraint makes the whole Newton
+    trip DP × TP partitioned under GSPMD.  Requires jit; None = off.
     """
     H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
     rd = settings.real_dtype
@@ -451,6 +459,12 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
     if Y is None:
         Y = build_ybus(net, settings)
         lineY, lineY_f = line_ybus_pair(net, settings)
+    if vsharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        yspec = NamedSharding(vsharding.mesh,
+                              _P(vsharding.spec[0], None, None))
+        Y = jax.tree.map(
+            lambda a: lax.with_sharding_constraint(a, yspec), Y)
 
     q_scale = scenarios.q_scale if scenarios.q_scale is not None \
         else scenarios.p_scale
@@ -468,6 +482,14 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
     else:
         V_m = jnp.moveaxis(jnp.asarray(V0[0], rd), 0, -1)
         V_a = jnp.moveaxis(jnp.asarray(V0[1], rd), 0, -1)
+
+    def _vc(V_m, V_a):
+        if vsharding is None:
+            return V_m, V_a
+        return (lax.with_sharding_constraint(V_m, vsharding),
+                lax.with_sharding_constraint(V_a, vsharding))
+
+    V_m, V_a = _vc(V_m, V_a)
 
     consts = _make_arrow_consts(H, n, m, c)
     f0, err0 = mismatch_lanes(V_m, V_a, Y, S, devices, inj, m, n, c, lineY)
@@ -570,6 +592,7 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
                                         m, n, c, lineY)
         V_m = jnp.where(act, Vm_new, V_m)
         V_a = jnp.where(act, Va_new, V_a)
+        V_m, V_a = _vc(V_m, V_a)
         x = jnp.where(act, x_new, x)
         f = jnp.where(act, f_new, f)
         err = jnp.where(act, err_new, err)

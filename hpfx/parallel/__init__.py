@@ -1,5 +1,7 @@
-from .mesh import (scenario_mesh, shard_scenarios, hpf_sweep_sharded,
-                   hosting_capacity_sharded)
+from .mesh import (harmonic_mesh, hosting_capacity_sharded, hpf_mesh,
+                   hpf_single_hsharded, hpf_sweep_sharded,
+                   hpf_sweep_sharded2d, scenario_mesh, shard_scenarios)
 
-__all__ = ["scenario_mesh", "shard_scenarios", "hpf_sweep_sharded",
-           "hosting_capacity_sharded"]
+__all__ = ["scenario_mesh", "harmonic_mesh", "hpf_mesh", "shard_scenarios",
+           "hpf_sweep_sharded", "hpf_sweep_sharded2d",
+           "hpf_single_hsharded", "hosting_capacity_sharded"]

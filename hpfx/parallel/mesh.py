@@ -27,6 +27,7 @@ from ..network import Network
 from ..solve import Scenarios, SweepSummary, hosting_capacity_sweep, hpf_sweep
 
 SCENARIO_AXIS = "scenario"
+HARMONIC_AXIS = "harmonic"
 
 
 def scenario_mesh(n_devices: Optional[int] = None,
@@ -37,6 +38,30 @@ def scenario_mesh(n_devices: Optional[int] = None,
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (SCENARIO_AXIS,))
+
+
+def harmonic_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh with the *harmonic* axis sharded — model parallelism over
+    the problem's own scaling dimension (SURVEY §5.7: state dim grows as
+    2·H·n; the coupled Jacobian has (K+1)² coupling blocks)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (HARMONIC_AXIS,))
+
+
+def hpf_mesh(n_scenario: int, n_harmonic: int, devices=None) -> Mesh:
+    """2-D scenario × harmonic mesh (the DP × TP analogue): independent
+    scenarios ride the first axis, the per-scenario harmonic blocks are
+    model-parallel over the second.  Collectives for the cross-harmonic
+    Norton coupling and the Woodbury capacitance reduction stay inside a
+    harmonic group (ICI-local on a pod slice)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:n_scenario * n_harmonic]).reshape(
+        n_scenario, n_harmonic)
+    return Mesh(devices, (SCENARIO_AXIS, HARMONIC_AXIS))
 
 
 def _pad_scenarios(scenarios: Scenarios, mesh: Mesh):
@@ -92,6 +117,84 @@ def hpf_sweep_sharded(net: Network, devices: DeviceSet, settings: Settings,
         partial(hpf_sweep.__wrapped__, settings=settings),
         static_argnames=(),
         out_shardings=out_spec)
+    res = fn(net, devices, scenarios=scenarios)
+    if res.V_m.shape[0] != B:
+        res = jax.tree.map(lambda x: x[:B], res)
+    return res
+
+
+def hpf_single_hsharded(net: Network, devices: DeviceSet,
+                        settings: Settings, mesh: Mesh):
+    """Single HPF solve with the **harmonic axis** sharded over ``mesh``
+    (model parallelism; the TP analogue of SURVEY §5.7).
+
+    The (H, n, n) admittance tensor and the (H, n) voltage state are
+    partitioned over the mesh axis named ``HARMONIC_AXIS``; GSPMD then
+    keeps every per-harmonic operation — Ybus matvecs, per-harmonic block
+    Jacobians, and (with ``Settings.solver="arrow"``) the independent
+    per-harmonic block factorizations of the arrow Newton step — local to
+    its shard, and inserts collectives only where harmonics genuinely
+    couple: the Norton cross-harmonic injection einsum
+    (hcne_generalized.py:319-322 — an all-gather of the nonlinear-bus
+    voltages) and the dim-2·H·n_nl Woodbury capacitance reduction
+    (hpfx/arrow.py — an all-reduce of per-harmonic G-blocks).
+
+    ``mesh`` may be 1-D (``harmonic_mesh``) or the harmonic axis of a 2-D
+    ``hpf_mesh``.  Uneven H over the axis is handled by GSPMD padding.
+    Numerically identical to ``hpf_single`` (tests/test_sharding.py).
+    Retraces per call — this is the large-H·n scaling demonstrator, not
+    the throughput path (that is the scenario-sharded sweep)."""
+    from ..fundamental import solve_fundamental
+    from ..harmonic import solve_harmonic
+    from ..ybus import build_ybus, line_ybus_pair
+
+    yspec = NamedSharding(mesh, P(HARMONIC_AXIS, None, None))
+    vspec = NamedSharding(mesh, P(HARMONIC_AXIS, None))
+    net = _replicate(net, mesh)
+    dev_r = _replicate(devices, mesh)
+
+    @jax.jit
+    def run(net, dev):
+        Y = build_ybus(net, settings)
+        Y = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, yspec), Y)
+        lineY, lineY_f = line_ybus_pair(net, settings)
+        fund = solve_fundamental(Y[0], net, settings, lineY=lineY_f)
+        return solve_harmonic(Y, fund, net, dev, settings, lineY=lineY,
+                              vsharding=vspec)
+
+    return run(net, dev_r)
+
+
+def hpf_sweep_sharded2d(net: Network, devices: DeviceSet,
+                        settings: Settings, scenarios: Scenarios,
+                        mesh: Mesh) -> HPFResult:
+    """Batched HPF sweep on a 2-D scenario × harmonic mesh (DP × TP).
+
+    Rides the lane-major trip (hpfx.lanes), whose (H, n, B) layout
+    exposes both parallel axes of the problem as array axes: the batch
+    axis is sharded over ``SCENARIO_AXIS`` (independent scenarios, no
+    communication) and the harmonic axis over ``HARMONIC_AXIS``
+    (model parallelism; collectives for the Norton cross-harmonic
+    coupling and the Woodbury reduction stay inside a harmonic group).
+    Build ``mesh`` with :func:`hpf_mesh`.  Requires the lanes-supported
+    configuration (``Settings.solver="arrow"``, stacked DeviceSet).
+
+    Numerically identical to the unsharded lanes sweep
+    (tests/test_sharding.py); batch padded to the scenario axis,
+    GSPMD-padded over harmonics."""
+    from ..lanes import hpf_sweep_lanes, supports_lanes
+
+    if not supports_lanes(devices, settings, net):
+        raise ValueError("hpf_sweep_sharded2d needs the lanes-supported "
+                         "configuration (arrow solver, stacked DeviceSet)")
+    scenarios, B = _pad_scenarios(scenarios, mesh)
+    net = _replicate(net, mesh)
+    devices = _replicate(devices, mesh)
+    scenarios = shard_scenarios(scenarios, mesh)
+    vspec = NamedSharding(mesh, P(HARMONIC_AXIS, None, SCENARIO_AXIS))
+    fn = jax.jit(partial(hpf_sweep_lanes, settings=settings,
+                         vsharding=vspec))
     res = fn(net, devices, scenarios=scenarios)
     if res.V_m.shape[0] != B:
         res = jax.tree.map(lambda x: x[:B], res)

@@ -115,3 +115,82 @@ def test_hosting_capacity_at_scale():
     expect = float(np.mean((np.asarray(out.max_thd_f) > 0.3)
                            & np.asarray(out.converged)))
     np.testing.assert_allclose(frac, expect)
+
+
+# ---------------------------------------------------------------------------
+# harmonic-axis model parallelism (the TP analogue, SURVEY §5.7)
+
+
+@pytest.mark.parametrize("solver", ["dense", "arrow"])
+def test_hsharded_single_matches_unsharded(solver):
+    """hpf_single with the harmonic axis sharded over 8 devices equals the
+    unsharded solve (same fixed point, identical iteration count) — H=13
+    does not divide 8, so GSPMD's uneven-shard padding is exercised too."""
+    import hpfx
+    from hpfx.parallel import harmonic_mesh, hpf_single_hsharded
+
+    s, net, dev = make_setup(("net2", 25, True))
+    s = s.with_(solver=solver)
+    ref = hpfx.hpf_single(net, dev, settings=s)
+    out = hpf_single_hsharded(net, dev, s, harmonic_mesh(8))
+    assert bool(out.converged)
+    assert int(out.n_iter) == int(ref.n_iter)
+    np.testing.assert_allclose(np.asarray(out.V_m), np.asarray(ref.V_m),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out.V_a), np.asarray(ref.V_a),
+                               atol=1e-10)
+
+
+def test_hsharded_collectives_in_hlo():
+    """The compiled harmonic-sharded program is genuinely partitioned:
+    cross-harmonic coupling lowers to collectives (not a replicated
+    fallback)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hpfx.fundamental import solve_fundamental
+    from hpfx.harmonic import solve_harmonic
+    from hpfx.parallel import harmonic_mesh
+    from hpfx.parallel.mesh import HARMONIC_AXIS, _replicate
+    from hpfx.ybus import build_ybus, line_ybus_pair
+
+    s, net, dev = make_setup(("net2", 25, True))
+    s = s.with_(solver="arrow")
+    mesh = harmonic_mesh(8)
+    yspec = NamedSharding(mesh, P(HARMONIC_AXIS, None, None))
+    vspec = NamedSharding(mesh, P(HARMONIC_AXIS, None))
+
+    @jax.jit
+    def run(net, dev):
+        Y = build_ybus(net, s)
+        Y = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, yspec), Y)
+        lineY, lineY_f = line_ybus_pair(net, s)
+        fund = solve_fundamental(Y[0], net, s, lineY=lineY_f)
+        return solve_harmonic(Y, fund, net, dev, s, lineY=lineY,
+                              vsharding=vspec)
+
+    txt = run.lower(_replicate(net, mesh), _replicate(dev, mesh)) \
+             .compile().as_text()
+    assert "all-reduce" in txt or "all-gather" in txt
+
+
+def test_sharded2d_sweep_matches_lanes():
+    """2-D scenario × harmonic mesh (DP × TP) vs the unsharded lanes sweep:
+    same fixed points within the NR tolerance band (harmonic-axis
+    collectives reorder fp reductions, so not bitwise), iteration counts
+    within 1, identical convergence flags."""
+    from hpfx.parallel import hpf_mesh, hpf_sweep_sharded2d
+
+    s, net, dev = make_setup(("net2", 25, True))
+    s = s.with_(solver="arrow", layout="lanes")
+    scen = Scenarios(p_scale=jnp.linspace(0.95, 1.05, 10),
+                     q_scale=jnp.linspace(0.98, 1.02, 10),
+                     injection_scale=jnp.linspace(0.9, 1.1, 10))
+    ref = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    out = hpf_sweep_sharded2d(net, dev, s, scen, hpf_mesh(4, 2))
+    assert out.V_m.shape == ref.V_m.shape
+    np.testing.assert_array_equal(np.asarray(out.converged),
+                                  np.asarray(ref.converged))
+    assert np.abs(np.asarray(out.n_iter) - np.asarray(ref.n_iter)).max() <= 1
+    np.testing.assert_allclose(np.asarray(out.V_m), np.asarray(ref.V_m),
+                               atol=5e-5)
