@@ -426,6 +426,80 @@ def gj_solve_xla_lanes(A, b):
     return jnp.einsum("kib,krb->irb", A, b)
 
 
+#: dims above this route through the blocked panel-Schur solve on the TPU
+#: lane-minor path (see schur_solve_lanes).  The Pallas GJ elimination is
+#: VPU work (one rank-1 slab update per column); the blocked form does
+#: only a PANEL-wide elimination in the kernel and pushes the trailing
+#: update into lane-batched matmuls.  Below the threshold the extra
+#: launches outweigh the flop shuffle.  HPFX_SCHUR=0 disables.
+SCHUR_MIN_DIM = 128
+#: panel width.  Measured on v5e at dim 182 / B=512 (the net1 H<=25
+#: Woodbury capacitance system): panel 24/32/48/64 -> 5.4/5.2/5.7/6.9 ms
+#: vs 16.3 ms for the direct dim-182 kernel (3.1x) and 8.4 ms for a
+#: single even split (panel 96).
+SCHUR_PANEL = int(os.environ.get("HPFX_SCHUR_PANEL", "32"))
+#: HPFX_SCHUR=1 (default) uses the blocked solve where the direct kernel
+#: cannot go (n > MAX_PALLAS_DIM, previously the ~10x-slower XLA LU);
+#: HPFX_SCHUR=mid additionally replaces the direct kernel for
+#: SCHUR_MIN_DIM < n <= MAX_PALLAS_DIM (3.1x faster isolated; end-to-end
+#: convergence impact under hardware A/B — CPU equivalents show none);
+#: HPFX_SCHUR=0 disables entirely.
+SCHUR_MODE = os.environ.get("HPFX_SCHUR", "1")
+
+
+def schur_solve_lanes(A, b, leaf=None, panel: int = SCHUR_PANEL):
+    """Blocked (right-looking) solve for large dims, batch lane-minor:
+    A (n, n, B), b (n, R, B) -> x (n, R, B).
+
+    Classic blocked LU/Schur recursion with panel width ``panel``:
+
+        [A11 A12] [x1]   [b1]
+        [A21 A22] [x2] = [b2]
+
+        A11 [X12 | y1] = [A12 | b1]      pivoted GJ, dim panel, multi-RHS
+        S = A22 - A21 X12                lane-batched matmul (MXU)
+        S x2 = b2 - A21 y1               recurse on the trailing system
+        x1 = y1 - X12 x2                 lane-batched matmul
+
+    Each panel solve keeps the lane-parallel kernel's virtual partial
+    pivoting *within* its ``panel`` rows; there are no row exchanges
+    across panels (block LU with block-diagonal pivoting).  Callers
+    equilibrate first (the batched_solve_lanes dispatcher does), which
+    keeps the panel eliminations well-scaled on HPF capacitance systems
+    (S = I + C·G, near-unit diagonal); f32 accuracy vs the fully pivoted
+    elimination is regression-tested on capacitance-style systems in
+    tests/test_ops.py.
+
+    Also covers dims beyond the kernel's VMEM budget (net1 H<=51:
+    r = 364), which previously fell back to the ~10x-slower XLA LU.
+
+    ``leaf``: the panel/trailing solver (n, n, B), (n, R, B) ->
+    (n, R, B); defaults to the Pallas kernel on TPU.  Tests inject a
+    LAPACK leaf to validate the block algebra on CPU.
+    """
+    if leaf is None:
+        leaf = gauss_solve_pallas_lanes
+    n = A.shape[0]
+    if n <= panel + SUBLANE:
+        return leaf(A, b)
+    n1 = panel
+    n2 = n - n1
+
+    A11, A12 = A[:n1, :n1], A[:n1, n1:]
+    A21, A22 = A[n1:, :n1], A[n1:, n1:]
+    b1, b2 = b[:n1], b[n1:]
+
+    rhs1 = jnp.concatenate([A12, b1], axis=1)       # (n1, n2 + R, B)
+    sol1 = leaf(A11, rhs1)
+    X12, y1 = sol1[:, :n2], sol1[:, n2:]            # (n1,n2,B), (n1,R,B)
+
+    S = A22 - jnp.einsum("ikb,kjb->ijb", A21, X12)
+    rhs2 = b2 - jnp.einsum("ikb,krb->irb", A21, y1)
+    x2 = schur_solve_lanes(S, rhs2, leaf=leaf, panel=panel)
+    x1 = y1 - jnp.einsum("ikb,krb->irb", X12, x2)
+    return jnp.concatenate([x1, x2], axis=0)
+
+
 def equilibrated_lanes(solve):
     """Batch-minor twin of :func:`equilibrated`: A (n, n, B), b (n, R, B)."""
     def wrapped(A, b):
@@ -463,6 +537,10 @@ def batched_solve_lanes(A, b):
         return equilibrated_lanes(_lu_solve_lanes)(A, b)
     if n <= XLA_GJ_MAX_DIM:
         return equilibrated_lanes(gj_solve_xla_lanes)(A, b)
+    if SCHUR_MODE != "0" and n > MAX_PALLAS_DIM:
+        return equilibrated_lanes(schur_solve_lanes)(A, b)
+    if SCHUR_MODE == "mid" and n > SCHUR_MIN_DIM:
+        return equilibrated_lanes(schur_solve_lanes)(A, b)
     if n > MAX_PALLAS_DIM:
         return equilibrated_lanes(_lu_solve_lanes)(A, b)
     return equilibrated_lanes(gauss_solve_pallas_lanes)(A, b)

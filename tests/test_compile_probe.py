@@ -83,3 +83,14 @@ def test_sweep_program_compiles(solver):
                      q_scale=jnp.linspace(0.9, 1.1, B),
                      injection_scale=jnp.linspace(0.8, 1.2, B))
     hpf_sweep.lower(net, dev, settings=s, scenarios=scen).compile()
+
+
+def test_schur_solve_compiles():
+    """The blocked panel-Schur composition (large-dim lane-minor path):
+    panel GJ kernels + lane-batched matmul trailing updates, at the net1
+    capacitance shape and the beyond-VMEM-budget class (n = 364)."""
+    from hpfx.ops.batched_solve import equilibrated_lanes, schur_solve_lanes
+    for n, B in [(182, 512), (364, 128)]:
+        A = jnp.zeros((n, n, B), jnp.float32)
+        b = jnp.zeros((n, 1, B), jnp.float32)
+        jax.jit(equilibrated_lanes(schur_solve_lanes)).lower(A, b).compile()

@@ -122,3 +122,51 @@ def test_equilibration_restores_f32_accuracy():
     err_raw = np.abs(x_raw - ref).max() / np.abs(ref).max()
     assert err_eq < 1e-4, err_eq
     assert err_eq <= err_raw * 1.5  # never meaningfully worse
+
+
+def test_schur_solve_lanes_algebra():
+    """Blocked panel-Schur solve (the large-dim TPU path) vs LAPACK, with
+    a LAPACK leaf so the block algebra is isolated from the kernel.
+    Covers panel recursion depth > 4 (n = 182, panel 32) and the
+    beyond-VMEM-budget dim class (n = 364 > MAX_PALLAS_DIM)."""
+    from hpfx.ops.batched_solve import (_lu_solve_lanes, equilibrated_lanes,
+                                        schur_solve_lanes)
+    for n, B, R, panel in [(182, 8, 1, 32), (150, 4, 3, 48),
+                           (364, 2, 1, 96), (136, 4, 2, 32)]:
+        A = rng.normal(size=(n, n, B)).astype(np.float32)
+        A += 0.1 * n * np.eye(n, dtype=np.float32)[:, :, None]
+        b = rng.normal(size=(n, R, B)).astype(np.float32)
+        x = equilibrated_lanes(
+            lambda M, v: schur_solve_lanes(M, v, leaf=_lu_solve_lanes,
+                                           panel=panel))(
+            jnp.asarray(A), jnp.asarray(b))
+        ref = np.stack([np.linalg.solve(A[..., i], b[..., i])
+                        for i in range(B)], axis=-1)
+        np.testing.assert_allclose(np.asarray(x), ref,
+                                   atol=2e-4 * np.abs(ref).max())
+
+
+def test_schur_solve_capacitance_accuracy():
+    """On Woodbury-capacitance-style systems (I + coupling, the arrow
+    solver's S matrix), the panel-blocked f32 solve stays within ~2x of
+    the fully-pivoted direct solve's error vs an f64 reference — the
+    regression gate for the block-diagonal-pivoting compromise."""
+    from hpfx.ops.batched_solve import (_lu_solve_lanes, equilibrated_lanes,
+                                        schur_solve_lanes)
+    n, B = 182, 16
+    C = rng.normal(size=(n, n, B)) * (0.8 / np.sqrt(n))
+    A64 = np.eye(n)[:, :, None] + C
+    b64 = rng.normal(size=(n, 1, B))
+    ref = np.stack([np.linalg.solve(A64[..., i], b64[..., i])
+                    for i in range(B)], axis=-1)
+    A32 = jnp.asarray(A64, jnp.float32)
+    b32 = jnp.asarray(b64, jnp.float32)
+    x_direct = np.asarray(equilibrated_lanes(_lu_solve_lanes)(A32, b32))
+    x_schur = np.asarray(equilibrated_lanes(
+        lambda M, v: schur_solve_lanes(M, v, leaf=_lu_solve_lanes,
+                                       panel=32))(A32, b32))
+    scale = np.abs(ref).max()
+    err_direct = np.abs(x_direct - ref).max() / scale
+    err_schur = np.abs(x_schur - ref).max() / scale
+    assert err_schur < 1e-4, err_schur
+    assert err_schur <= max(2.5 * err_direct, 5e-6), (err_schur, err_direct)
