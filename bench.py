@@ -89,7 +89,13 @@ def bench_config(net_name: str, h_max: int, solver: str, batch: int,
     # Measured phase-2 choice: net2's dim-102 dense re-solve is cheap and
     # sturdiest; at net1 scale the dense phase 2 costs more than it saves
     # and the warm-started arrow re-solve converges everything (the warm
-    # start breaks the cold-start oscillation seen on hard scenarios)
+    # start breaks the cold-start oscillation seen on hard scenarios).
+    # Large-dim Newton solves (net1's dim-182 capacitance system) stay on
+    # the fully-pivoted direct kernel: the 3x blocked panel-Schur solve
+    # was A/B'd in every arrangement (phase 1 only, warmup-only, both
+    # phases) and always costs more converged-throughput than it saves —
+    # its block-restricted pivoting throws basin-fragile scenarios out of
+    # convergence (BENCH_NOTES round-2 panel-Schur section).
     s2 = s.with_(solver=phase2_solver)
     run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc, phase_iters=24,
                                         phase2_settings=s2)

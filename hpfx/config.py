@@ -96,6 +96,23 @@ class Settings:
     # runtimes); "interpret" = Pallas interpret mode (the tests' oracle).
     fused_trip: str = "off"
 
+    # Large-dim Newton-solve implementation on the lanes path (systems
+    # above hpfx.ops.batched_solve.SCHUR_MIN_DIM, e.g. the net1 dim-182
+    # Woodbury capacitance solve).  "direct" (default): the fully-pivoted
+    # Pallas Gauss-Jordan kernel — the accuracy reference.  "schur": the
+    # blocked panel-Schur solve — 3.1x faster per solve, but its pivoting
+    # is restricted to each panel's rows, so a column whose mass lies
+    # outside the panel draws a near-zero pivot and the Newton step goes
+    # wild; measured at net1: plain-sweep convergence 0.945 -> 0.80, NOT
+    # recovered by iterative refinement, phase-splitting, or "warmup"
+    # (schur for the first big_solve_warmup trips, direct after, via
+    # lax.cond — early bad steps already leave the convergence basin).
+    # Use "schur" only where throughput beats per-scenario convergence;
+    # systems beyond the kernel's VMEM cap use it unconditionally (the
+    # XLA-LU fallback there is ~10x slower and crash-prone).
+    big_solve: str = "direct"
+    big_solve_warmup: int = 12
+
     # Floor-aware convergence: the mismatch can only be *evaluated* to
     # ~eps·scale, scale = max_i sum_j |Y_ij|·|V_j| (+ Norton |Y_N|·|V|
     # sensitivities) — in f32 on stiff grids (net1: scale ~ 2e3) that

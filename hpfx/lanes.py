@@ -72,7 +72,14 @@ def _polar_diff_lanes(mu_a, th_a, mu_b, th_b) -> Cx:
 
 
 def stable_matvec_lanes(lineY: LineYbus, V_m, V_a) -> Cx:
-    """Cancellation-free Y·V (hpfx.ybus.stable_matvec) on (H, n, B)."""
+    """Cancellation-free Y·V (hpfx.ybus.stable_matvec) on (H, n, B).
+
+    The per-line flows are accumulated into buses through a one-hot
+    incidence contraction instead of a scatter-add: TPU scatters lower to
+    slow serialized updates inside the Newton while-loop, while the
+    (n, 2L) incidence einsum is a trivial fused contraction (the one-hots
+    are built by comparison, no gather/scatter anywhere on the store
+    side)."""
     f, t = lineY.f_idx, lineY.t_idx
     a_ff = lineY.a_ff[:, None]                  # (L, 1)
     inv_tau = lineY.inv_tau[:, None]
@@ -89,9 +96,15 @@ def stable_matvec_lanes(lineY: LineYbus, V_m, V_a) -> Cx:
     flow_t = lineY.Ys[..., None] * _polar_diff_lanes(mu_t2, th_t2,
                                                      mu_f2, th_f2)
     out = lineY.d[..., None] * cx.polar(V_m, V_a)
-    out = out.at_add((_all, f), flow_f)
-    out = out.at_add((_all, t), flow_t)
-    return out
+    n = V_m.shape[1]
+    arange_n = jnp.arange(n)[:, None]
+    Minc = jnp.concatenate([
+        (f[None, :] == arange_n), (t[None, :] == arange_n)],
+        axis=1).astype(V_m.dtype)               # (n, 2L)
+    flows = cx.concatenate([flow_f, flow_t], axis=1)     # (H, 2L, B)
+    acc = lambda x: jnp.einsum("nl,hlb->hnb", Minc, x,
+                               precision=cx._PREC)
+    return out + Cx(acc(flows.re), acc(flows.im))
 
 
 def _injections_lanes(V_c: Cx, devices: DeviceSet, inj, m: int) -> Cx:
@@ -195,6 +208,7 @@ class _ArrowConsts(NamedTuple):
     idx: ArrowIndex
     E0: np.ndarray        # (d0, r_blk) unit columns of U, block 0
     Eh: np.ndarray        # (2n, r_blk) unit columns of U, blocks h>=1
+    inv_f_perm: np.ndarray  # (dim,) grouped row -> original position
 
 
 def _make_arrow_consts(H: int, n: int, m: int, c: int) -> _ArrowConsts:
@@ -209,11 +223,12 @@ def _make_arrow_consts(H: int, n: int, m: int, c: int) -> _ArrowConsts:
     E0[rows0, np.arange(r_blk)] = 1.0
     Eh = np.zeros((2 * n, r_blk), np.float32)
     Eh[rowsh, np.arange(r_blk)] = 1.0
-    return _ArrowConsts(idx=idx, E0=E0, Eh=Eh)
+    return _ArrowConsts(idx=idx, E0=E0, Eh=Eh,
+                        inv_f_perm=np.argsort(idx.f_perm))
 
 
 def arrow_step_lanes(V_m, V_a, f, Y: Cx, devices: DeviceSet, inj,
-                     consts: _ArrowConsts):
+                     consts: _ArrowConsts, big_solve: str = "auto"):
     """One arrow Newton-step solve J dx = f on (H, n, B) state, (dim, B)
     mismatch -> dx (dim, B).  Same block + Woodbury factorization as
     hpfx.arrow.build_arrow_pieces/arrow_solve, batch kept lane-minor so the
@@ -234,11 +249,22 @@ def arrow_step_lanes(V_m, V_a, f, Y: Cx, devices: DeviceSet, inj,
     blocks_A = (Y[..., None] * V_c[:, None, :, :]).jmul()
     K_V, K_A = _coupling_lanes(V_m, V_a, devices, inj, m)  # (H, H, n_nl, B)
 
-    # fold the h == p coupling into the diagonal blocks
-    nl = jnp.arange(m, n)
+    # fold the h == p coupling into the diagonal blocks.  Scatter-free:
+    # the diagonal add is an eye-broadcast multiply-add (TPU scatters
+    # serialize inside the Newton loop; this fuses into one elementwise op)
     hh = jnp.arange(H)
-    M_V = blocks_V.at_add((_all, nl, nl), K_V[hh, hh])
-    M_A = blocks_A.at_add((_all, nl, nl), K_A[hh, hh])
+    eye_n = jnp.eye(n, dtype=rd)[None, :, :, None]        # (1, n, n, 1)
+
+    def _diag_fold(blocks: Cx, diag: Cx) -> Cx:
+        # diag (H, n_nl, B) onto rows/cols m..n of (H, n, n, B)
+        pad = jnp.zeros((H, m, B), rd)
+        full = Cx(jnp.concatenate([pad, diag.re], axis=1),
+                  jnp.concatenate([pad, diag.im], axis=1))  # (H, n, B)
+        return Cx(blocks.re + eye_n * full.re[:, None, :, :],
+                  blocks.im + eye_n * full.im[:, None, :, :])
+
+    M_V = _diag_fold(blocks_V, K_V[hh, hh])
+    M_A = _diag_fold(blocks_A, K_A[hh, hh])
 
     dS1dA1, dS1dV1 = _power_jacobian_blocks_lanes(V_c[0], Vn[0], Y[0], n)
 
@@ -278,7 +304,8 @@ def arrow_step_lanes(V_m, V_a, f, Y: Cx, devices: DeviceSet, inj,
     D_all = jnp.concatenate([D0p[None], Dh], axis=0)      # (H, 2n, 2n, B)
 
     # grouped RHS + Woodbury U columns through one multi-RHS factorization
-    fp = jnp.zeros_like(f).at[jnp.asarray(idx.f_perm)].set(f)   # (dim, B)
+    # (inverse-permutation gather; a scatter-set lowers far slower on TPU)
+    fp = f[jnp.asarray(consts.inv_f_perm)]                      # (dim, B)
     f0 = fp[:d0]
     fh = fp[d0:].reshape(K, 2 * n, B)
     E0 = jnp.asarray(consts.E0, rd)
@@ -318,7 +345,8 @@ def arrow_step_lanes(V_m, V_a, f, Y: Cx, devices: DeviceSet, inj,
     CG = jnp.einsum("rpsb,pstb->rptb", Cb, Gblocks)
     S_w = jnp.eye(r, dtype=rd)[:, :, None] + CG.reshape(r, r, B)
     rhs_w = jnp.einsum("rub,ub->rb", C, Vz)
-    y = batched_solve_lanes(S_w, rhs_w[:, None, :])[:, 0]  # (r, B)
+    y = batched_solve_lanes(S_w, rhs_w[:, None, :],
+                            impl=big_solve)[:, 0]          # (r, B)
 
     yb = y.reshape(H, r_blk, B)
     corr0 = jnp.einsum("dsb,sb->db", X0, yb[0])
@@ -524,8 +552,7 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
         Bp = -(-B // LANES) * LANES
         padB = lambda x: x if Bp == B else jnp.pad(
             x, [(0, 0)] * (x.ndim - 1) + [(0, Bp - B)], mode="edge")
-        fperm = jnp.asarray(consts.idx.f_perm)
-        f0_g = jnp.zeros_like(f0).at[fperm].set(f0)
+        f0_g = f0[jnp.asarray(consts.inv_f_perm)]
         Vp, Ap, fp_, errp = padB(V_m), padB(V_a), padB(f0_g), padB(err0)
         Sp = Cx(padB(S.re), padB(S.im))
         injp = padB(inj)
@@ -582,7 +609,17 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
     def body(carry):
         V_m, V_a, x, f, err, it, hist, t = carry
         act = active(err, it)
-        dx = arrow_step_lanes(V_m, V_a, f, Y, devices, inj, consts)
+        if settings.big_solve == "warmup":
+            # cheap blocked-Schur steps while far from the root, fully
+            # pivoted direct steps for the final contraction (both
+            # branches compile once; the trip counter picks per trip)
+            step = lambda impl: (lambda vm, va, ff: arrow_step_lanes(
+                vm, va, ff, Y, devices, inj, consts, big_solve=impl))
+            dx = lax.cond(t < settings.big_solve_warmup,
+                          step("schur"), step("direct"), V_m, V_a, f)
+        else:
+            dx = arrow_step_lanes(V_m, V_a, f, Y, devices, inj, consts,
+                                  big_solve=settings.big_solve)
         x_new = x - dx
         Va_new = jnp.concatenate([V_a.reshape(D, B)[:1],
                                   x_new[: D - 1]], axis=0).reshape(H, n, B)

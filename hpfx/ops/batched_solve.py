@@ -493,10 +493,11 @@ def schur_solve_lanes(A, b, leaf=None, panel: int = SCHUR_PANEL):
     sol1 = leaf(A11, rhs1)
     X12, y1 = sol1[:, :n2], sol1[:, n2:]            # (n1,n2,B), (n1,R,B)
 
-    S = A22 - jnp.einsum("ikb,kjb->ijb", A21, X12)
-    rhs2 = b2 - jnp.einsum("ikb,krb->irb", A21, y1)
+    hp = jax.lax.Precision.HIGHEST
+    S = A22 - jnp.einsum("ikb,kjb->ijb", A21, X12, precision=hp)
+    rhs2 = b2 - jnp.einsum("ikb,krb->irb", A21, y1, precision=hp)
     x2 = schur_solve_lanes(S, rhs2, leaf=leaf, panel=panel)
-    x1 = y1 - jnp.einsum("ikb,krb->irb", X12, x2)
+    x1 = y1 - jnp.einsum("ikb,krb->irb", X12, x2, precision=hp)
     return jnp.concatenate([x1, x2], axis=0)
 
 
@@ -522,12 +523,20 @@ def _lu_solve_lanes(A, b):
     return jnp.moveaxis(lu(Am, bm), 0, -1)
 
 
-def batched_solve_lanes(A, b):
+def batched_solve_lanes(A, b, impl: str = "auto"):
     """Batch-minor twin of :func:`batched_solve`: A (n, n, B), b (n, R, B).
 
     The dispatch mirrors batched_solve (Pallas lane-parallel kernel on TPU
     with equilibration; XLA LU on CPU / for oversized dims; raw LAPACK for
     f64) but operands stay lane-minor end to end on the fast path.
+
+    ``impl`` selects the large-dim strategy (n > SCHUR_MIN_DIM):
+    "direct" = the fully-pivoted kernel (accuracy reference), "schur" =
+    the 3x-faster blocked panel solve (Settings.big_solve carries the
+    caller's choice; see config.py for the accuracy trade), "auto" = the
+    HPFX_SCHUR env default.  Dims beyond the kernel's VMEM budget use
+    schur regardless (the XLA-LU fallback is ~10x slower and crash-prone)
+    unless HPFX_SCHUR=0.
     """
     n = A.shape[0]
     if A.dtype == jnp.float64:
@@ -539,7 +548,9 @@ def batched_solve_lanes(A, b):
         return equilibrated_lanes(gj_solve_xla_lanes)(A, b)
     if SCHUR_MODE != "0" and n > MAX_PALLAS_DIM:
         return equilibrated_lanes(schur_solve_lanes)(A, b)
-    if SCHUR_MODE == "mid" and n > SCHUR_MIN_DIM:
+    want_schur = (impl == "schur"
+                  or (impl == "auto" and SCHUR_MODE == "mid"))
+    if want_schur and n > SCHUR_MIN_DIM:
         return equilibrated_lanes(schur_solve_lanes)(A, b)
     if n > MAX_PALLAS_DIM:
         return equilibrated_lanes(_lu_solve_lanes)(A, b)
