@@ -107,9 +107,14 @@ class Settings:
     # recovered by iterative refinement, phase-splitting, or "warmup"
     # (schur for the first big_solve_warmup trips, direct after, via
     # lax.cond — early bad steps already leave the convergence basin).
-    # Use "schur" only where throughput beats per-scenario convergence;
-    # systems beyond the kernel's VMEM cap use it unconditionally (the
-    # XLA-LU fallback there is ~10x slower and crash-prone).
+    # Use "schur" only where throughput beats per-scenario convergence.
+    # "panel": the full-pivot blocked panel solve (hpfx.ops
+    # panel_gj_solve_lanes) — tall-panel kernel keeping the direct
+    # kernel's pivot rule over ALL rows, trailing updates as MXU
+    # matmuls; 1.4x the direct kernel at dim 182 with no pivoting
+    # compromise, and the default for systems beyond the direct
+    # kernel's VMEM cap (where the XLA-LU fallback is ~10x slower and
+    # crash-prone).
     big_solve: str = "direct"
     big_solve_warmup: int = 12
 

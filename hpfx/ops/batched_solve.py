@@ -426,6 +426,153 @@ def gj_solve_xla_lanes(A, b):
     return jnp.einsum("kib,krb->irb", A, b)
 
 
+def _gj_panel_kernel(a_ref, used_ref, ap_ref, te_ref, e_ref, usedo_ref,
+                     *, Pw: int, N: int, B: int):
+    """Tall-panel Gauss-Jordan elimination with FULL-column pivoting.
+
+    Eliminates the ``Pw`` columns of one panel ``a_ref (N, Pw, B)``,
+    selecting each pivot over ALL ``N`` rows not yet used (``used_ref``,
+    0/1 f32, carried across panels) — the same pivot sequence the direct
+    dim-N kernel would choose, unlike the panel-Schur solve whose
+    panel-restricted pivoting loses steps (BENCH_NOTES).  The trailing
+    update is NOT done here: each GJ step's transform is
+    T_k = I - w_k e_{p_k}^T, and the panel's composite T = prod_k T_k
+    satisfies T = I + Z E^T with E = the one-hot pivot columns and
+    Z = T·E - E.  T·E is computed in-kernel by injecting e_{p_k} as an
+    extra column at step k (earlier transforms leave it unchanged since
+    pivot rows are distinct) and letting steps k..Pw transform it.  The
+    caller applies the panel to the trailing matrix and RHS with two
+    lane-batched matmuls (MXU) per operand — the blocked economy —
+    while keeping pivoting exact.
+
+    Outputs: ``ap_ref`` the panel's converged columns (one-hot pivot
+    columns, used for the final recovery contraction), ``te_ref`` = T·E,
+    ``e_ref`` = E, ``usedo_ref`` the updated used mask.
+    """
+    row_nb = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
+    colsel = jax.lax.broadcasted_iota(jnp.int32, (N, Pw, B), 1)
+
+    def step(k, carry):
+        A, TE, E, used = carry
+        colk = jnp.sum(jnp.where(colsel == k, A, 0.0), axis=1)     # (N,B)
+        score = jnp.abs(colk) - 1e30 * used
+        p = jnp.argmax(score, axis=0)                              # (B,)
+        on_p = (row_nb == p[None, :]).astype(A.dtype)              # (N,B)
+        # masked set of column k of E / TE to e_{p_k} (dynamic-index
+        # stores are not lowerable; full-slab where is)
+        setk = (colsel == k)
+        E = jnp.where(setk, on_p[:, None, :], E)
+        TE = jnp.where(setk, on_p[:, None, :], TE)
+        rowp = jnp.sum(on_p[:, None, :] * A, axis=0)               # (Pw,B)
+        tep = jnp.sum(on_p[:, None, :] * TE, axis=0)               # (Pw,B)
+        pivot = jnp.sum(on_p * colk, axis=0)                       # (B,)
+        inv_piv = 1.0 / pivot
+        w = (1.0 - on_p) * colk * inv_piv[None, :] + \
+            on_p * (1.0 - inv_piv[None, :])                        # (N,B)
+        A = A - w[:, None, :] * rowp[None, :, :]
+        TE = TE - w[:, None, :] * tep[None, :, :]
+        return A, TE, E, jnp.maximum(used, on_p)
+
+    zero = jnp.zeros((N, Pw, B), jnp.float32)
+    A, TE, E, used = jax.lax.fori_loop(
+        0, Pw, step, (a_ref[:], zero, zero, used_ref[:]))
+    ap_ref[:] = A
+    te_ref[:] = TE
+    e_ref[:] = E
+    usedo_ref[:] = used
+
+
+def _panel_pallas(panel, used, *, Pw: int, N: int, Bb: int, G: int,
+                  interpret: bool):
+    """pallas_call wrapper: panel (G, N, Pw, Bb), used (G, N, Bb)."""
+    kernel = functools.partial(_gj_panel_kernel, Pw=Pw, N=N, B=Bb)
+    mem = {} if pltpu is None else dict(memory_space=pltpu.VMEM)
+    spec3 = pl.BlockSpec((None, N, Pw, Bb), lambda i: (i, 0, 0, 0), **mem)
+    spec2 = pl.BlockSpec((None, N, Bb), lambda i: (i, 0, 0), **mem)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[spec3, spec2],
+        out_specs=[spec3, spec3, spec3, spec2],
+        out_shape=[jax.ShapeDtypeStruct((G, N, Pw, Bb), jnp.float32),
+                   jax.ShapeDtypeStruct((G, N, Pw, Bb), jnp.float32),
+                   jax.ShapeDtypeStruct((G, N, Pw, Bb), jnp.float32),
+                   jax.ShapeDtypeStruct((G, N, Bb), jnp.float32)],
+        interpret=interpret,
+        compiler_params=(None if pltpu is None else
+                         pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * Pw * N * Pw * Bb * G,
+            bytes_accessed=4 * N * Pw * Bb * G * 4, transcendentals=0),
+    )(panel, used)
+
+
+#: panel width of the full-pivot blocked solve.
+PANEL_GJ_WIDTH = int(os.environ.get("HPFX_PANEL_GJ_WIDTH", "32"))
+
+
+def panel_gj_solve_lanes(A, b, panel: int = 0, interpret: bool = False):
+    """Blocked Gauss-Jordan solve with FULL partial pivoting, batch
+    lane-minor: A (n, n, B), b (n, R, B) -> x (n, R, B), f32.
+
+    The dim-n elimination is split into ceil(n/panel) tall-panel kernel
+    calls (:func:`_gj_panel_kernel`, pivoting over all rows — the exact
+    pivot rule of the direct kernel) stitched by lane-batched matmuls
+    for the trailing updates and the final recovery contraction.  The
+    per-column kernel work drops from O(n) to O(panel) while the O(n²)
+    bulk rides the MXU — and the (N, panel, B) slabs fit VMEM for any n,
+    so this is also the path past MAX_PALLAS_DIM (dense dim-518 Newton
+    solves included), replacing both the XLA-LU fallback and the
+    accuracy-compromised panel-Schur solve.
+    """
+    if panel <= 0:
+        panel = PANEL_GJ_WIDTH
+    hp = jax.lax.Precision.HIGHEST
+    n, _, Bt = A.shape
+    R = b.shape[1]
+    Np = _round_up(n, max(panel, SUBLANE))
+    Bb = BLOCK
+    Bp = _round_up(Bt, Bb)
+    G = Bp // Bb
+
+    # pad: identity diagonal on pad rows/cols (pad columns then pick pad
+    # rows as their pivots, exactly once), zero RHS on pad rows
+    Af = jnp.zeros((Np, Np, Bp), jnp.float32)
+    Af = Af.at[:n, :n, :Bt].set(A.astype(jnp.float32))
+    if Np > n:
+        pad_eye = jnp.eye(Np, dtype=jnp.float32)[n:, :].T   # (Np, Np-n)
+        Af = Af.at[:, n:, :].set(pad_eye[:, :, None])
+    bf = jnp.zeros((Np, R, Bp), jnp.float32)
+    bf = bf.at[:n, :, :Bt].set(b.astype(jnp.float32))
+
+    used = jnp.zeros((Np, Bp), jnp.float32)
+    n_panels = Np // panel
+    final_cols = []
+    for j in range(n_panels):
+        lo, hi = j * panel, (j + 1) * panel
+        panel_j = Af[:, lo:hi]                              # (Np, Pw, Bp)
+        pj = panel_j.reshape(Np, panel, G, Bb).transpose(2, 0, 1, 3)
+        uj = used.reshape(Np, G, Bb).transpose(1, 0, 2)
+        Ap, TE, E, used_o = _panel_pallas(pj, uj, Pw=panel, N=Np, Bb=Bb,
+                                          G=G, interpret=interpret)
+        back3 = lambda x: x.transpose(1, 2, 0, 3).reshape(Np, panel, Bp)
+        Ap, TE, E = back3(Ap), back3(TE), back3(E)
+        used = used_o.transpose(1, 0, 2).reshape(Np, Bp)
+        Z = TE - E
+        if hi < Np:
+            trail = Af[:, hi:]
+            piv = jnp.einsum("nkb,njb->kjb", E, trail, precision=hp)
+            Af = Af.at[:, hi:].set(
+                trail + jnp.einsum("nkb,kjb->njb", Z, piv, precision=hp))
+        pivb = jnp.einsum("nkb,nrb->krb", E, bf, precision=hp)
+        bf = bf + jnp.einsum("nkb,krb->nrb", Z, pivb, precision=hp)
+        final_cols.append(Ap)
+
+    A_final = jnp.concatenate(final_cols, axis=1)           # (Np, Np, Bp)
+    x = jnp.einsum("nkb,nrb->krb", A_final, bf, precision=hp)
+    return x[:n, :, :Bt].astype(A.dtype)
+
+
 #: dims above this route through the blocked panel-Schur solve on the TPU
 #: lane-minor path (see schur_solve_lanes).  The Pallas GJ elimination is
 #: VPU work (one rank-1 slab update per column); the blocked form does
@@ -546,14 +693,22 @@ def batched_solve_lanes(A, b, impl: str = "auto"):
         return equilibrated_lanes(_lu_solve_lanes)(A, b)
     if n <= XLA_GJ_MAX_DIM:
         return equilibrated_lanes(gj_solve_xla_lanes)(A, b)
-    if SCHUR_MODE != "0" and n > MAX_PALLAS_DIM:
-        return equilibrated_lanes(schur_solve_lanes)(A, b)
-    want_schur = (impl == "schur"
-                  or (impl == "auto" and SCHUR_MODE == "mid"))
-    if want_schur and n > SCHUR_MIN_DIM:
-        return equilibrated_lanes(schur_solve_lanes)(A, b)
     if n > MAX_PALLAS_DIM:
-        return equilibrated_lanes(_lu_solve_lanes)(A, b)
+        # past the direct kernel's VMEM budget: the full-pivot blocked
+        # panel solve (same pivot rule, MXU trailing updates); "schur"
+        # keeps the faster-but-pivot-compromised variant; HPFX_SCHUR=0
+        # restores the XLA-LU fallback
+        if SCHUR_MODE == "0":
+            return equilibrated_lanes(_lu_solve_lanes)(A, b)
+        if impl == "schur":
+            return equilibrated_lanes(schur_solve_lanes)(A, b)
+        return equilibrated_lanes(panel_gj_solve_lanes)(A, b)
+    if impl == "schur" and n > SCHUR_MIN_DIM:
+        return equilibrated_lanes(schur_solve_lanes)(A, b)
+    want_panel = (impl == "panel"
+                  or (impl == "auto" and SCHUR_MODE == "mid"))
+    if want_panel and n > SCHUR_MIN_DIM:
+        return equilibrated_lanes(panel_gj_solve_lanes)(A, b)
     return equilibrated_lanes(gauss_solve_pallas_lanes)(A, b)
 
 

@@ -94,3 +94,17 @@ def test_schur_solve_compiles():
         A = jnp.zeros((n, n, B), jnp.float32)
         b = jnp.zeros((n, 1, B), jnp.float32)
         jax.jit(equilibrated_lanes(schur_solve_lanes)).lower(A, b).compile()
+
+
+def test_panel_gj_compiles():
+    """Full-pivot blocked panel GJ (tall-panel kernel + MXU trailing
+    updates) at the net1 capacitance shape and past the direct kernel's
+    VMEM cap (dim 364 and the dense dim-518 Newton-solve class)."""
+    import functools
+
+    from hpfx.ops.batched_solve import panel_gj_solve_lanes
+    f = jax.jit(functools.partial(panel_gj_solve_lanes, panel=32))
+    for n, B in [(182, 512), (364, 128), (518, 128)]:
+        A = jnp.zeros((n, n, B), jnp.float32)
+        b = jnp.zeros((n, 1, B), jnp.float32)
+        f.lower(A, b).compile()

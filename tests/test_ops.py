@@ -1,5 +1,6 @@
 """Pallas kernel tests (interpret mode on the CPU mesh; the compiled TPU
 path is exercised by bench.py on hardware)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -131,17 +132,18 @@ def test_schur_solve_lanes_algebra():
     beyond-VMEM-budget dim class (n = 364 > MAX_PALLAS_DIM)."""
     from hpfx.ops.batched_solve import (_lu_solve_lanes, equilibrated_lanes,
                                         schur_solve_lanes)
-    # recursion kept <= 4 levels: deeper XLA:CPU programs have segfaulted
-    # the compiler once in-suite (x64, memory pressure) — depth is a
-    # TPU-measured tuning knob, not what this algebra test gates
+    # run under jit: executing the recursion eagerly compiles hundreds of
+    # tiny ops, which has segfaulted XLA:CPU's compiler in-suite (x64 +
+    # memory pressure); one jitted program sidesteps that and matches how
+    # the solver is actually used
     for n, B, R, panel in [(182, 8, 1, 48), (150, 4, 3, 48),
                            (364, 2, 1, 96), (136, 4, 2, 64)]:
         A = rng.normal(size=(n, n, B)).astype(np.float32)
         A += 0.1 * n * np.eye(n, dtype=np.float32)[:, :, None]
         b = rng.normal(size=(n, R, B)).astype(np.float32)
-        x = equilibrated_lanes(
+        x = jax.jit(equilibrated_lanes(
             lambda M, v: schur_solve_lanes(M, v, leaf=_lu_solve_lanes,
-                                           panel=panel))(
+                                           panel=panel)))(
             jnp.asarray(A), jnp.asarray(b))
         ref = np.stack([np.linalg.solve(A[..., i], b[..., i])
                         for i in range(B)], axis=-1)
@@ -165,11 +167,39 @@ def test_schur_solve_capacitance_accuracy():
     A32 = jnp.asarray(A64, jnp.float32)
     b32 = jnp.asarray(b64, jnp.float32)
     x_direct = np.asarray(equilibrated_lanes(_lu_solve_lanes)(A32, b32))
-    x_schur = np.asarray(equilibrated_lanes(
+    x_schur = np.asarray(jax.jit(equilibrated_lanes(
         lambda M, v: schur_solve_lanes(M, v, leaf=_lu_solve_lanes,
-                                       panel=48))(A32, b32))
+                                       panel=48)))(A32, b32))
     scale = np.abs(ref).max()
     err_direct = np.abs(x_direct - ref).max() / scale
     err_schur = np.abs(x_schur - ref).max() / scale
     assert err_schur < 1e-4, err_schur
     assert err_schur <= max(2.5 * err_direct, 5e-6), (err_schur, err_direct)
+
+
+def test_panel_gj_solve_interpret():
+    """Full-pivot blocked panel Gauss-Jordan (the large-dim path that
+    keeps the direct kernel's pivot rule): interpret-mode kernel vs
+    LAPACK, including a needs-pivoting (zero-diagonal) case and pad
+    handling (n not a panel multiple)."""
+    from hpfx.ops.batched_solve import panel_gj_solve_lanes
+    for n, B, R, panel in [(40, 3, 2, 16), (100, 2, 1, 32)]:
+        A = rng.normal(size=(n, n, B)).astype(np.float32)
+        A += 0.1 * n * np.eye(n, dtype=np.float32)[:, :, None]
+        b = rng.normal(size=(n, R, B)).astype(np.float32)
+        x = panel_gj_solve_lanes(jnp.asarray(A), jnp.asarray(b),
+                                 panel=panel, interpret=True)
+        ref = np.stack([np.linalg.solve(A[..., i], b[..., i])
+                        for i in range(B)], axis=-1)
+        np.testing.assert_allclose(np.asarray(x), ref,
+                                   atol=1e-4 * np.abs(ref).max())
+    n, B = 48, 2
+    A = rng.normal(size=(n, n, B)).astype(np.float32)
+    A[np.arange(n), np.arange(n)] = 0.0       # no-pivot -> needs row swaps
+    b = rng.normal(size=(n, 1, B)).astype(np.float32)
+    x = panel_gj_solve_lanes(jnp.asarray(A), jnp.asarray(b), panel=16,
+                             interpret=True)
+    ref = np.stack([np.linalg.solve(A[..., i], b[..., i])
+                    for i in range(B)], axis=-1)
+    np.testing.assert_allclose(np.asarray(x), ref,
+                               atol=1e-3 * np.abs(ref).max())
