@@ -29,6 +29,9 @@ REPEATS = int(os.environ.get("HPFX_BENCH_REPEATS", "5"))
 TIMEOUT_S = int(os.environ.get("HPFX_BENCH_TIMEOUT", "1500"))
 SOLVER_NET2 = os.environ.get("HPFX_BENCH_SOLVER_NET2", "arrow")
 SOLVER_NET1 = os.environ.get("HPFX_BENCH_SOLVER_NET1", "arrow")
+# large-dim Newton-solve implementation (Settings.big_solve): "direct" or
+# "panel" (full-pivot blocked; accuracy-equivalent, A/B via env)
+BIG_SOLVE = os.environ.get("HPFX_BENCH_BIG_SOLVE", "panel")
 SKIP_NET1 = os.environ.get("HPFX_BENCH_SKIP_NET1", "0") == "1"
 TARGET_V5E8 = 10_000.0  # solves/sec on 8 chips (BASELINE.md)
 
@@ -64,7 +67,7 @@ def bench_config(net_name: str, h_max: int, solver: str, batch: int,
     # stable_mismatch: cancellation-free residual evaluation — required for
     # reference-threshold f32 convergence on stiff grids (see BENCH_NOTES)
     s = hpfx.settings_for_hmax(h_max, coupled=True).with_(
-        solver=solver, stable_mismatch=True)
+        solver=solver, stable_mismatch=True, big_solve=BIG_SOLVE)
     net = hpfx.load_network(os.path.join(DATA, f"{net_name}_buses.csv"),
                             os.path.join(DATA, f"{net_name}_lines.csv"), s)
     dev = hpfx.load_device_set(net, s)
@@ -90,12 +93,12 @@ def bench_config(net_name: str, h_max: int, solver: str, batch: int,
     # sturdiest; at net1 scale the dense phase 2 costs more than it saves
     # and the warm-started arrow re-solve converges everything (the warm
     # start breaks the cold-start oscillation seen on hard scenarios).
-    # Large-dim Newton solves (net1's dim-182 capacitance system) stay on
-    # the fully-pivoted direct kernel: the 3x blocked panel-Schur solve
-    # was A/B'd in every arrangement (phase 1 only, warmup-only, both
-    # phases) and always costs more converged-throughput than it saves —
-    # its block-restricted pivoting throws basin-fragile scenarios out of
-    # convergence (BENCH_NOTES round-2 panel-Schur section).
+    # Large-dim Newton solves (net1's dim-182 capacitance system) ride
+    # the full-pivot blocked panel GJ (Settings.big_solve="panel"):
+    # measured ~20% faster than the direct kernel at identical
+    # convergence.  (The panel-SCHUR variant — pivoting restricted to
+    # panel rows — was A/B'd in every arrangement and always lost
+    # converged-throughput; see BENCH_NOTES.)
     s2 = s.with_(solver=phase2_solver)
     run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc, phase_iters=24,
                                         phase2_settings=s2)

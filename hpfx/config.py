@@ -98,7 +98,7 @@ class Settings:
 
     # Large-dim Newton-solve implementation on the lanes path (systems
     # above hpfx.ops.batched_solve.SCHUR_MIN_DIM, e.g. the net1 dim-182
-    # Woodbury capacitance solve).  "direct" (default): the fully-pivoted
+    # Woodbury capacitance solve).  "direct": the fully-pivoted
     # Pallas Gauss-Jordan kernel — the accuracy reference.  "schur": the
     # blocked panel-Schur solve — 3.1x faster per solve, but its pivoting
     # is restricted to each panel's rows, so a column whose mass lies
@@ -108,14 +108,14 @@ class Settings:
     # (schur for the first big_solve_warmup trips, direct after, via
     # lax.cond — early bad steps already leave the convergence basin).
     # Use "schur" only where throughput beats per-scenario convergence.
-    # "panel": the full-pivot blocked panel solve (hpfx.ops
+    # "panel" (default): the full-pivot blocked panel solve (hpfx.ops
     # panel_gj_solve_lanes) — tall-panel kernel keeping the direct
     # kernel's pivot rule over ALL rows, trailing updates as MXU
-    # matmuls; 1.4x the direct kernel at dim 182 with no pivoting
-    # compromise, and the default for systems beyond the direct
-    # kernel's VMEM cap (where the XLA-LU fallback is ~10x slower and
-    # crash-prone).
-    big_solve: str = "direct"
+    # matmuls.  Measured at net1 (interleaved A/B, one chip): ~20%
+    # faster end-to-end plain sweeps at identical convergence; also the
+    # path for systems beyond the direct kernel's VMEM cap (where the
+    # XLA-LU fallback is ~10x slower and crash-prone).
+    big_solve: str = "panel"
     big_solve_warmup: int = 12
 
     # Floor-aware convergence: the mismatch can only be *evaluated* to

@@ -362,12 +362,26 @@ def _lu_solve_tpu(A, b):
     return _lu_solve(Ap, bp)[:B]
 
 
+def _panel_gj_batch_major(A, b):
+    """Batch-major adapter for :func:`panel_gj_solve_lanes`: A (B, n, n),
+    b (B, n) or (B, n, R)."""
+    multi = b.ndim == 3
+    b3 = b if multi else b[..., None]
+    x = panel_gj_solve_lanes(jnp.moveaxis(A, 0, -1),
+                             jnp.moveaxis(b3, 0, -1))
+    x = jnp.moveaxis(x, -1, 0)
+    return x if multi else x[..., 0]
+
+
 def batched_solve(A, b):
     """Batched dense solve with automatic backend dispatch.
 
-    TPU: the Pallas lane-parallel Gauss-Jordan kernel above.
-    CPU (f32 sweeps) and oversized systems: XLA LU.  f64 (the parity/x64
-    tests): raw XLA LU, bit-compatible with round-1 behavior.
+    TPU: the Pallas lane-parallel Gauss-Jordan kernel above; dims past
+    its VMEM budget use the full-pivot blocked panel solve
+    (:func:`panel_gj_solve_lanes` — e.g. the dense dim-518+ Newton
+    solves of net1, previously the ~10x-slower XLA-LU fallback;
+    HPFX_SCHUR=0 restores the LU).  CPU (f32 sweeps): XLA LU.  f64 (the
+    parity/x64 tests): raw XLA LU, bit-compatible with round-1 behavior.
     ``b`` may be (B, n) or (B, n, R) (multi-RHS).
     """
     n = A.shape[-1]
@@ -375,8 +389,12 @@ def batched_solve(A, b):
         return _lu_solve(A, b)
     if jax.default_backend() == "cpu":
         return equilibrated(_lu_solve)(A, b)
-    if not USE_PALLAS_SOLVE or n > MAX_PALLAS_DIM:
+    if not USE_PALLAS_SOLVE:
         return equilibrated(_lu_solve_tpu)(A, b)
+    if n > MAX_PALLAS_DIM:
+        if SCHUR_MODE == "0":
+            return equilibrated(_lu_solve_tpu)(A, b)
+        return equilibrated(_panel_gj_batch_major)(A, b)
     return equilibrated(gauss_solve_pallas)(A, b)
 
 

@@ -47,9 +47,13 @@ def test_jacobian_is_exact_derivative(seed, coupled):
         return harmonic.harmonic_mismatch(Vm2, Va2, Y, S, dev, m, n, c)[0]
 
     x0 = harmonic.harmonic_state_vector(V_m, V_a, c)
-    J_ad = np.asarray(jax.jacfwd(f_of_x)(x0))
-    J_hand = np.asarray(harmonic.build_harmonic_jacobian(
-        V_m, V_a, Y, dev, m, n, c))
+    # jit both evaluations: executing them eagerly compiles hundreds of
+    # tiny ops per case, which sporadically segfaults XLA:CPU's
+    # compiler in-suite (see CLAUDE.md #21)
+    J_ad = np.asarray(jax.jit(jax.jacfwd(f_of_x))(x0))
+    J_hand = np.asarray(jax.jit(
+        harmonic.build_harmonic_jacobian,
+        static_argnames=("m", "n", "c"))(V_m, V_a, Y, dev, m=m, n=n, c=c))
     np.testing.assert_allclose(J_hand, J_ad, atol=1e-11)
 
 
