@@ -62,7 +62,8 @@ DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def bench_config(net_name: str, h_max: int, solver: str, batch: int,
-                 repeats: int, phase2_solver: str = "dense"):
+                 repeats: int, phase2_solver: str = "dense",
+                 phase_iters: int = 24):
     """Time one sweep config; returns raw/converged solves/sec + stats."""
     # stable_mismatch: cancellation-free residual evaluation — required for
     # reference-threshold f32 convergence on stiff grids (see BENCH_NOTES)
@@ -100,7 +101,8 @@ def bench_config(net_name: str, h_max: int, solver: str, batch: int,
     # panel rows — was A/B'd in every arrangement and always lost
     # converged-throughput; see BENCH_NOTES.)
     s2 = s.with_(solver=phase2_solver)
-    run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc, phase_iters=24,
+    run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc,
+                                        phase_iters=phase_iters,
                                         phase2_settings=s2)
 
     res = run(scen(-1))              # warmup/compile
@@ -122,6 +124,8 @@ def bench_config(net_name: str, h_max: int, solver: str, batch: int,
 
 def main():
     n_dev = len(jax.devices())
+    global T_START
+    T_START = time.perf_counter()
     per_chip_target = TARGET_V5E8 / 8.0 * n_dev
 
     net2 = bench_config("net2", 25, SOLVER_NET2, BATCH, REPEATS,
@@ -140,6 +144,18 @@ def main():
             "net1_convergence": round(net1["conv"], 4),
             "net1_batch": net1["batch"],
             "net1_solver": net1["solver"],
+        })
+    # the reference's largest timed config (hcne.jl:495-505: net1, odd
+    # harmonics to 49/51 — Jacobian dim 1038, capacitance dim 364 on the
+    # blocked panel-GJ path).  ~170 s of compile; run only if the
+    # watchdog budget comfortably allows.
+    if not SKIP_NET1 and time.perf_counter() - T_START < TIMEOUT_S - 700:
+        h51 = bench_config("net1", 51, SOLVER_NET1, 128, 2,
+                           phase2_solver="arrow", phase_iters=30)
+        extras.update({
+            "net1_h51_solves_per_sec": round(h51["converged"], 1),
+            "net1_h51_convergence": round(h51["conv"], 4),
+            "net1_h51_batch": h51["batch"],
         })
 
     signal.alarm(0)
