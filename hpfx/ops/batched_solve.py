@@ -477,10 +477,15 @@ def _gj_panel_kernel(a_ref, used_ref, ap_ref, te_ref, e_ref, usedo_ref,
         p = jnp.argmax(score, axis=0)                              # (B,)
         on_p = (row_nb == p[None, :]).astype(A.dtype)              # (N,B)
         # masked set of column k of E / TE to e_{p_k} (dynamic-index
-        # stores are not lowerable; full-slab where is)
-        setk = (colsel == k)
-        E = jnp.where(setk, on_p[:, None, :], E)
-        TE = jnp.where(setk, on_p[:, None, :], TE)
+        # stores are not lowerable).  SAME-RANK select only: Mosaic
+        # miscompiles mixed-rank i1 vector ops on this backend
+        # (CLAUDE.md #4), so on_p is broadcast to the slab shape first
+        # (the sibling kernels' established pattern); measured 10%
+        # cheaper than 0/1 f32 mask arithmetic here
+        setk = colsel == k                                         # (N,Pw,B)
+        on_b = jnp.broadcast_to(on_p[:, None, :], E.shape)
+        E = jnp.where(setk, on_b, E)
+        TE = jnp.where(setk, on_b, TE)
         rowp = jnp.sum(on_p[:, None, :] * A, axis=0)               # (Pw,B)
         tep = jnp.sum(on_p[:, None, :] * TE, axis=0)               # (Pw,B)
         pivot = jnp.sum(on_p * colk, axis=0)                       # (B,)
@@ -545,10 +550,12 @@ def panel_gj_solve_lanes(A, b, panel: int = 0, interpret: bool = False):
     """
     if panel <= 0:
         panel = PANEL_GJ_WIDTH
+    # panel must be a sublane multiple or Np // panel drops tail columns
+    panel = _round_up(max(panel, SUBLANE), SUBLANE)
     hp = jax.lax.Precision.HIGHEST
     n, _, Bt = A.shape
     R = b.shape[1]
-    Np = _round_up(n, max(panel, SUBLANE))
+    Np = _round_up(n, panel)
     Bb = BLOCK
     Bp = _round_up(Bt, Bb)
     G = Bp // Bb
@@ -603,12 +610,15 @@ SCHUR_MIN_DIM = 128
 #: vs 16.3 ms for the direct dim-182 kernel (3.1x) and 8.4 ms for a
 #: single even split (panel 96).
 SCHUR_PANEL = int(os.environ.get("HPFX_SCHUR_PANEL", "32"))
-#: HPFX_SCHUR=1 (default) uses the blocked solve where the direct kernel
-#: cannot go (n > MAX_PALLAS_DIM, previously the ~10x-slower XLA LU);
-#: HPFX_SCHUR=mid additionally replaces the direct kernel for
-#: SCHUR_MIN_DIM < n <= MAX_PALLAS_DIM (3.1x faster isolated; end-to-end
-#: convergence impact under hardware A/B — CPU equivalents show none);
-#: HPFX_SCHUR=0 disables entirely.
+#: HPFX_SCHUR=1 (default) uses the full-pivot blocked panel-GJ solve
+#: where the direct kernel cannot go (n > MAX_PALLAS_DIM, previously the
+#: ~10x-slower XLA LU); HPFX_SCHUR=mid additionally replaces the direct
+#: kernel with panel GJ for SCHUR_MIN_DIM < n <= MAX_PALLAS_DIM (what
+#: Settings.big_solve="panel" selects per-call); HPFX_SCHUR=0 disables
+#: both blocked paths (XLA-LU fallback for oversized dims).  The
+#: pivot-compromised panel-SCHUR variant is reachable only explicitly
+#: (Settings.big_solve="schur" / impl="schur") — it is measured-negative
+#: for Newton convergence and never env-selected.
 SCHUR_MODE = os.environ.get("HPFX_SCHUR", "1")
 
 
@@ -696,11 +706,13 @@ def batched_solve_lanes(A, b, impl: str = "auto"):
     f64) but operands stay lane-minor end to end on the fast path.
 
     ``impl`` selects the large-dim strategy (n > SCHUR_MIN_DIM):
-    "direct" = the fully-pivoted kernel (accuracy reference), "schur" =
-    the 3x-faster blocked panel solve (Settings.big_solve carries the
-    caller's choice; see config.py for the accuracy trade), "auto" = the
-    HPFX_SCHUR env default.  Dims beyond the kernel's VMEM budget use
-    schur regardless (the XLA-LU fallback is ~10x slower and crash-prone)
+    "direct" = the fully-pivoted monolithic kernel, "panel" = the
+    full-pivot blocked panel GJ (same pivot rule, ~20% faster e2e —
+    Settings.big_solve carries the caller's choice), "schur" = the
+    pivot-compromised blocked variant (measured-negative for Newton
+    convergence; explicit opt-in only), "auto" = the HPFX_SCHUR env
+    default.  Dims beyond the kernel's VMEM budget use panel GJ
+    regardless (the XLA-LU fallback is ~10x slower and crash-prone)
     unless HPFX_SCHUR=0.
     """
     n = A.shape[0]

@@ -65,13 +65,17 @@ def hpf_mesh(n_scenario: int, n_harmonic: int, devices=None) -> Mesh:
 
 
 def _pad_scenarios(scenarios: Scenarios, mesh: Mesh):
-    """Pad the batch up to a mesh-divisible size by repeating the last
-    scenario (discarded from results/aggregates by the callers).  Returns
-    (padded_scenarios, original_batch)."""
+    """Pad the batch up to a scenario-shard-divisible size by repeating
+    the last scenario (discarded from results/aggregates by the callers).
+    Only the SCENARIO_AXIS extent matters: on a 2-D scenario × harmonic
+    mesh the batch is sharded over the scenario axis alone, so padding to
+    the total device count would over-pad by the harmonic-axis factor.
+    Returns (padded_scenarios, original_batch)."""
     import jax.numpy as jnp
 
     B = scenarios.batch
-    n_dev = int(np.prod(mesh.devices.shape))
+    n_dev = int(mesh.shape.get(SCENARIO_AXIS,
+                               int(np.prod(mesh.devices.shape))))
     Bp = -(-B // n_dev) * n_dev
     if Bp == B:
         return scenarios, B

@@ -55,12 +55,25 @@ def test_max_dim_kernel_compiles():
 
 
 def test_batched_solve_dispatch_compiles_oversized():
-    """Dims over the kernel cap must compile on the XLA-LU fallback."""
+    """Dims over the kernel cap must compile on whatever the dispatcher
+    selects (panel GJ by default since round 2)."""
     from hpfx.ops.batched_solve import MAX_PALLAS_DIM, batched_solve
     n = MAX_PALLAS_DIM + 8
     A = jnp.zeros((64, n, n), jnp.float32)
     b = jnp.zeros((64, n), jnp.float32)
     jax.jit(batched_solve).lower(A, b).compile()
+
+
+def test_lu_fallback_compiles_oversized():
+    """The XLA-LU fallback (HPFX_SCHUR=0; crash-prone shape class padded
+    to 128 batches, CLAUDE.md #10) keeps its own compile probe even
+    though the default dispatch now prefers panel GJ."""
+    from hpfx.ops.batched_solve import MAX_PALLAS_DIM, _lu_solve_tpu, \
+        equilibrated
+    n = MAX_PALLAS_DIM + 8
+    A = jnp.zeros((64, n, n), jnp.float32)
+    b = jnp.zeros((64, n), jnp.float32)
+    jax.jit(equilibrated(_lu_solve_tpu)).lower(A, b).compile()
 
 
 @pytest.mark.parametrize("solver", ["dense", "arrow"])
