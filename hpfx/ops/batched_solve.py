@@ -598,12 +598,13 @@ def panel_gj_solve_lanes(A, b, panel: int = 0, interpret: bool = False):
     return x[:n, :, :Bt].astype(A.dtype)
 
 
-#: dims above this route through the blocked panel-Schur solve on the TPU
-#: lane-minor path (see schur_solve_lanes).  The Pallas GJ elimination is
-#: VPU work (one rank-1 slab update per column); the blocked form does
-#: only a PANEL-wide elimination in the kernel and pushes the trailing
-#: update into lane-batched matmuls.  Below the threshold the extra
-#: launches outweigh the flop shuffle.  HPFX_SCHUR=0 disables.
+#: dims above this are eligible for a blocked solve on the TPU lane-minor
+#: path (panel GJ via impl="panel"/Settings.big_solve — the default —
+#: or the pivot-compromised panel-Schur via impl="schur").  The Pallas GJ
+#: elimination is VPU work (one rank-1 slab update per column); the
+#: blocked forms do only a PANEL-wide elimination in the kernel and push
+#: the trailing update into lane-batched matmuls.  Below the threshold
+#: the extra launches outweigh the flop shuffle.
 SCHUR_MIN_DIM = 128
 #: panel width.  Measured on v5e at dim 182 / B=512 (the net1 H<=25
 #: Woodbury capacitance system): panel 24/32/48/64 -> 5.4/5.2/5.7/6.9 ms
@@ -642,8 +643,10 @@ def schur_solve_lanes(A, b, leaf=None, panel: int = SCHUR_PANEL):
     equilibrate first (the batched_solve_lanes dispatcher does), which
     keeps the panel eliminations well-scaled on HPF capacitance systems
     (S = I + C·G, near-unit diagonal); f32 accuracy vs the fully pivoted
-    elimination is regression-tested on capacitance-style systems in
-    tests/test_ops.py.
+    elimination is regression-tested on capacitance-style random systems
+    in tests/test_ops.py — but on REAL mid-Newton systems the panel-
+    restricted pivoting measurably degrades step quality (see
+    Settings.big_solve docs); prefer panel_gj_solve_lanes.
 
     Also covers dims beyond the kernel's VMEM budget (net1 H<=51:
     r = 364), which previously fell back to the ~10x-slower XLA LU.
