@@ -182,6 +182,11 @@ def main():
             "net1_h51_batch": h51["batch"],
         })
         MAIN_RESULT = result()
+    elif not SKIP_NET1:
+        # mark the absence explicitly: a short-budget run must be
+        # distinguishable from a config without the h51 stage
+        extras["net1_h51_skipped"] = "insufficient_time"
+        MAIN_RESULT = result()
 
     signal.alarm(0)
     print(json.dumps(MAIN_RESULT))

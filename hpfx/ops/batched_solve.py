@@ -194,14 +194,21 @@ def _gj_kernel_carried(a_ref, b_ref, x_ref, *, n: int, N: int, B: int,
         x_ref[:, r, :] = jnp.sum(A * b[:, r:r + 1, :], axis=0)
 
 
+import os
+
+#: read once at import (module constant): this flag is consulted at TRACE
+#: time inside jitted solve entries, so a mid-process toggle would silently
+#: keep serving the previously cached kernel (the jit-cache A/B trap of
+#: CLAUDE.md #18).  A/B runs must set the env var before importing hpfx
+#: (or call jax.clear_caches() after mutating GJ_UNROLLED directly).
+GJ_UNROLLED = os.environ.get("HPFX_GJ_UNROLLED", "0") == "1"
+
+
 def _gj_pallas_core(At, bt, *, n: int, N: int, R: int, Bb: int, G: int,
                     interpret: bool):
     """Shared pallas_call: At (G, N, N, Bb), bt (G, N, R, Bb) f32 slabs."""
-    import os as _os
     if n >= _KERNEL_SWITCH_DIM:
-        kfn = (_gj_kernel_unrolled
-               if _os.environ.get("HPFX_GJ_UNROLLED", "0") == "1"
-               else _gj_kernel_carried)
+        kfn = _gj_kernel_unrolled if GJ_UNROLLED else _gj_kernel_carried
     else:
         kfn = _gj_kernel
     kernel = functools.partial(kfn, n=n, N=N, B=Bb, R=R)
@@ -300,8 +307,6 @@ def gauss_solve_pallas_lanes(A, b, block=None, interpret: bool = False):
     return out[:n, :, :Bt].astype(A.dtype)
 
 
-import os
-
 # Hardware measurement (v5e, round 1, B=1024, n=102, device-resident
 # operands): Pallas Gauss-Jordan 7.8 ms vs XLA batched LU 51.8 ms per
 # solve — 6.7x.  (An earlier host-side microbenchmark that re-uploaded
@@ -392,7 +397,7 @@ def batched_solve(A, b):
     if not USE_PALLAS_SOLVE:
         return equilibrated(_lu_solve_tpu)(A, b)
     if n > MAX_PALLAS_DIM:
-        if SCHUR_MODE == "0":
+        if SCHUR_MODE == "0" or not panel_gj_fits(n):
             return equilibrated(_lu_solve_tpu)(A, b)
         return equilibrated(_panel_gj_batch_major)(A, b)
     return equilibrated(gauss_solve_pallas)(A, b)
@@ -533,6 +538,24 @@ def _panel_pallas(panel, used, *, Pw: int, N: int, Bb: int, G: int,
 #: panel width of the full-pivot blocked solve.
 PANEL_GJ_WIDTH = int(os.environ.get("HPFX_PANEL_GJ_WIDTH", "32"))
 
+#: live (Np, panel, BLOCK) f32 slabs of the panel kernel: pipelined input,
+#: the three outputs (Ap, TE, E), and the A/TE loop carries
+_PANEL_LIVE_SLABS = 6
+
+
+def panel_gj_fits(n: int, panel: int = 0) -> bool:
+    """VMEM feasibility of :func:`panel_gj_solve_lanes` for dim ``n``.
+
+    The kernel keeps ~:data:`_PANEL_LIVE_SLABS` full (Np, panel, BLOCK)
+    f32 slabs live; past that the Mosaic compile fails with a raw VMEM
+    error (~n > 2000 at the default width).  Dispatchers consult this to
+    fall back to the padded XLA-LU path instead."""
+    if panel <= 0:
+        panel = PANEL_GJ_WIDTH
+    panel = _round_up(max(panel, SUBLANE), SUBLANE)
+    Np = _round_up(n, panel)
+    return _PANEL_LIVE_SLABS * Np * panel * BLOCK * 4 <= VMEM_LIMIT
+
 
 def panel_gj_solve_lanes(A, b, panel: int = 0, interpret: bool = False):
     """Blocked Gauss-Jordan solve with FULL partial pivoting, batch
@@ -552,6 +575,12 @@ def panel_gj_solve_lanes(A, b, panel: int = 0, interpret: bool = False):
         panel = PANEL_GJ_WIDTH
     # panel must be a sublane multiple or Np // panel drops tail columns
     panel = _round_up(max(panel, SUBLANE), SUBLANE)
+    if not panel_gj_fits(A.shape[0], panel):
+        raise ValueError(
+            f"system dim {A.shape[0]} (panel {panel}) exceeds the panel-GJ "
+            f"kernel's VMEM feasibility ({_PANEL_LIVE_SLABS} live slabs vs "
+            f"{VMEM_LIMIT >> 20} MiB); use batched_solve_lanes() for the "
+            "XLA-LU fallback")
     hp = jax.lax.Precision.HIGHEST
     n, _, Bt = A.shape
     R = b.shape[1]
@@ -730,8 +759,9 @@ def batched_solve_lanes(A, b, impl: str = "auto"):
         # past the direct kernel's VMEM budget: the full-pivot blocked
         # panel solve (same pivot rule, MXU trailing updates); "schur"
         # keeps the faster-but-pivot-compromised variant; HPFX_SCHUR=0
+        # (or a dim past even the panel kernel's VMEM feasibility)
         # restores the XLA-LU fallback
-        if SCHUR_MODE == "0":
+        if SCHUR_MODE == "0" or not panel_gj_fits(n):
             return equilibrated_lanes(_lu_solve_lanes)(A, b)
         if impl == "schur":
             return equilibrated_lanes(schur_solve_lanes)(A, b)
