@@ -11,8 +11,9 @@ from . import cx
 from .checkpoint import load_result, save_result, warm_start
 from .config import Settings, default_harmonics, settings_for_hmax
 from .cx import Cx
-from .devices import (AnalyticDeviceSet, DeviceSet, device_set_from_arrays,
-                      fit_coupled_ne, fit_uncoupled_ne, load_device_set,
+from .devices import (AnalyticDeviceSet, DeviceLibrary, DeviceSet,
+                      device_set_from_arrays, fit_coupled_ne,
+                      fit_uncoupled_ne, load_device_library, load_device_set,
                       load_norton_equivalent, ne_injection, ne_selftest,
                       norton_inject)
 from .fundamental import FundResult, pf, solve_fundamental
@@ -31,6 +32,7 @@ from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
 from .sensitivity import Sensitivity, injection_sensitivity
+from .trajlog import read_ilog, read_vlog, write_ilog, write_vlog
 from .ybus import build_ybus
 
 __version__ = "0.1.0"
@@ -40,7 +42,8 @@ __all__ = [
     "Settings", "default_harmonics", "settings_for_hmax",
     "Network", "load_network", "network_from_arrays",
     "build_ybus",
-    "DeviceSet", "AnalyticDeviceSet", "load_device_set",
+    "DeviceSet", "AnalyticDeviceSet", "DeviceLibrary", "load_device_set",
+    "load_device_library",
     "load_norton_equivalent", "device_set_from_arrays", "fit_coupled_ne",
     "fit_uncoupled_ne", "ne_injection", "ne_selftest", "norton_inject",
     "FundResult", "pf", "solve_fundamental",
@@ -53,6 +56,7 @@ __all__ = [
     "export_ne_csv", "export_opendss_spectrum",
     "save_result", "load_result", "warm_start",
     "synthetic_feeder", "validate_network",
+    "write_vlog", "read_vlog", "write_ilog", "read_ilog",
     "Sensitivity", "injection_sensitivity",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",

@@ -105,12 +105,18 @@ def load_network(
     lines_csv: str,
     settings: Settings,
     sort: bool = False,
+    validate: bool = True,
 ) -> Network:
     """Load a network from the reference ``;``-delimited CSV schemas.
 
     Mirrors init_buses_from_csv / init_lines_from_csv / init_network
     (hcne_generalized.py:45-128) including per-unit conversion, with the
     net1 schema (``X_shunt``, no G/B) accepted as in hcne.jl:93-130.
+
+    ``validate`` (default on) runs :func:`validate_network` on the result —
+    a malformed CSV (unreachable bus, zero-impedance line, out-of-range
+    endpoint) raises a descriptive ValueError instead of silently producing
+    wrong physics.  Pass ``validate=False`` to load anyway.
     """
     bus_rows = _read_semicolon_csv(buses_csv)
     line_rows = _read_semicolon_csv(lines_csv)
@@ -149,10 +155,13 @@ def load_network(
         [_f(r, "phase_shift", 0.0) * np.pi / 180.0 for r in line_rows])
 
     components = tuple(r["component"] for r in bus_rows)
-    return _make_network(
+    net = _make_network(
         bus_P, bus_Q, bus_S, bus_Xsh,
         line_from, line_to, line_R, line_X, line_G, line_B,
         line_tau, line_shift, tuple(types), components, settings)
+    if validate:
+        validate_network(net)
+    return net
 
 
 def network_from_arrays(

@@ -62,6 +62,31 @@ def test_unsorted_buses_rejected_then_sorted(tmp_path):
     assert list(net.line_from) == [0, 2] and list(net.line_to) == [2, 1]
 
 
+def test_malformed_csv_rejected_on_load(tmp_path):
+    """load_network validates by default: a zero-impedance line and an
+    unreachable bus raise the written errors instead of silently producing
+    wrong physics (round-2 VERDICT weak #4)."""
+    buses = tmp_path / "b.csv"
+    lines = tmp_path / "l.csv"
+    buses.write_text(
+        "ID;type;component;S;P;Q;X_sh\n"
+        "1;slack;generator;0;0;0;0.005\n"
+        "2;PQ;lin_load_2;0;100;100;0\n"
+        "3;nonlinear;SMPS;0;250;100;0\n")
+    s = hpfx.settings_for_hmax(5)
+
+    lines.write_text("ID;fromID;toID;R;X;G;B\n1;1;2;0;0;0;0\n2;2;3;1;4;0;0\n")
+    with pytest.raises(ValueError, match="zero series impedance"):
+        hpfx.load_network(str(buses), str(lines), s)
+
+    lines.write_text("ID;fromID;toID;R;X;G;B\n1;2;3;1;4;0;0\n")
+    with pytest.raises(ValueError, match="unreachable"):
+        hpfx.load_network(str(buses), str(lines), s)
+    # explicit opt-out loads anyway
+    net = hpfx.load_network(str(buses), str(lines), s, validate=False)
+    assert net.n == 3
+
+
 def test_network_from_arrays_matches_csv():
     s = hpfx.settings_for_hmax(5)
     ref = hpfx.load_network(*_paths("net2"), s)
