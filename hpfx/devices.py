@@ -56,10 +56,24 @@ class DeviceSet:
         return self.I_N.shape[0]
 
     def scale(self, factor) -> "DeviceSet":
-        """Scale injections (penetration-sweep hook; vmap-able over factor)."""
+        """Scale injections (penetration-sweep hook; vmap-able over factor).
+
+        ``factor`` is a scalar (all devices in lockstep) or an (n_nl,)
+        per-device vector (one penetration level per nonlinear bus — the
+        hosting-capacity Monte-Carlo axis).  I_N and Y_N scale together,
+        exactly the per-device Norton scaling of hcne_generalized.py:313-323
+        (injections) and :425-435 (Jacobian couplings).
+        """
         factor = jnp.asarray(factor, self.I_N.re.dtype)
+        if factor.ndim == 0:
+            return dataclasses.replace(
+                self, I_N=self.I_N * factor, Y_N=self.Y_N * factor)
+        if factor.ndim != 1:
+            raise ValueError(
+                f"scale factor must be scalar or (n_nl,), got {factor.shape}")
+        fY = factor[:, None, None] if self.coupled else factor[:, None]
         return dataclasses.replace(
-            self, I_N=self.I_N * factor, Y_N=self.Y_N * factor)
+            self, I_N=self.I_N * factor[:, None], Y_N=self.Y_N * fY)
 
 
 def _parse_complex(s: str) -> complex:
@@ -155,6 +169,69 @@ def load_device_set(
                      coupled=coupled)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceLibrary:
+    """A palette of Norton-equivalent device *types* for device-mix sweeps.
+
+    Where a ``DeviceSet`` fixes one equivalent per nonlinear bus, a library
+    stacks the NEs of ``T`` device types — ``I_lib (T, H)``, ``Y_lib
+    (T, H, H)`` coupled or ``(T, H)`` uncoupled — and :meth:`mixed` blends
+    them into a per-bus DeviceSet with real weights ``w (n_nl, T)``:
+
+        I_N[d] = sum_t w[d, t] · I_lib[t]     (same for Y_N)
+
+    Since Norton parameters enter the mismatch and Jacobian *linearly*
+    (hcne_generalized.py:313-323, 425-435), a weighted NE sum is exactly the
+    physics of ``w[d, t]`` parallel devices of type ``t`` at bus ``d`` —
+    one-hot rows select a type, fractional rows model partial penetration
+    or co-located device blends.  The scenario-sweep hook is
+    ``Scenarios.device_mix`` (B, n_nl, T), vmapped/lane-batched over B.
+    """
+
+    I_lib: Cx
+    Y_lib: Cx
+    coupled: bool = dataclasses.field(metadata=dict(static=True))
+    names: Tuple[str, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True))
+
+    @property
+    def n_types(self) -> int:
+        return self.I_lib.shape[0]
+
+    def mixed(self, w) -> DeviceSet:
+        """Blend the library into a DeviceSet with weights ``w (n_nl, T)``
+        (vmap-able over a leading scenario axis)."""
+        w = jnp.asarray(w, self.I_lib.re.dtype)
+        es = lambda spec, arr: Cx(
+            jnp.einsum(spec, w, arr.re, precision=cx._PREC),
+            jnp.einsum(spec, w, arr.im, precision=cx._PREC))
+        I_N = es("dt,th->dh", self.I_lib)
+        Y_N = es("dt,thp->dhp" if self.coupled else "dt,th->dh", self.Y_lib)
+        return DeviceSet(I_N=I_N, Y_N=Y_N, coupled=self.coupled)
+
+    def index(self, name: str) -> int:
+        return self.names.index(name)
+
+
+def load_device_library(
+    components: Sequence[str], settings: Settings,
+    search_dirs: Sequence[str] = (DATA_DIR,),
+) -> DeviceLibrary:
+    """Load NE tables for ``components`` (unique device-type names) into a
+    stacked :class:`DeviceLibrary` (same per-unit conversion and
+    case-insensitive file resolution as :func:`load_device_set`)."""
+    coupled = settings.coupled
+    pairs = [load_norton_equivalent(resolve_ne_path(comp, search_dirs),
+                                    settings, coupled)
+             for comp in components]
+    rd = settings.real_dtype
+    I_lib = cx.from_numpy(np.stack([p[0] for p in pairs]), rd)
+    Y_lib = cx.from_numpy(np.stack([p[1] for p in pairs]), rd)
+    return DeviceLibrary(I_lib=I_lib, Y_lib=Y_lib, coupled=coupled,
+                         names=tuple(components))
+
+
 def device_set_from_arrays(I_N, Y_N, coupled: bool,
                            settings: Settings) -> DeviceSet:
     rd = settings.real_dtype
@@ -191,23 +268,30 @@ class AnalyticDeviceSet:
     params: object
     inject: object = dataclasses.field(metadata=dict(static=True))
     n_nl: int = dataclasses.field(metadata=dict(static=True))
-    #: scalar injection multiplier (penetration-sweep hook; a *data* leaf so
-    #: scenario sweeps can vmap over it): every device's injected current —
-    #: and hence its Jacobian coupling — is scaled by it, matching
-    #: DeviceSet.scale's I_N/Y_N scaling semantics exactly
+    #: injection multiplier (penetration-sweep hook; a *data* leaf so
+    #: scenario sweeps can vmap over it): scalar (all devices) or (n_nl,)
+    #: per-device — every device's injected current, and hence its Jacobian
+    #: coupling, is scaled by it, matching DeviceSet.scale's I_N/Y_N
+    #: scaling semantics exactly
     inj_scale: object = 1.0
 
     coupled = True  # treated as fully harmonic-coupled by the solver
 
     def scale(self, factor) -> "AnalyticDeviceSet":
-        """Scale injections (penetration-sweep hook; vmap-able over factor)."""
+        """Scale injections (penetration-sweep hook; vmap-able over factor;
+        scalar or (n_nl,) per-device)."""
         return dataclasses.replace(
             self, inj_scale=jnp.asarray(self.inj_scale) * factor)
+
+    def _s(self, extra_dims: int):
+        """inj_scale broadcast against a (n_nl, ...) device-major array."""
+        s = jnp.asarray(self.inj_scale)
+        return s.reshape(s.shape + (1,) * extra_dims) if s.ndim else s
 
     def injections(self, V_m_nl, V_a_nl) -> Cx:
         """All devices' injections: V_*_nl (H, n_nl) -> (n_nl, H)."""
         return jax.vmap(self.inject, in_axes=(0, 1, 1))(
-            self.params, V_m_nl, V_a_nl) * self.inj_scale
+            self.params, V_m_nl, V_a_nl) * self._s(1)
 
     def injection_jacobians(self, V_m_nl, V_a_nl):
         """d I_inj / d(V_m, V_a) per device: two Cx of shape (n_nl, H, H),
@@ -220,7 +304,7 @@ class AnalyticDeviceSet:
 
         JV, JA = jax.vmap(per_bus, in_axes=(0, 1, 1))(
             self.params, V_m_nl, V_a_nl)
-        return JV * self.inj_scale, JA * self.inj_scale
+        return JV * self._s(2), JA * self._s(2)
 
 
 def norton_inject(params, V_m, V_a) -> Cx:

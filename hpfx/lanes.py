@@ -19,7 +19,9 @@ principle of the solve kernel extended to the entire program.
 
 Scope: the structured arrow Newton step (Settings.solver = "arrow") with
 stacked Norton-equivalent devices (DeviceSet, coupled or uncoupled), plain
-or stable mismatch, PV buses, warm starts — i.e. the production sweep
+or stable mismatch, PV buses, warm starts, per-device injection scales
+((B, n_nl) Scenarios.injection_scale) and device mixes
+(DeviceLibrary + Scenarios.device_mix) — i.e. the production sweep
 configuration.  Everything else (dense solver, AnalyticDeviceSet, single
 solves, trajectory recording) stays on the vmap path in hpfx.solve; the
 dispatcher there falls back automatically.  Both paths compute the same
@@ -45,7 +47,7 @@ from . import cx
 from .arrow import ArrowIndex, make_arrow_index
 from .config import Settings
 from .cx import Cx
-from .devices import DeviceSet
+from .devices import DeviceLibrary, DeviceSet
 from .fundamental import FundResult
 from .harmonic import HPFResult, cleanup_voltages
 from .network import Network
@@ -54,6 +56,53 @@ from .utils.precision import highest_precision
 from .ybus import LineYbus, build_ybus, line_ybus_pair
 
 _all = slice(None)
+
+
+class LaneDevices(NamedTuple):
+    """Norton parameters in the lane layout.
+
+    ``batched=False``: the plain per-network arrays of a DeviceSet —
+    I_N (n_nl, H), Y_N (n_nl, H, H) or (n_nl, H) — shared by every
+    scenario.  ``batched=True``: per-scenario *effective* arrays with a
+    trailing lane-batch axis — I_N (n_nl, H, B), Y_N (n_nl, H, H, B) /
+    (n_nl, H, B) — produced by blending a DeviceLibrary with the
+    per-scenario device-mix weights (Scenarios.device_mix); the blend is
+    computed ONCE per sweep (weights are iteration-invariant), so the
+    Newton trip pays only the extra lane axis on the device operands.
+    """
+    I_N: Cx
+    Y_N: Cx
+    coupled: bool
+    batched: bool
+
+
+def _as_lane_devices(devices) -> "LaneDevices":
+    if isinstance(devices, LaneDevices):
+        return devices
+    return LaneDevices(devices.I_N, devices.Y_N, devices.coupled, False)
+
+
+def _mix_lane_devices(lib: DeviceLibrary, mix, rd) -> "LaneDevices":
+    """Blend a DeviceLibrary with (B, n_nl, T) weights into effective
+    batched device arrays (hpfx.devices.DeviceLibrary.mixed, lane-major):
+    I_N[d, h, b] = sum_t mix[b, d, t] · I_lib[t, h] (same for Y)."""
+    w = jnp.asarray(mix, rd)
+    es = lambda spec, arr: Cx(
+        jnp.einsum(spec, w, arr.re, precision=cx._PREC),
+        jnp.einsum(spec, w, arr.im, precision=cx._PREC))
+    I_N = es("bdt,th->dhb", lib.I_lib)
+    Y_N = es("bdt,thp->dhpb" if lib.coupled else "bdt,th->dhb", lib.Y_lib)
+    return LaneDevices(I_N=I_N, Y_N=Y_N, coupled=lib.coupled, batched=True)
+
+
+def _as_inj_db(inj, n_nl: int, B: int, rd):
+    """Normalize an injection scale to device-major (n_nl, B): 1-D (B,)
+    per-scenario scalars broadcast over devices; 2-D input must already be
+    (n_nl, B) (hpf_sweep_lanes transposes the user's (B, n_nl))."""
+    inj = jnp.asarray(inj, rd)
+    if inj.ndim == 1:
+        return jnp.broadcast_to(inj[None, :], (n_nl, B))
+    return inj
 
 
 # ---------------------------------------------------------------------------
@@ -107,25 +156,35 @@ def stable_matvec_lanes(lineY: LineYbus, V_m, V_a) -> Cx:
     return out + Cx(acc(flows.re), acc(flows.im))
 
 
-def _injections_lanes(V_c: Cx, devices: DeviceSet, inj, m: int) -> Cx:
+def _injections_lanes(V_c: Cx, dev: LaneDevices, inj_db, m: int) -> Cx:
     """Current injections (hpfx.harmonic.current_injections) on (H, n, B)
-    voltages -> (n_nl, H, B).  ``inj`` (B,) scales the Norton parameters
-    (I_N and Y_N scale together, so the injection scales linearly)."""
+    voltages -> (n_nl, H, B).  ``inj_db`` (n_nl, B) scales the Norton
+    parameters per device (I_N and Y_N scale together, so the injection
+    scales linearly; hcne_generalized.py:313-323)."""
     V_nl = V_c[:, m:]                                    # (H, n_nl, B)
-    if devices.coupled:
-        raw = devices.I_N[..., None] - cx.einsum("dhp,pdb->dhb",
-                                                 devices.Y_N, V_nl)
+    if dev.coupled:
+        if dev.batched:
+            raw = dev.I_N - cx.einsum("dhpb,pdb->dhb", dev.Y_N, V_nl)
+        else:
+            raw = dev.I_N[..., None] - cx.einsum("dhp,pdb->dhb",
+                                                 dev.Y_N, V_nl)
     else:
-        raw = devices.I_N[..., None] - \
-            devices.Y_N[..., None] * V_nl.transpose(1, 0, 2)
-    return raw * inj[None, None, :]
+        Vt = V_nl.transpose(1, 0, 2)                     # (n_nl, H, B)
+        if dev.batched:
+            raw = dev.I_N - dev.Y_N * Vt
+        else:
+            raw = dev.I_N[..., None] - dev.Y_N[..., None] * Vt
+    return raw * inj_db[:, None, :]
 
 
-def mismatch_lanes(V_m, V_a, Y: Cx, S: Cx, devices: DeviceSet, inj,
+def mismatch_lanes(V_m, V_a, Y: Cx, S: Cx, devices, inj,
                    m: int, n: int, c: int, lineY: Optional[LineYbus]):
     """Harmonic mismatch/residual (hpfx.harmonic.harmonic_mismatch) on
-    (H, n, B) voltages; S is the scaled (n, B) load.  Returns
-    (f (rows, B), err (B,))."""
+    (H, n, B) voltages; S is the scaled (n, B) load.  ``devices`` is a
+    DeviceSet or LaneDevices; ``inj`` a (B,) per-scenario or (n_nl, B)
+    per-device scale.  Returns (f (rows, B), err (B,))."""
+    dev = _as_lane_devices(devices)
+    inj_db = _as_inj_db(inj, n - m, V_m.shape[-1], V_m.dtype)
     V_c = cx.polar(V_m, V_a)
     if lineY is None:
         YV = cx.einsum("hij,hjb->hib", Y, V_c)
@@ -134,7 +193,7 @@ def mismatch_lanes(V_m, V_a, Y: Cx, S: Cx, devices: DeviceSet, inj,
     I1 = YV[0, 1:m]
     Sl = V_c[0, 1:m] * I1.conj()
     dS = S[1:m] + Sl                                     # (m-1, B)
-    I_inj = _injections_lanes(V_c, devices, inj, m)      # (n_nl, H, B)
+    I_inj = _injections_lanes(V_c, dev, inj_db, m)       # (n_nl, H, B)
     dI_f = YV[0, m:] + I_inj[:, 0]
     dI_h = YV[1:]                                        # (K, n, B)
     dI_h = dI_h.at_add((_all, slice(m, None)),
@@ -146,22 +205,29 @@ def mismatch_lanes(V_m, V_a, Y: Cx, S: Cx, devices: DeviceSet, inj,
     return f, jnp.max(jnp.abs(f), axis=0)
 
 
-def mismatch_floor_lanes(V_m, Y: Cx, devices: DeviceSet, inj, m: int,
+def mismatch_floor_lanes(V_m, Y: Cx, devices, inj, m: int,
                          settings: Settings):
     """Per-scenario mismatch evaluation floor (hpfx.harmonic.mismatch_floor)
-    -> (B,)."""
+    -> (B,).  ``devices``/``inj`` as in :func:`mismatch_lanes`."""
+    dev = _as_lane_devices(devices)
+    inj_db = _as_inj_db(inj, V_m.shape[1] - m, V_m.shape[-1],
+                        settings.real_dtype)
     eps = jnp.finfo(settings.real_dtype).eps
     vmax = jnp.abs(V_m)                                   # (H, n, B)
     rows = jnp.einsum("hij,hjb->hib", Y.abs(), vmax)
     scale = jnp.max(rows, axis=(0, 1))                    # (B,)
-    if devices.n_devices > 0:
+    if dev.I_N.shape[0] > 0:
         v_nl = vmax[:, m:]                                # (H, n_nl, B)
-        if devices.coupled:
-            d_inj = jnp.einsum("dhp,pdb->dhb", devices.Y_N.abs(), v_nl)
+        vt = v_nl.transpose(1, 0, 2)                      # (n_nl, H, B)
+        if dev.coupled:
+            spec = "dhpb,pdb->dhb" if dev.batched else "dhp,pdb->dhb"
+            d_inj = jnp.einsum(spec, dev.Y_N.abs(), v_nl)
         else:
-            d_inj = devices.Y_N.abs()[..., None] * v_nl.transpose(1, 0, 2)
-        scale = jnp.maximum(scale,
-                            jnp.max(d_inj, axis=(0, 1)) * jnp.abs(inj))
+            Ya = dev.Y_N.abs() if dev.batched else dev.Y_N.abs()[..., None]
+            d_inj = Ya * vt
+        scale = jnp.maximum(
+            scale,
+            jnp.max(d_inj * jnp.abs(inj_db)[:, None, :], axis=(0, 1)))
     return eps * scale
 
 
@@ -184,21 +250,26 @@ def _power_jacobian_blocks_lanes(V: Cx, Vn: Cx, Y: Cx, n: int):
     return dSdA, dSdV
 
 
-def _coupling_lanes(V_m, V_a, devices: DeviceSet, inj, m: int):
-    """K_V/K_A (H, H, n_nl, B): hpfx.arrow._coupling_cx, batch last."""
+def _coupling_lanes(V_m, V_a, dev: LaneDevices, inj_db, m: int):
+    """K_V/K_A (H, H, n_nl, B): hpfx.arrow._coupling_cx, batch last.
+    ``inj_db`` (n_nl, B) scales couplings per device (the Jacobian twin of
+    the injection scaling, hcne_generalized.py:425-435)."""
     Vn_nl = cx.expj(V_a)[:, m:]                           # (H, n_nl, B)
     V_nl = cx.polar(V_m, V_a)[:, m:]
-    if devices.coupled:
-        K_V = -cx.einsum("dhp,pdb->hpdb", devices.Y_N, Vn_nl)
-        K_A = -cx.einsum("dhp,pdb->hpdb", devices.Y_N, V_nl).jmul()
+    if dev.coupled:
+        spec = "dhpb,pdb->hpdb" if dev.batched else "dhp,pdb->hpdb"
+        K_V = -cx.einsum(spec, dev.Y_N, Vn_nl)
+        K_A = -cx.einsum(spec, dev.Y_N, V_nl).jmul()
     else:
         H, n_nl, B = Vn_nl.shape
-        diag_V = -(devices.Y_N.T[..., None] * Vn_nl)      # (H, n_nl, B)
-        diag_A = -(devices.Y_N.T[..., None] * V_nl).jmul()
+        Yt = dev.Y_N.transpose(1, 0, 2) if dev.batched \
+            else dev.Y_N.T[..., None]                     # (H, n_nl, B|1)
+        diag_V = -(Yt * Vn_nl)                            # (H, n_nl, B)
+        diag_A = -(Yt * V_nl).jmul()
         hh = jnp.arange(H)
         K_V = cx.zeros((H, H, n_nl, B), V_m.dtype).at_set((hh, hh), diag_V)
         K_A = cx.zeros((H, H, n_nl, B), V_m.dtype).at_set((hh, hh), diag_A)
-    s = inj[None, None, None, :]
+    s = inj_db[None, None, :, :]
     return K_V * s, K_A * s
 
 
@@ -227,12 +298,13 @@ def _make_arrow_consts(H: int, n: int, m: int, c: int) -> _ArrowConsts:
                         inv_f_perm=np.argsort(idx.f_perm))
 
 
-def arrow_step_lanes(V_m, V_a, f, Y: Cx, devices: DeviceSet, inj,
+def arrow_step_lanes(V_m, V_a, f, Y: Cx, devices, inj,
                      consts: _ArrowConsts, big_solve: str = "auto"):
     """One arrow Newton-step solve J dx = f on (H, n, B) state, (dim, B)
     mismatch -> dx (dim, B).  Same block + Woodbury factorization as
     hpfx.arrow.build_arrow_pieces/arrow_solve, batch kept lane-minor so the
-    Pallas kernel consumes the blocks without relayout."""
+    Pallas kernel consumes the blocks without relayout.  ``devices``/
+    ``inj`` as in :func:`mismatch_lanes`."""
     idx = consts.idx
     H, n, m, c, d0 = idx.H, idx.n, idx.m, idx.c, idx.d0
     n_nl = n - m
@@ -241,13 +313,15 @@ def arrow_step_lanes(V_m, V_a, f, Y: Cx, devices: DeviceSet, inj,
     r_blk = 2 * n_nl
     rd = V_m.dtype
     B = V_m.shape[-1]
+    dev = _as_lane_devices(devices)
+    inj_db = _as_inj_db(inj, n_nl, B, rd)
 
     V_c = cx.polar(V_m, V_a)
     Vn = cx.expj(V_a)
 
     blocks_V = Y[..., None] * Vn[:, None, :, :]           # (H, n, n, B)
     blocks_A = (Y[..., None] * V_c[:, None, :, :]).jmul()
-    K_V, K_A = _coupling_lanes(V_m, V_a, devices, inj, m)  # (H, H, n_nl, B)
+    K_V, K_A = _coupling_lanes(V_m, V_a, dev, inj_db, m)  # (H, H, n_nl, B)
 
     # fold the h == p coupling into the diagonal blocks.  Scatter-free:
     # the diagonal add is an eye-broadcast multiply-add (TPU scatters
@@ -447,10 +521,11 @@ def _fund_jacobian_lanes(V_m, V_a, Y1: Cx, n: int, c: int):
 
 def supports_lanes(devices, settings: Settings, net: Network) -> bool:
     """Whether the lane-major path implements this configuration."""
-    return (settings.solver == "arrow"
-            and isinstance(devices, DeviceSet)
-            and devices.n_devices > 0
-            and net.n > net.m)
+    if settings.solver != "arrow" or net.n <= net.m:
+        return False
+    if isinstance(devices, DeviceLibrary):
+        return True          # device-mix sweeps (Scenarios.device_mix)
+    return isinstance(devices, DeviceSet) and devices.n_devices > 0
 
 
 def _scale_cols(base, scale, n: int, B: int):
@@ -499,6 +574,17 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
     inj = scenarios.injection_scale if scenarios.injection_scale is not None \
         else jnp.ones((B,), rd)
     inj = jnp.asarray(inj, rd)
+    # per-device injection scales arrive batch-major (B, n_nl); the lane
+    # layout carries them device-major (n_nl, B)
+    inj_db = _as_inj_db(inj.T if inj.ndim == 2 else inj, n - m, B, rd)
+    mix = getattr(scenarios, "device_mix", None)
+    if (mix is not None) != isinstance(devices, DeviceLibrary):
+        raise ValueError(
+            "Scenarios.device_mix requires passing a DeviceLibrary as "
+            "devices (and vice versa)")
+    dev = (_mix_lane_devices(devices, mix, rd)
+           if isinstance(devices, DeviceLibrary)
+           else _as_lane_devices(devices))
     S = Cx(_scale_cols(net.bus_P, scenarios.p_scale, n, B),
            _scale_cols(net.bus_Q, q_scale, n, B))
 
@@ -520,18 +606,22 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
     V_m, V_a = _vc(V_m, V_a)
 
     consts = _make_arrow_consts(H, n, m, c)
-    f0, err0 = mismatch_lanes(V_m, V_a, Y, S, devices, inj, m, n, c, lineY)
+    f0, err0 = mismatch_lanes(V_m, V_a, Y, S, dev, inj_db, m, n, c, lineY)
     thresh_eff = jnp.maximum(
         jnp.asarray(settings.thresh_h, rd),
         settings.floor_kappa *
-        mismatch_floor_lanes(V_m, Y, devices, inj, m, settings))
+        mismatch_floor_lanes(V_m, Y, dev, inj_db, m, settings))
     hist0 = jnp.full((settings.max_iter_h, B), jnp.nan, rd)
 
     # ---- fused NR-trip megakernel (hpfx.ops.fused_trip) ----
     from .ops.fused_trip import (LANES, fused_trip, make_trip_consts,
                                  supports_fused)
     fused_mode = None
-    if settings.fused_trip == "interpret":
+    # the kernel takes a per-scenario scalar injection scale and unbatched
+    # device constants: per-device scales and device mixes stay unfused
+    if dev.batched or inj.ndim == 2:
+        pass
+    elif settings.fused_trip == "interpret":
         fused_mode = "interpret"
     elif (settings.fused_trip == "on"
           and jax.default_backend() == "tpu"
@@ -614,18 +704,18 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
             # pivoted direct steps for the final contraction (both
             # branches compile once; the trip counter picks per trip)
             step = lambda impl: (lambda vm, va, ff: arrow_step_lanes(
-                vm, va, ff, Y, devices, inj, consts, big_solve=impl))
+                vm, va, ff, Y, dev, inj_db, consts, big_solve=impl))
             dx = lax.cond(t < settings.big_solve_warmup,
                           step("schur"), step("direct"), V_m, V_a, f)
         else:
-            dx = arrow_step_lanes(V_m, V_a, f, Y, devices, inj, consts,
+            dx = arrow_step_lanes(V_m, V_a, f, Y, dev, inj_db, consts,
                                   big_solve=settings.big_solve)
         x_new = x - dx
         Va_new = jnp.concatenate([V_a.reshape(D, B)[:1],
                                   x_new[: D - 1]], axis=0).reshape(H, n, B)
         Vm_new = jnp.concatenate([V_m.reshape(D, B)[:c],
                                   x_new[D - 1:]], axis=0).reshape(H, n, B)
-        f_new, err_new = mismatch_lanes(Vm_new, Va_new, Y, S, devices, inj,
+        f_new, err_new = mismatch_lanes(Vm_new, Va_new, Y, S, dev, inj_db,
                                         m, n, c, lineY)
         V_m = jnp.where(act, Vm_new, V_m)
         V_a = jnp.where(act, Va_new, V_a)

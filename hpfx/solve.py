@@ -33,15 +33,24 @@ from .ybus import build_ybus, line_ybus_pair
 
 
 class Scenarios(NamedTuple):
-    """Per-scenario multipliers, each shape (B,) or (B, n)/(B, n_nl).
+    """Per-scenario multipliers over a batch of B cases.
 
-    - ``p_scale``/``q_scale`` scale bus active/reactive load,
-    - ``injection_scale`` scales nonlinear-device Norton parameters
-      (EV/SMPS penetration sweeps).
+    - ``p_scale``/``q_scale`` (B,) or (B, n): bus active/reactive load
+      scaling (scalar per scenario or per bus),
+    - ``injection_scale`` (B,) or (B, n_nl): nonlinear-device Norton
+      scaling — scalar per scenario (lockstep penetration) or per device
+      (each nonlinear bus at its own penetration level, the real
+      hosting-capacity Monte-Carlo axis),
+    - ``device_mix`` (B, n_nl, T): per-bus blend weights over the T device
+      types of a :class:`hpfx.devices.DeviceLibrary` (which EV/SMPS model
+      sits at which bus, at what count); requires passing a DeviceLibrary
+      as the sweep's ``devices``.  Composes with ``injection_scale``
+      (mix first, then scale).
     """
     p_scale: jnp.ndarray
     q_scale: Optional[jnp.ndarray] = None
     injection_scale: Optional[jnp.ndarray] = None
+    device_mix: Optional[jnp.ndarray] = None
 
     @property
     def batch(self) -> int:
@@ -59,13 +68,15 @@ def _expand(scale, like):
     return s if s.ndim else s[None]
 
 
-def _solve_scenario(Y, net: Network, devices: DeviceSet, settings: Settings,
-                    p_scale, q_scale, inj_scale, V0=None,
+def _solve_scenario(Y, net: Network, devices, settings: Settings,
+                    p_scale, q_scale, inj_scale, mix=None, V0=None,
                     lineY=None, lineY_f=None) -> HPFResult:
     net_s = dataclasses.replace(
         net,
         bus_P=net.bus_P * _expand(p_scale, net.bus_P),
         bus_Q=net.bus_Q * _expand(q_scale, net.bus_Q))
+    if mix is not None:                # DeviceLibrary + per-bus blend
+        devices = devices.mixed(mix)
     dev_s = devices.scale(inj_scale)   # DeviceSet or AnalyticDeviceSet
     fund = solve_fundamental(Y[0], net_s, settings, lineY=lineY_f)
     return solve_harmonic(Y, fund, net_s, dev_s, settings, V0=V0,
@@ -73,17 +84,26 @@ def _solve_scenario(Y, net: Network, devices: DeviceSet, settings: Settings,
 
 
 @partial(jax.jit, static_argnames=("settings",))
-def hpf_sweep(net: Network, devices: DeviceSet, settings: Settings,
+def hpf_sweep(net: Network, devices, settings: Settings,
               scenarios: Scenarios, V0=None, Y=None) -> HPFResult:
     """Solve B independent HPF cases in one compiled program.
 
     Returns an HPFResult whose leaves carry a leading batch dimension.
-    ``V0``: optional batched (V_m, V_a) warm starts.  ``Y``: optional
-    precomputed admittance tensor overriding ``build_ybus`` (the
-    Kron-reduced sweep path, where the dense reduced blocks replace the
-    line-built ones).
+    ``devices``: a DeviceSet / AnalyticDeviceSet, or a
+    :class:`hpfx.devices.DeviceLibrary` when ``scenarios.device_mix``
+    carries per-bus type blends.  ``V0``: optional batched (V_m, V_a) warm
+    starts.  ``Y``: optional precomputed admittance tensor overriding
+    ``build_ybus`` (the Kron-reduced sweep path, where the dense reduced
+    blocks replace the line-built ones).
     """
+    from .devices import DeviceLibrary
     from .lanes import hpf_sweep_lanes, supports_lanes
+    mix = scenarios.device_mix
+    if (mix is not None) != isinstance(devices, DeviceLibrary):
+        raise ValueError(
+            "Scenarios.device_mix requires passing a DeviceLibrary as "
+            "devices (and a DeviceLibrary requires a device_mix to assign "
+            "types to buses)")
     if settings.layout != "vmap" and supports_lanes(devices, settings, net) \
             and (settings.layout == "lanes"
                  or jax.default_backend() == "tpu"):
@@ -103,18 +123,17 @@ def hpf_sweep(net: Network, devices: DeviceSet, settings: Settings,
     q = scenarios.q_scale if scenarios.q_scale is not None \
         else scenarios.p_scale
     inj = scenarios.injection_scale if scenarios.injection_scale is not None \
-        else jnp.ones_like(scenarios.p_scale)
-    if V0 is None:
-        return jax.vmap(
-            lambda p, qq, i: _solve_scenario(Y, net, devices, settings,
-                                             p, qq, i, lineY=lineY,
-                                             lineY_f=lineY_f)
-        )(scenarios.p_scale, q, inj)
+        else jnp.ones((scenarios.batch,), scenarios.p_scale.dtype)
+    vm = None if V0 is None else V0[0]
+    va = None if V0 is None else V0[1]
+    ax = lambda x: None if x is None else 0
     return jax.vmap(
-        lambda p, qq, i, vm, va: _solve_scenario(
-            Y, net, devices, settings, p, qq, i, V0=(vm, va),
-            lineY=lineY, lineY_f=lineY_f)
-    )(scenarios.p_scale, q, inj, V0[0], V0[1])
+        lambda p, qq, i, mx, vm_, va_: _solve_scenario(
+            Y, net, devices, settings, p, qq, i, mix=mx,
+            V0=None if vm_ is None else (vm_, va_),
+            lineY=lineY, lineY_f=lineY_f),
+        in_axes=(0, 0, 0, ax(mix), ax(vm), ax(va)),
+    )(scenarios.p_scale, q, inj, mix, vm, va)
 
 
 def hpf_sweep_adaptive(net: Network, devices: DeviceSet, settings: Settings,
