@@ -31,7 +31,8 @@ from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
 from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
-from .sensitivity import Sensitivity, injection_sensitivity
+from .sensitivity import (ScenarioParams, Sensitivity, injection_sensitivity,
+                          scenario_sensitivity)
 from .trajlog import read_ilog, read_vlog, write_ilog, write_vlog
 from .ybus import build_ybus
 
@@ -57,7 +58,8 @@ __all__ = [
     "save_result", "load_result", "warm_start",
     "synthetic_feeder", "validate_network",
     "write_vlog", "read_vlog", "write_ilog", "read_ilog",
-    "Sensitivity", "injection_sensitivity",
+    "Sensitivity", "ScenarioParams", "injection_sensitivity",
+    "scenario_sensitivity",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
     "ControlledDeviceSet", "ExtendedResult", "hpf_extended",

@@ -15,10 +15,19 @@ with J the same harmonic Jacobian the solver already builds (which *is*
 ∂f/∂x — verified against jacfwd in the test suite) and ∂f/∂theta obtained
 by forward-mode autodiff of the mismatch.  One extra linear solve per
 parameter column; exact at the fixed point, no unrolling.
+
+Parameters: :class:`ScenarioParams` carries every scenario-axis knob of
+``hpfx.solve.Scenarios`` — active/reactive load scales (scalar or per-bus)
+and the device injection scale (scalar or per-device) — so a single call
+yields the full gradient of e.g. worst-bus THD wrt each bus's load and
+each device's penetration.  With ``Settings.solver = "arrow"`` the column
+solves go through the structured arrow factorization (hpfx.arrow) instead
+of the dense LU, which is what makes net1-scale (H<=25, dim 518+)
+sensitivities affordable.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,23 +43,106 @@ from .utils.precision import highest_precision
 from .ybus import build_ybus
 
 
+class ScenarioParams(NamedTuple):
+    """Differentiation point for :func:`scenario_sensitivity`: the scales
+    at which ``result`` was solved.  Each leaf is a scalar or a vector —
+    ``p_scale``/``q_scale`` scalar or (n,), ``injection_scale`` scalar or
+    (n_nl,) (the per-device penetration axis)."""
+    p_scale: object = 1.0
+    q_scale: object = 1.0
+    injection_scale: object = 1.0
+
+
 class Sensitivity(NamedTuple):
     value: jnp.ndarray       # g(x*) at the solution
-    grad: jnp.ndarray        # dg/dtheta via implicit differentiation
-    dx: jnp.ndarray          # dx*/dtheta (state sensitivity)
+    grad: object             # dg/dtheta: ScenarioParams-shaped pytree
+                             # (or a scalar from injection_sensitivity)
+    dx: jnp.ndarray          # dx*/dtheta (state sensitivity), stacked cols
 
 
-def _mismatch_of(net: Network, devices: DeviceSet, settings: Settings, Y):
+def _scaled_mismatch(net: Network, devices, settings: Settings, Y,
+                     V_m0, V_a0):
+    """f(x, params): the harmonic mismatch with loads and injections scaled
+    by the (differentiable) ScenarioParams."""
     m, n, c = net.m, net.n, net.c
 
-    def f(x, theta, V_m0, V_a0):
+    def f(x, params: ScenarioParams):
         V_m, V_a = update_harmonic_voltages(
             V_m0, V_a0, x, settings.n_harmonics, n, c)
-        dev_t = devices.scale(theta)
-        S = Cx(net.bus_P, net.bus_Q)
+        dev_t = devices.scale(params.injection_scale)
+        S = Cx(net.bus_P * params.p_scale, net.bus_Q * params.q_scale)
         return harmonic_mismatch(V_m, V_a, Y, S, dev_t, m, n, c)[0]
 
     return f
+
+
+def _solve_columns(V_m, V_a, Y, dev_t, net: Network, settings: Settings,
+                   rhs_cols):
+    """J(x*)^{-1} @ rhs_cols (dim, P) with the solver the settings select:
+    the structured arrow factorization (one pieces-build, vmapped column
+    solves) or the dense Jacobian LU."""
+    m, n, c = net.m, net.n, net.c
+    if settings.solver == "arrow":
+        from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
+        idx = make_arrow_index(settings.n_harmonics, n, m, c)
+        pieces = build_arrow_pieces(V_m, V_a, Y, dev_t, idx)
+        return jax.vmap(lambda col: arrow_solve(pieces, col, idx),
+                        in_axes=1, out_axes=1)(rhs_cols)
+    J = build_harmonic_jacobian(V_m, V_a, Y, dev_t, m, n, c)
+    return jnp.linalg.solve(J, rhs_cols)
+
+
+@highest_precision
+def scenario_sensitivity(
+    net: Network, devices, settings: Settings,
+    result: HPFResult, params: Optional[ScenarioParams] = None,
+    functional: Callable = None,
+) -> Sensitivity:
+    """Gradient of ``functional(V_m, V_a)`` wrt every scenario parameter at
+    a converged solution, via implicit differentiation.
+
+    ``params``: the :class:`ScenarioParams` at which ``result`` was solved
+    (defaults to all-ones); vector leaves yield per-bus / per-device
+    gradient components.  ``functional`` defaults to the worst-bus THD_F.
+    Returns ``grad`` as a ScenarioParams pytree with leaves shaped like
+    the inputs.
+    """
+    if functional is None:
+        def functional(V_m, V_a):
+            return jnp.max(get_thd(V_m).THD_F)
+    if params is None:
+        params = ScenarioParams()
+    rd = settings.real_dtype
+    params = ScenarioParams(*(jnp.asarray(p, rd) for p in params))
+
+    H, n, c = settings.n_harmonics, net.n, net.c
+    Y = build_ybus(net, settings)
+    V_m, V_a = result.V_m, result.V_a
+    x_star = harmonic_state_vector(V_m, V_a, c)
+    f = _scaled_mismatch(net, devices, settings, Y, V_m, V_a)
+
+    # ∂f/∂params, one jacfwd over the whole pytree; leaves (dim, *p.shape)
+    df = jax.jacfwd(lambda p: f(x_star, p))(params)
+    dim = x_star.shape[0]
+    cols = jnp.concatenate(
+        [leaf.reshape(dim, -1) for leaf in df], axis=1)    # (dim, P)
+
+    dev_t = devices.scale(params.injection_scale)
+    dx_cols = -_solve_columns(V_m, V_a, Y, dev_t, net, settings, cols)
+
+    def g_of_x(x):
+        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+        return functional(Vm2, Va2)
+
+    value, dg = jax.value_and_grad(g_of_x)(x_star)
+    grad_flat = dg @ dx_cols                               # (P,)
+    # unflatten back into the params structure
+    out, off = [], 0
+    for leaf in params:
+        k = max(1, leaf.size)
+        out.append(grad_flat[off:off + k].reshape(leaf.shape))
+        off += k
+    return Sensitivity(value=value, grad=ScenarioParams(*out), dx=dx_cols)
 
 
 @highest_precision
@@ -59,31 +151,20 @@ def injection_sensitivity(
     result: HPFResult, theta: float = 1.0,
     functional: Callable = None,
 ) -> Sensitivity:
-    """d(functional)/d(injection scale) at a converged solution.
+    """d(functional)/d(injection scale) at a converged solution — the
+    single-parameter special case of :func:`scenario_sensitivity`
+    (``theta`` scalar, or (n_nl,) for per-device gradients).
 
     ``functional(V_m, V_a) -> scalar`` defaults to the worst-bus THD_F.
     ``theta`` is the injection scale at which ``result`` was solved.
     """
-    if functional is None:
-        def functional(V_m, V_a):
-            return jnp.max(get_thd(V_m).THD_F)
-
-    H, n, c = settings.n_harmonics, net.n, net.c
-    Y = build_ybus(net, settings)
-    # reconstruct the solver's internal state at the solution
-    V_m, V_a = result.V_m, result.V_a
-    x_star = harmonic_state_vector(V_m, V_a, c)
-    f = _mismatch_of(net, devices, settings, Y)
-
-    theta = jnp.asarray(theta, settings.real_dtype)
-    dev_t = devices.scale(theta)
-    J = build_harmonic_jacobian(V_m, V_a, Y, dev_t, net.m, n, c)
-    df_dtheta = jax.jacfwd(lambda t: f(x_star, t, V_m, V_a))(theta)
-    dx = -jnp.linalg.solve(J, df_dtheta)
-
-    def g_of_x(x):
-        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
-        return functional(Vm2, Va2)
-
-    value, dg = jax.value_and_grad(g_of_x)(x_star)
-    return Sensitivity(value=value, grad=dg @ dx, dx=dx)
+    sens = scenario_sensitivity(
+        net, devices, settings, result,
+        params=ScenarioParams(injection_scale=theta),
+        functional=functional)
+    grad = sens.grad.injection_scale
+    dx = sens.dx[:, 2:]
+    if jnp.ndim(theta) == 0:
+        grad = grad.reshape(())
+        dx = dx[:, 0]
+    return Sensitivity(value=sens.value, grad=grad, dx=dx)

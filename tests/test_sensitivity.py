@@ -1,9 +1,13 @@
 """Implicit-differentiation sensitivity tests: the IFT gradient matches
 central finite differences through full re-solves."""
+import dataclasses
+
+import jax.numpy as jnp
 import numpy as np
 
 import hpfx
-from hpfx.sensitivity import injection_sensitivity
+from hpfx.sensitivity import (ScenarioParams, injection_sensitivity,
+                              scenario_sensitivity)
 
 from conftest import make_setup
 
@@ -47,3 +51,86 @@ def test_custom_functional():
     fd = (float(hi.V_m[2, 3]) - float(lo.V_m[2, 3])) / (2 * eps)
     np.testing.assert_allclose(float(sens.grad), fd, rtol=2e-4)
     assert sens.dx.shape == (2 * s.n_harmonics * net.n - 1 - net.c,)
+
+
+def _solve_params(net, dev, s, p, q, inj):
+    net_s = dataclasses.replace(
+        net, bus_P=net.bus_P * jnp.asarray(p, s.real_dtype),
+        bus_Q=net.bus_Q * jnp.asarray(q, s.real_dtype))
+    return hpfx.hpf(net_s, dev.scale(jnp.asarray(inj, s.real_dtype)), s)
+
+
+def test_scenario_params_gradients_match_fd():
+    """Joint (p_scale, q_scale, per-device injection) gradients of worst
+    THD_F vs central finite differences through full re-solves."""
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    inj0 = np.array([1.0])                  # net2: one device
+    res = _solve_params(net, dev, s, 1.0, 1.0, inj0)
+    sens = scenario_sensitivity(
+        net, dev, s, res,
+        params=ScenarioParams(1.0, 1.0, jnp.asarray(inj0)))
+
+    def thd(r):
+        return float(np.max(np.asarray(hpfx.get_thd(r.V_m).THD_F)))
+
+    eps = 1e-5
+    fd_p = (thd(_solve_params(net, dev, s, 1 + eps, 1.0, inj0))
+            - thd(_solve_params(net, dev, s, 1 - eps, 1.0, inj0))) / (2 * eps)
+    fd_q = (thd(_solve_params(net, dev, s, 1.0, 1 + eps, inj0))
+            - thd(_solve_params(net, dev, s, 1.0, 1 - eps, inj0))) / (2 * eps)
+    fd_i = (thd(_solve_params(net, dev, s, 1.0, 1.0, inj0 + eps))
+            - thd(_solve_params(net, dev, s, 1.0, 1.0, inj0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(sens.grad.p_scale), fd_p, rtol=5e-4)
+    np.testing.assert_allclose(float(sens.grad.q_scale), fd_q, rtol=5e-4)
+    np.testing.assert_allclose(float(sens.grad.injection_scale[0]), fd_i,
+                               rtol=5e-4)
+
+
+def test_per_device_gradients_arrow_matches_dense_net1():
+    """Per-device injection gradients on net1 (7 devices, H<=25, dim 518):
+    the arrow-solver column solves equal the dense-LU ones, and the
+    per-device components match finite differences."""
+    cfg = ("net1", 25, True)
+    s, net, dev = make_setup(cfg)
+    n_nl = net.n_nonlinear
+    inj0 = np.ones(n_nl)
+    res = _solve_params(net, dev, s, 1.0, 1.0, inj0)
+    params = ScenarioParams(1.0, 1.0, jnp.asarray(inj0))
+    sens_d = scenario_sensitivity(net, dev, s, res, params=params)
+    sens_a = scenario_sensitivity(net, dev, s.with_(solver="arrow"), res,
+                                  params=params)
+    np.testing.assert_allclose(np.asarray(sens_a.grad.injection_scale),
+                               np.asarray(sens_d.grad.injection_scale),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(float(sens_a.grad.p_scale),
+                               float(sens_d.grad.p_scale), rtol=1e-8)
+
+    def thd(r):
+        return float(np.max(np.asarray(hpfx.get_thd(r.V_m).THD_F)))
+
+    # spot-check two devices against FD
+    eps = 1e-5
+    for d in (0, n_nl - 1):
+        e = np.zeros(n_nl)
+        e[d] = eps
+        fd = (thd(_solve_params(net, dev, s, 1, 1, inj0 + e))
+              - thd(_solve_params(net, dev, s, 1, 1, inj0 - e))) / (2 * eps)
+        np.testing.assert_allclose(
+            float(sens_d.grad.injection_scale[d]), fd, rtol=1e-3, atol=1e-9)
+
+
+def test_injection_sensitivity_backcompat_and_vector():
+    """The scalar wrapper still returns scalar grad/(dim,) dx; a vector
+    theta returns per-device components summing against the scalar one
+    (chain rule: scalar scale = all devices moving together)."""
+    cfg = ("net3", 5, True)
+    s, net, dev = make_setup(cfg)
+    res = _solve_scaled(net, dev, s, 1.0)
+    sc = injection_sensitivity(net, dev, s, res, theta=1.0)
+    assert sc.grad.shape == ()
+    assert sc.dx.ndim == 1
+    vec = injection_sensitivity(net, dev, s, res,
+                                theta=jnp.ones(net.n_nonlinear))
+    np.testing.assert_allclose(float(jnp.sum(vec.grad)), float(sc.grad),
+                               rtol=1e-8)
