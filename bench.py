@@ -69,7 +69,7 @@ DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def bench_config(net_name: str, h_max: int, solver: str, batch: int,
                  repeats: int, phase2_solver: str = "dense",
                  phase_iters: int = 24):
-    """Time one sweep config; returns raw/converged solves/sec + stats."""
+    """Time one fixture-net sweep config."""
     # stable_mismatch: cancellation-free residual evaluation — required for
     # reference-threshold f32 convergence on stiff grids (see BENCH_NOTES)
     s = hpfx.settings_for_hmax(h_max, coupled=True).with_(
@@ -77,7 +77,26 @@ def bench_config(net_name: str, h_max: int, solver: str, batch: int,
     net = hpfx.load_network(os.path.join(DATA, f"{net_name}_buses.csv"),
                             os.path.join(DATA, f"{net_name}_lines.csv"), s)
     dev = hpfx.load_device_set(net, s)
+    return bench_net(net, dev, s, batch, repeats, phase2_solver, phase_iters)
 
+
+def bench_synthetic(n: int, n_nl: int, h_max: int, batch: int,
+                    repeats: int = 2):
+    """Time a synthetic-feeder sweep (the beyond-n=20 scaling data point;
+    hpfx.generators.synthetic_feeder, self-consistency-gated in
+    tests/test_scaling.py)."""
+    s = hpfx.settings_for_hmax(h_max, coupled=True).with_(
+        solver="arrow", stable_mismatch=True, big_solve=BIG_SOLVE)
+    from hpfx.generators import synthetic_feeder
+    net = synthetic_feeder(n, n_nl, s, components=("SMPS",), seed=1)
+    dev = hpfx.load_device_set(net, s)
+    return bench_net(net, dev, s, batch, repeats,
+                     phase2_solver="arrow", phase_iters=30)
+
+
+def bench_net(net, dev, s, batch: int, repeats: int,
+              phase2_solver: str = "dense", phase_iters: int = 24):
+    """Time one sweep config; returns raw/converged solves/sec + stats."""
     import numpy as np
 
     # scenario spread representative of a hosting-capacity sweep.  Every
@@ -124,7 +143,7 @@ def bench_config(net_name: str, h_max: int, solver: str, batch: int,
         conv = float(np.mean(np.asarray(res.converged)))
     dt = min(times)
     return dict(raw=batch / dt, conv=conv, converged=conv * batch / dt,
-                solver=solver, batch=batch)
+                solver=s.solver, batch=batch)
 
 
 def main():
@@ -186,6 +205,24 @@ def main():
         # mark the absence explicitly: a short-budget run must be
         # distinguishable from a config without the h51 stage
         extras["net1_h51_skipped"] = "insufficient_time"
+        MAIN_RESULT = result()
+
+    # beyond-n=20 scaling data point (synthetic 128-bus feeder, 30 SMPS,
+    # H<=25: Jacobian dim 3326, arrow blocks 2n=256 and capacitance
+    # dim 780 both on the blocked panel-GJ path).  Self-consistency gates
+    # in tests/test_scaling.py; here the solves/s + convergence record.
+    remaining = signal.alarm(0)
+    if not SKIP_NET1 and remaining > 420:
+        signal.alarm(remaining)
+        syn = bench_synthetic(128, 30, 25, batch=64)
+        extras.update({
+            "synthetic_n128_solves_per_sec": round(syn["converged"], 1),
+            "synthetic_n128_convergence": round(syn["conv"], 4),
+            "synthetic_n128_batch": syn["batch"],
+        })
+        MAIN_RESULT = result()
+    elif not SKIP_NET1:
+        extras["synthetic_n128_skipped"] = "insufficient_time"
         MAIN_RESULT = result()
 
     signal.alarm(0)

@@ -23,6 +23,7 @@ def synthetic_feeder(
     components: Sequence[str] = ("SMPS",),
     n_chords: int = 3,
     seed: int = 0,
+    impedance_scale: float = None,
 ) -> Network:
     """A net1-style ring feeder with ``n_chords`` extra cross-ties.
 
@@ -30,9 +31,18 @@ def synthetic_feeder(
     devices cycling through ``components``; the rest are PQ loads.  Line
     impedances and loads are drawn from the same ranges as the net1
     fixture (R in {0.5, 1} Ohm, X in {0.5, 1, 4} Ohm, loads 0-250 W).
+
+    ``impedance_scale`` multiplies the drawn line R/X; the default
+    ``min(1, 20/n_buses)`` keeps the ring's total voltage drop in the
+    net1 class as n grows (a bigger feeder gets a thicker trunk) —
+    without it, feeders past ~50 buses voltage-collapse under the fixed
+    per-bus load draw (measured: n=64 at unit scale diverges with
+    |V| -> 1e-3; at 20/n it converges with |V|_min ~ 0.6).
     """
     if n_nonlinear >= n_buses:
         raise ValueError("need at least one linear (slack) bus")
+    if impedance_scale is None:
+        impedance_scale = min(1.0, 20.0 / n_buses)
     rng = np.random.default_rng(seed)
     n_lin = n_buses - n_nonlinear
 
@@ -53,8 +63,8 @@ def synthetic_feeder(
         line_from.append(int(a))
         line_to.append(int(b))
     L = len(line_from)
-    R = rng.choice([0.5, 1.0], L)
-    X = rng.choice([0.5, 1.0, 4.0], L)
+    R = rng.choice([0.5, 1.0], L) * impedance_scale
+    X = rng.choice([0.5, 1.0, 4.0], L) * impedance_scale
 
     return network_from_arrays(
         bus_types=types, components=comps, P=P, Q=Q, X_sh=X_sh,
