@@ -33,6 +33,8 @@ SOLVER_NET1 = os.environ.get("HPFX_BENCH_SOLVER_NET1", "arrow")
 # "panel" (full-pivot blocked; accuracy-equivalent, A/B via env)
 BIG_SOLVE = os.environ.get("HPFX_BENCH_BIG_SOLVE", "panel")
 SKIP_NET1 = os.environ.get("HPFX_BENCH_SKIP_NET1", "0") == "1"
+# >1 switches the sweeps to warm-start continuation with that many stages
+CONTINUATION_STAGES = int(os.environ.get("HPFX_BENCH_CONTINUATION", "0"))
 TARGET_V5E8 = 10_000.0  # solves/sec on 8 chips (BASELINE.md)
 
 
@@ -125,9 +127,17 @@ def bench_net(net, dev, s, batch: int, repeats: int,
     # panel rows — was A/B'd in every arrangement and always lost
     # converged-throughput; see BENCH_NOTES.)
     s2 = s.with_(solver=phase2_solver)
-    run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc,
-                                        phase_iters=phase_iters,
-                                        phase2_settings=s2)
+    if CONTINUATION_STAGES > 1:
+        # warm-start continuation A/B (HPFX_BENCH_CONTINUATION=<stages>):
+        # stage chunks seeded from nearest solved neighbors
+        from hpfx.solve import hpf_sweep_continuation
+        run = lambda sc: hpf_sweep_continuation(
+            net, dev, s, sc, n_stages=CONTINUATION_STAGES,
+            phase_iters=phase_iters, phase2_settings=s2)
+    else:
+        run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc,
+                                            phase_iters=phase_iters,
+                                            phase2_settings=s2)
 
     res = run(scen(-1))              # warmup/compile
     np.asarray(res.V_m)              # real device sync

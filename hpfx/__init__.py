@@ -24,7 +24,8 @@ from .ne_pipeline import (MeasurementSet, NortonFit, device_set_from_fit,
 from .network import Network, load_network, network_from_arrays
 from .results import THD, HPFReport, get_thd, report, voltage_phasors
 from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
-                    hpf_single, hpf_sweep)
+                    hpf_single, hpf_sweep, hpf_sweep_adaptive,
+                    hpf_sweep_continuation)
 from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
 from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
                        solve_harmonic_extended)
@@ -51,6 +52,7 @@ __all__ = [
     "HPFResult", "hpf", "solve_harmonic",
     "THD", "HPFReport", "get_thd", "report", "voltage_phasors",
     "Scenarios", "SweepSummary", "hpf_single", "hpf_sweep",
+    "hpf_sweep_adaptive", "hpf_sweep_continuation",
     "hosting_capacity_sweep",
     "MeasurementSet", "NortonFit", "load_measurements_mat",
     "fit_norton_from_measurements", "device_set_from_fit",

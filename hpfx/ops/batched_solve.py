@@ -397,7 +397,7 @@ def batched_solve(A, b):
     if not USE_PALLAS_SOLVE:
         return equilibrated(_lu_solve_tpu)(A, b)
     if n > MAX_PALLAS_DIM:
-        if SCHUR_MODE == "0" or not panel_gj_fits(n):
+        if SCHUR_MODE == "0" or panel_gj_width_for(n) == 0:
             return equilibrated(_lu_solve_tpu)(A, b)
         return equilibrated(_panel_gj_batch_major)(A, b)
     return equilibrated(gauss_solve_pallas)(A, b)
@@ -539,22 +539,37 @@ def _panel_pallas(panel, used, *, Pw: int, N: int, Bb: int, G: int,
 PANEL_GJ_WIDTH = int(os.environ.get("HPFX_PANEL_GJ_WIDTH", "32"))
 
 #: live (Np, panel, BLOCK) f32 slabs of the panel kernel: pipelined input,
-#: the three outputs (Ap, TE, E), and the A/TE loop carries
-_PANEL_LIVE_SLABS = 6
+#: the three outputs (Ap, TE, E), the A/TE loop carries, and compiler
+#: temporaries.  MEASURED, not derived: the Mosaic compile of Np=800,
+#: panel=32 reports a 113.84 MiB vmem stack = 8.7 slabs of 13.1 MiB;
+#: 9 is the conservative bound the feasibility check uses.
+_PANEL_LIVE_SLABS = 9
 
 
 def panel_gj_fits(n: int, panel: int = 0) -> bool:
-    """VMEM feasibility of :func:`panel_gj_solve_lanes` for dim ``n``.
-
-    The kernel keeps ~:data:`_PANEL_LIVE_SLABS` full (Np, panel, BLOCK)
-    f32 slabs live; past that the Mosaic compile fails with a raw VMEM
-    error (~n > 2000 at the default width).  Dispatchers consult this to
-    fall back to the padded XLA-LU path instead."""
+    """VMEM feasibility of :func:`panel_gj_solve_lanes` for dim ``n`` at
+    ``panel`` width.  Past the budget the Mosaic compile fails with a raw
+    VMEM-stack error; dispatchers consult this (and
+    :func:`panel_gj_width_for`) before launching."""
     if panel <= 0:
         panel = PANEL_GJ_WIDTH
     panel = _round_up(max(panel, SUBLANE), SUBLANE)
     Np = _round_up(n, panel)
     return _PANEL_LIVE_SLABS * Np * panel * BLOCK * 4 <= VMEM_LIMIT
+
+
+def panel_gj_width_for(n: int, panel: int = 0) -> int:
+    """Largest feasible panel width <= the requested one for dim ``n``
+    (stepping down by sublanes), or 0 if even an 8-wide panel overflows
+    VMEM (n ~ 30k+; callers fall back to XLA LU)."""
+    if panel <= 0:
+        panel = PANEL_GJ_WIDTH
+    panel = _round_up(max(panel, SUBLANE), SUBLANE)
+    while panel >= SUBLANE:
+        if panel_gj_fits(n, panel):
+            return panel
+        panel -= SUBLANE
+    return 0
 
 
 def panel_gj_solve_lanes(A, b, panel: int = 0, interpret: bool = False):
@@ -571,16 +586,16 @@ def panel_gj_solve_lanes(A, b, panel: int = 0, interpret: bool = False):
     solves included), replacing both the XLA-LU fallback and the
     accuracy-compromised panel-Schur solve.
     """
-    if panel <= 0:
-        panel = PANEL_GJ_WIDTH
-    # panel must be a sublane multiple or Np // panel drops tail columns
-    panel = _round_up(max(panel, SUBLANE), SUBLANE)
-    if not panel_gj_fits(A.shape[0], panel):
+    # panel must be a sublane multiple or Np // panel drops tail columns;
+    # large dims auto-shrink the width to stay inside the VMEM stack
+    # (measured overflow: Np=800 at width 32 wants 113.8 MiB)
+    panel = panel_gj_width_for(A.shape[0], panel)
+    if panel == 0:
         raise ValueError(
-            f"system dim {A.shape[0]} (panel {panel}) exceeds the panel-GJ "
-            f"kernel's VMEM feasibility ({_PANEL_LIVE_SLABS} live slabs vs "
-            f"{VMEM_LIMIT >> 20} MiB); use batched_solve_lanes() for the "
-            "XLA-LU fallback")
+            f"system dim {A.shape[0]} exceeds the panel-GJ kernel's VMEM "
+            f"feasibility even at the minimum panel width "
+            f"({_PANEL_LIVE_SLABS} live slabs vs {VMEM_LIMIT >> 20} MiB); "
+            "use batched_solve_lanes() for the XLA-LU fallback")
     hp = jax.lax.Precision.HIGHEST
     n, _, Bt = A.shape
     R = b.shape[1]
@@ -761,7 +776,7 @@ def batched_solve_lanes(A, b, impl: str = "auto"):
         # keeps the faster-but-pivot-compromised variant; HPFX_SCHUR=0
         # (or a dim past even the panel kernel's VMEM feasibility)
         # restores the XLA-LU fallback
-        if SCHUR_MODE == "0" or not panel_gj_fits(n):
+        if SCHUR_MODE == "0" or panel_gj_width_for(n) == 0:
             return equilibrated_lanes(_lu_solve_lanes)(A, b)
         if impl == "schur":
             return equilibrated_lanes(schur_solve_lanes)(A, b)

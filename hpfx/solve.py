@@ -136,10 +136,10 @@ def hpf_sweep(net: Network, devices, settings: Settings,
     )(scenarios.p_scale, q, inj, mix, vm, va)
 
 
-def hpf_sweep_adaptive(net: Network, devices: DeviceSet, settings: Settings,
+def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
                        scenarios: Scenarios, phase_iters: int = 16,
-                       phase2_settings: Optional[Settings] = None
-                       ) -> HPFResult:
+                       phase2_settings: Optional[Settings] = None,
+                       V0=None) -> HPFResult:
     """Two-phase sweep that avoids straggler lockstep.
 
     The batched while-loop runs every scenario until the *slowest* one
@@ -158,7 +158,7 @@ def hpf_sweep_adaptive(net: Network, devices: DeviceSet, settings: Settings,
     import numpy as np
 
     s1 = settings.with_(max_iter_h=min(phase_iters, settings.max_iter_h))
-    r1 = hpf_sweep(net, devices, s1, scenarios)
+    r1 = hpf_sweep(net, devices, s1, scenarios, V0=V0)
     pending = np.where(~np.asarray(r1.converged))[0]
     if pending.size == 0 or s1.max_iter_h == settings.max_iter_h:
         if s1.max_iter_h < settings.max_iter_h:
@@ -206,6 +206,105 @@ def hpf_sweep_adaptive(net: Network, devices: DeviceSet, settings: Settings,
         converged=r1.converged.at[idx].set(r2.converged),
         fund=r1.fund)
     return merged
+
+
+def _take_scen(scenarios: Scenarios, idx) -> Scenarios:
+    return Scenarios(*(None if x is None else jnp.asarray(x)[idx]
+                       for x in scenarios))
+
+
+def hpf_sweep_continuation(net: Network, devices, settings: Settings,
+                           scenarios: Scenarios, n_stages: int = 4,
+                           key=None, phase_iters: Optional[int] = None,
+                           phase2_settings: Optional[Settings] = None
+                           ) -> HPFResult:
+    """Warm-start continuation sweep: solve the scenario grid in stages
+    ordered by a continuation key, seeding every stage from the nearest
+    already-solved neighbor.
+
+    The plain lockstep sweep pays two costs on wide scenario grids: every
+    scenario cold-starts from the 0.1-pu flat start (hcne_generalized.py
+    :183), and the batched while-loop runs until the *slowest* scenario
+    stops.  Warm starts are known to break straggler oscillation
+    (BENCH_NOTES round 2); this exploits them proactively: scenarios are
+    sorted by ``key`` (default: the mean injection scale, the axis that
+    moves the harmonic solution most), split into ``n_stages`` equal
+    chunks, and each chunk's scenarios start from the solved state of the
+    nearest-key scenario of the previous chunks.  Each stage is the same
+    compiled ``hpf_sweep`` program (uniform chunk shapes; one compile).
+
+    Solutions are the same fixed points as the plain sweep's (warm starts
+    change the path, not the root; a scenario whose nearest neighbor sits
+    in a different basin re-converges or reports non-convergence exactly
+    like the plain sweep).  ``phase_iters``: optionally run each stage
+    through :func:`hpf_sweep_adaptive` with this phase-1 budget.
+    Host-driven like the adaptive sweep.
+    """
+    import numpy as np
+
+    B = scenarios.batch
+    n_stages = max(1, min(n_stages, B))
+    if key is None:
+        if scenarios.injection_scale is not None:
+            k = np.asarray(scenarios.injection_scale, np.float64)
+            key = k if k.ndim == 1 else k.mean(axis=1)
+        else:
+            key = np.asarray(scenarios.p_scale, np.float64)
+            key = key if key.ndim == 1 else key.mean(axis=1)
+    key = np.asarray(key, np.float64)
+    order = np.argsort(key, kind="stable")
+
+    # uniform chunk size (one compile); pad the last chunk with repeats
+    Bc = -(-B // n_stages)
+    pad = n_stages * Bc - B
+    order_p = np.concatenate([order, np.repeat(order[-1:], pad)])
+    chunks = order_p.reshape(n_stages, Bc)
+
+    def run(sub, V0):
+        if phase_iters is not None:
+            return hpf_sweep_adaptive(net, devices, settings, sub,
+                                      phase_iters=phase_iters, V0=V0,
+                                      phase2_settings=phase2_settings)
+        if V0 is not None:
+            return hpf_sweep(net, devices, settings, sub, V0=V0)
+        return hpf_sweep(net, devices, settings, sub)
+
+    solved_keys: list = []
+    solved_Vm: list = []
+    solved_Va: list = []
+    parts = []
+    for si in range(n_stages):
+        idx = chunks[si]
+        sub = _take_scen(scenarios, idx)
+        V0 = None
+        if solved_keys:
+            sk = np.concatenate(solved_keys)
+            sVm = jnp.concatenate(solved_Vm, axis=0)
+            sVa = jnp.concatenate(solved_Va, axis=0)
+            near = np.abs(key[idx][:, None] - sk[None, :]).argmin(axis=1)
+            V0 = (sVm[near], sVa[near])
+        res = run(sub, V0)
+        parts.append(res)
+        solved_keys.append(key[idx])
+        solved_Vm.append(res.V_m)
+        solved_Va.append(res.V_a)
+
+    # merge back to the original order (drop padding duplicates)
+    merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                          *[p._replace(fund=None) for p in parts])
+    flat_idx = chunks.reshape(-1)
+    keep_first = np.zeros(len(flat_idx), bool)
+    seen = set()
+    for i, b in enumerate(flat_idx):
+        if b not in seen:
+            keep_first[i] = True
+            seen.add(b)
+    rows = np.nonzero(keep_first)[0]
+    inv = flat_idx[rows]
+    out = jax.tree.map(lambda x: jnp.zeros((B,) + x.shape[1:], x.dtype)
+                       .at[jnp.asarray(inv)].set(x[jnp.asarray(rows)]),
+                       merged)
+    return out
 
 
 @partial(jax.jit, static_argnames=("settings",))

@@ -122,3 +122,53 @@ def test_adaptive_sweep_matches_plain():
     # per-scenario: history has exactly n_iter finite entries
     n_fin = np.isfinite(hist_a).sum(axis=1)
     np.testing.assert_array_equal(n_fin[sel], np.asarray(adaptive.n_iter)[sel])
+
+
+def test_continuation_sweep_matches_plain():
+    """Warm-start continuation: same fixed points and convergence as the
+    plain sweep, with a measured mean-iteration reduction on a wide
+    scenario spread (each stage seeds from the nearest solved neighbor
+    instead of the 0.1-pu flat start)."""
+    from hpfx.solve import hpf_sweep_continuation
+    cfg = ("net2", 25, True)
+    s, net, dev = make_setup(cfg)
+    B = 24
+    scen = Scenarios(p_scale=jnp.linspace(0.8, 1.2, B),
+                     q_scale=jnp.linspace(0.8, 1.2, B),
+                     injection_scale=jnp.linspace(0.5, 1.6, B))
+    plain = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    cont = hpf_sweep_continuation(net, dev, s, scen, n_stages=4)
+    conv_p = np.asarray(plain.converged)
+    conv_c = np.asarray(cont.converged)
+    assert conv_p.all() and conv_c.all()
+    # both converged below thresh_h from different starts: agreement is
+    # bounded by the stopping tolerance, not fp noise
+    np.testing.assert_allclose(np.asarray(cont.V_m), np.asarray(plain.V_m),
+                               atol=1e-5)
+    # the measured win: warm-started stages take fewer NR trips
+    mean_p = float(np.mean(np.asarray(plain.n_iter)))
+    mean_c = float(np.mean(np.asarray(cont.n_iter)))
+    assert mean_c < mean_p, (mean_c, mean_p)
+
+
+def test_continuation_with_device_axes_and_adaptive():
+    """Continuation composes with per-device scales and the adaptive
+    straggler re-solve; scenario order is restored exactly."""
+    from hpfx.solve import hpf_sweep_continuation
+    cfg = ("net2", 25, True)
+    s, net, dev = make_setup(cfg)
+    B = 10
+    rng = np.random.default_rng(0)
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.9, 1.1, B)),
+        q_scale=jnp.ones(B),
+        injection_scale=jnp.asarray(
+            rng.uniform(0.6, 1.4, (B, net.n_nonlinear))))
+    plain = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    cont = hpf_sweep_continuation(net, dev, s, scen, n_stages=3,
+                                  phase_iters=10)
+    np.testing.assert_array_equal(np.asarray(cont.converged),
+                                  np.asarray(plain.converged))
+    sel = np.asarray(plain.converged)
+    np.testing.assert_allclose(np.asarray(cont.V_m)[sel],
+                               np.asarray(plain.V_m)[sel], atol=1e-5)
