@@ -24,7 +24,8 @@ from ..config import Settings
 from ..devices import DeviceSet
 from ..harmonic import HPFResult
 from ..network import Network
-from ..solve import Scenarios, SweepSummary, hosting_capacity_sweep, hpf_sweep
+from ..solve import (Scenarios, SweepSummary,
+                     hosting_capacity_sweep_unjitted, hpf_sweep_unjitted)
 
 SCENARIO_AXIS = "scenario"
 HARMONIC_AXIS = "harmonic"
@@ -118,7 +119,7 @@ def hpf_sweep_sharded(net: Network, devices: DeviceSet, settings: Settings,
     scenarios = shard_scenarios(scenarios, mesh)
     out_spec = NamedSharding(mesh, P(SCENARIO_AXIS))
     fn = jax.jit(
-        partial(hpf_sweep.__wrapped__, settings=settings),
+        partial(hpf_sweep_unjitted, settings=settings),
         static_argnames=(),
         out_shardings=out_spec)
     res = fn(net, devices, scenarios=scenarios)
@@ -222,7 +223,7 @@ def hosting_capacity_sharded(net: Network, devices: DeviceSet,
     Bp = scenarios.batch
     scenarios = shard_scenarios(scenarios, mesh)
     fn = jax.jit(
-        partial(hosting_capacity_sweep.__wrapped__,
+        partial(hosting_capacity_sweep_unjitted,
                 settings=settings, thd_limit=thd_limit,
                 valid_count=B if Bp != B else None),
         out_shardings=(

@@ -83,10 +83,13 @@ def _solve_scenario(Y, net: Network, devices, settings: Settings,
                           lineY=lineY)
 
 
-@partial(jax.jit, static_argnames=("settings",))
-def hpf_sweep(net: Network, devices, settings: Settings,
-              scenarios: Scenarios, V0=None, Y=None) -> HPFResult:
-    """Solve B independent HPF cases in one compiled program.
+def hpf_sweep_unjitted(net: Network, devices, settings: Settings,
+                       scenarios: Scenarios, V0=None, Y=None) -> HPFResult:
+    """Unjitted body of :func:`hpf_sweep` — the structured entry point for
+    callers that need their own ``jax.jit`` wrapping (hpfx.parallel wraps
+    it with mesh ``out_shardings``).  Call :func:`hpf_sweep` otherwise.
+
+    Solve B independent HPF cases in one compiled program.
 
     Returns an HPFResult whose leaves carry a leading batch dimension.
     ``devices``: a DeviceSet / AnalyticDeviceSet, or a
@@ -134,6 +137,10 @@ def hpf_sweep(net: Network, devices, settings: Settings,
             lineY=lineY, lineY_f=lineY_f),
         in_axes=(0, 0, 0, ax(mix), ax(vm), ax(va)),
     )(scenarios.p_scale, q, inj, mix, vm, va)
+
+
+hpf_sweep = partial(jax.jit, static_argnames=("settings",))(
+    hpf_sweep_unjitted)
 
 
 def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
@@ -324,12 +331,14 @@ class SweepSummary(NamedTuple):
     frac_over_limit: jnp.ndarray  # scalar
 
 
-@partial(jax.jit, static_argnames=("settings", "thd_limit", "valid_count"))
-def hosting_capacity_sweep(net: Network, devices: DeviceSet,
-                           settings: Settings, scenarios: Scenarios,
-                           thd_limit: float = 0.08,
-                           valid_count: Optional[int] = None) -> SweepSummary:
-    """Monte-Carlo hosting-capacity style sweep: batched HPF + THD screen.
+def hosting_capacity_sweep_unjitted(
+        net: Network, devices, settings: Settings, scenarios: Scenarios,
+        thd_limit: float = 0.08,
+        valid_count: Optional[int] = None) -> SweepSummary:
+    """Unjitted body of :func:`hosting_capacity_sweep` (structured entry
+    point for hpfx.parallel's mesh-sharded jit wrapping).
+
+    Monte-Carlo hosting-capacity style sweep: batched HPF + THD screen.
 
     Reduces the batch to the fraction of scenarios whose worst-bus THD_F
     exceeds ``thd_limit`` — the aggregate that rides ICI collectives when
@@ -339,7 +348,7 @@ def hosting_capacity_sweep(net: Network, devices: DeviceSet,
     (hpfx.parallel.hpf_sweep_sharded), only the first ``valid_count``
     scenarios enter the aggregate.
     """
-    res = hpf_sweep(net, devices, settings, scenarios)
+    res = hpf_sweep_unjitted(net, devices, settings, scenarios)
     thd = jax.vmap(get_thd)(res.V_m)
     max_thd = jnp.max(thd.THD_F, axis=-1)
     over = (max_thd > thd_limit) & res.converged
@@ -348,6 +357,11 @@ def hosting_capacity_sweep(net: Network, devices: DeviceSet,
     w = (jnp.arange(B) < nv).astype(max_thd.dtype)
     frac = jnp.sum(over.astype(max_thd.dtype) * w) / nv
     return SweepSummary(max_thd, res.converged, res.n_iter, frac)
+
+
+hosting_capacity_sweep = partial(
+    jax.jit, static_argnames=("settings", "thd_limit", "valid_count"))(
+    hosting_capacity_sweep_unjitted)
 
 
 def hpf_sweep_kron(net: Network, devices: DeviceSet, settings: Settings,
