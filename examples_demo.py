@@ -9,6 +9,11 @@ Covers, in order:
   3. a batched hosting-capacity sweep with THD screening
   4. THD sensitivity to device penetration (implicit differentiation)
   5. Kron reduction of the passive bus
+  6. device-mix Monte-Carlo: which EV/SMPS model at which bus, at what
+     count (DeviceLibrary + Scenarios.device_mix), with per-parameter
+     sensitivities
+  7. warm-start continuation sweep (stages seeded from solved neighbors)
+  8. a transformer feeder (tap + phase shift) solved end-to-end
 """
 import os
 import sys
@@ -75,6 +80,56 @@ def main():
                   - np.asarray(rep.thd.THD_F)).max()
     print(f"[5] Kron-reduced ({net.n}->{red.net.n} buses): THD matches "
           f"full solve to {dthd:.1e}")
+
+    # -- 6. device-mix Monte-Carlo on net4 --------------------------------
+    s4 = hpfx.settings_for_hmax(9, coupled=True, solver="arrow")
+    net4 = hpfx.load_network(os.path.join(DATA, "net4_buses.csv"),
+                             os.path.join(DATA, "net4_lines.csv"), s4)
+    lib = hpfx.load_device_library(("SMPS", "ev_1", "ev_4"), s4)
+    Bm, n_nl = 64, net4.n_nonlinear
+    w = np.zeros((Bm, n_nl, lib.n_types))
+    t = rng.integers(0, lib.n_types, (Bm, n_nl))
+    cnt = rng.integers(0, 3, (Bm, n_nl))
+    w[np.arange(Bm)[:, None], np.arange(n_nl)[None, :], t] = cnt
+    scen_m = hpfx.Scenarios(
+        p_scale=jnp.ones(Bm, s4.real_dtype), q_scale=jnp.ones(Bm, s4.real_dtype),
+        device_mix=jnp.asarray(w, s4.real_dtype))
+    summ = hpfx.hosting_capacity_sweep(net4, lib, settings=s4,
+                                       scenarios=scen_m, thd_limit=0.08)
+    print(f"[6] device-mix sweep B={Bm} ({lib.n_types} types x {n_nl} buses,"
+          f" 0-2 units each): conv="
+          f"{float(jnp.mean(summ.converged.astype(jnp.float32))):.3f}, "
+          f"frac THD>8%: {float(summ.frac_over_limit):.3f}")
+
+    # -- 7. warm-start continuation sweep ---------------------------------
+    Bc = 64
+    scen_c = hpfx.Scenarios(
+        p_scale=jnp.ones(Bc, s.real_dtype), q_scale=jnp.ones(Bc, s.real_dtype),
+        injection_scale=jnp.asarray(np.linspace(0.3, 1.5, Bc), s.real_dtype))
+    plain = hpfx.hpf_sweep(net, dev, settings=s, scenarios=scen_c)
+    cont = hpfx.hpf_sweep_continuation(net, dev, s, scen_c, n_stages=4)
+    print(f"[7] continuation sweep B={Bc}: mean NR trips "
+          f"{float(np.mean(np.asarray(plain.n_iter))):.1f} -> "
+          f"{float(np.mean(np.asarray(cont.n_iter))):.1f} at conv "
+          f"{float(np.mean(np.asarray(cont.converged).astype(float))):.3f}")
+
+    # -- 8. transformer feeder end-to-end ---------------------------------
+    from hpfx.network import NONLINEAR, PQ, SLACK
+    st = hpfx.settings_for_hmax(9, coupled=True)
+    net_t = hpfx.network_from_arrays(
+        bus_types=(SLACK, PQ, NONLINEAR),
+        components=("generator", "lin_load", "SMPS"),
+        P=[0, 100, 250], Q=[0, 50, 100], X_sh=[0.005, 0, 0],
+        line_from=[0, 1], line_to=[1, 2],
+        R=[0.5, 1.0], X=[2.0, 4.0],
+        tau=[1.05, 1.0], phase_shift=[30.0, 0.0],
+        settings=st, per_unit=False)
+    dev_t = hpfx.load_device_set(net_t, st)
+    res_t = hpfx.hpf(net_t, dev_t, st)
+    print(f"[8] trafo feeder (tau=1.05, 30deg): converged="
+          f"{bool(res_t.converged)} in {int(res_t.n_iter)} iters, "
+          f"|V1|={float(res_t.V_m[0, 1]):.4f} "
+          f"ang={np.degrees(float(res_t.V_a[0, 1])):.1f}deg")
 
 
 if __name__ == "__main__":
