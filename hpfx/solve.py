@@ -223,8 +223,8 @@ def _take_scen(scenarios: Scenarios, idx) -> Scenarios:
 def hpf_sweep_continuation(net: Network, devices, settings: Settings,
                            scenarios: Scenarios, n_stages: int = 4,
                            key=None, phase_iters: Optional[int] = None,
-                           phase2_settings: Optional[Settings] = None
-                           ) -> HPFResult:
+                           phase2_settings: Optional[Settings] = None,
+                           rescue: bool = True) -> HPFResult:
     """Warm-start continuation sweep: solve the scenario grid in stages
     ordered by a continuation key, seeding every stage from the nearest
     already-solved neighbor.
@@ -241,11 +241,16 @@ def hpf_sweep_continuation(net: Network, devices, settings: Settings,
     compiled ``hpf_sweep`` program (uniform chunk shapes; one compile).
 
     Solutions are the same fixed points as the plain sweep's (warm starts
-    change the path, not the root; a scenario whose nearest neighbor sits
-    in a different basin re-converges or reports non-convergence exactly
-    like the plain sweep).  ``phase_iters``: optionally run each stage
-    through :func:`hpf_sweep_adaptive` with this phase-1 budget.
-    Host-driven like the adaptive sweep.
+    change the path, not the root).  Knife-edge f32 scenarios can stall
+    hovering at the evaluation floor in one batch composition and pass in
+    another (measured: net1 f32 B=64 spread, 2/64 — the same class as the
+    plain sweep's own conv<1 runs); ``rescue`` (default on) re-solves any
+    scenario unconverged after its stage, warm-started from its own final
+    state — the adaptive sweep's straggler mechanism, measured in round 2
+    to break oscillation/floor-hover stalls a cold repeat reproduces.
+    ``phase_iters``: optionally run each stage through
+    :func:`hpf_sweep_adaptive` with this phase-1 budget.  Host-driven
+    like the adaptive sweep.
     """
     import numpy as np
 
@@ -311,7 +316,32 @@ def hpf_sweep_continuation(net: Network, devices, settings: Settings,
     out = jax.tree.map(lambda x: jnp.zeros((B,) + x.shape[1:], x.dtype)
                        .at[jnp.asarray(inv)].set(x[jnp.asarray(rows)]),
                        merged)
-    return out
+    if not rescue:
+        return out
+
+    # rescue of scenarios left unconverged after their stage: re-solve
+    # warm-started from their OWN final state — round 2 measured that
+    # this self-warm-start breaks the oscillation/floor-hover stalls of
+    # hard scenarios (the adaptive sweep's phase-2 mechanism), where a
+    # cold repeat just reproduces the stall.  Bucketed to a power of two
+    # like the adaptive sweep, for call-count-independent compiled shapes.
+    pend = np.where(~np.asarray(out.converged))[0]
+    if pend.size == 0:
+        return out
+    bucket = min(1 << (int(pend.size) - 1).bit_length(), B)
+    pend_p = np.concatenate(
+        [pend, np.full(bucket - pend.size, pend[0], pend.dtype)])
+    sub = _take_scen(scenarios, pend_p)
+    idxp = jnp.asarray(pend_p)
+    res_r = run(sub, (out.V_m[idxp], out.V_a[idxp]))
+    idx = jnp.asarray(pend_p)
+    return out._replace(
+        V_m=out.V_m.at[idx].set(res_r.V_m),
+        V_a=out.V_a.at[idx].set(res_r.V_a),
+        err=out.err.at[idx].set(res_r.err),
+        n_iter=out.n_iter.at[idx].set(out.n_iter[idx] + res_r.n_iter),
+        err_hist=out.err_hist.at[idx].set(res_r.err_hist),
+        converged=out.converged.at[idx].set(res_r.converged))
 
 
 @partial(jax.jit, static_argnames=("settings",))
