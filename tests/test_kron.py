@@ -82,3 +82,29 @@ def test_hpf_sweep_kron_auto():
                                    np.asarray(full.V_m), atol=max(tol, 1e-30))
         np.testing.assert_array_equal(np.asarray(kron.converged),
                                       np.asarray(full.converged))
+
+
+def test_hpf_sweep_kron_with_device_axes():
+    """Kron reduction composes with per-device scales (the reduction only
+    touches passive linear buses; nonlinear buses and their scenario axes
+    are preserved)."""
+    import jax.numpy as jnp
+
+    from hpfx.solve import Scenarios, hpf_sweep, hpf_sweep_kron
+
+    cfg = ("net1", 25, True)
+    s, net, dev = make_setup(cfg)
+    rng = np.random.default_rng(4)
+    B = 3
+    scen = Scenarios(
+        p_scale=jnp.ones(B), q_scale=jnp.ones(B),
+        injection_scale=jnp.asarray(
+            rng.uniform(0.7, 1.3, (B, net.n_nonlinear))))
+    full = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    kron = hpf_sweep_kron(net, dev, s, scen)
+    np.testing.assert_array_equal(np.asarray(kron.converged),
+                                  np.asarray(full.converged))
+    # reduced and full paths stop within thresh_h of the same fixed point
+    # from different arithmetic; agreement is stopping-tolerance class
+    np.testing.assert_allclose(np.asarray(kron.V_m),
+                               np.asarray(full.V_m), atol=1e-5)
