@@ -25,7 +25,7 @@ from .network import Network, load_network, network_from_arrays
 from .results import THD, HPFReport, get_thd, report, voltage_phasors
 from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
                     hpf_single, hpf_sweep, hpf_sweep_adaptive,
-                    hpf_sweep_continuation)
+                    hpf_sweep_continuation, summarize_thd)
 from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
 from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
                        solve_harmonic_extended)
@@ -53,7 +53,7 @@ __all__ = [
     "THD", "HPFReport", "get_thd", "report", "voltage_phasors",
     "Scenarios", "SweepSummary", "hpf_single", "hpf_sweep",
     "hpf_sweep_adaptive", "hpf_sweep_continuation",
-    "hosting_capacity_sweep",
+    "hosting_capacity_sweep", "summarize_thd",
     "MeasurementSet", "NortonFit", "load_measurements_mat",
     "fit_norton_from_measurements", "device_set_from_fit",
     "export_ne_csv", "export_opendss_spectrum",

@@ -394,6 +394,18 @@ hosting_capacity_sweep = partial(
     hosting_capacity_sweep_unjitted)
 
 
+def summarize_thd(result: HPFResult, thd_limit: float = 0.08) -> SweepSummary:
+    """The hosting-capacity aggregate for an already-solved batched
+    result — lets host-driven sweeps (hpf_sweep_adaptive,
+    hpf_sweep_continuation) reuse the same THD screen as
+    :func:`hosting_capacity_sweep`."""
+    thd = jax.vmap(get_thd)(result.V_m)
+    max_thd = jnp.max(thd.THD_F, axis=-1)
+    over = (max_thd > thd_limit) & result.converged
+    frac = jnp.mean(over.astype(max_thd.dtype))
+    return SweepSummary(max_thd, result.converged, result.n_iter, frac)
+
+
 def hpf_sweep_kron(net: Network, devices: DeviceSet, settings: Settings,
                    scenarios: Scenarios) -> HPFResult:
     """Batched sweep with automatic Kron reduction of passive buses.
