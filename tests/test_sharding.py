@@ -194,3 +194,31 @@ def test_sharded2d_sweep_matches_lanes():
     assert np.abs(np.asarray(out.n_iter) - np.asarray(ref.n_iter)).max() <= 1
     np.testing.assert_allclose(np.asarray(out.V_m), np.asarray(ref.V_m),
                                atol=5e-5)
+
+
+def test_sharded2d_with_per_device_scales():
+    """2-D scenario x harmonic mesh with (B, n_nl) per-device injection
+    scales: the round-3 scenario axes shard end to end (the lanes layout
+    transposes the scale to (n_nl, B), moving the sharded axis last —
+    GSPMD must follow)."""
+    from hpfx.parallel import hpf_mesh, hpf_sweep_sharded2d
+
+    cfg = ("net1", 25, True)
+    s, net, dev = make_setup(cfg)
+    s = s.with_(solver="arrow", layout="lanes")
+    B = 6
+    rng = np.random.default_rng(3)
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.95, 1.05, B)),
+        q_scale=jnp.ones(B),
+        injection_scale=jnp.asarray(
+            rng.uniform(0.8, 1.2, (B, net.n_nonlinear))))
+    mesh = hpf_mesh(4, 2)
+    r2 = hpf_sweep_sharded2d(net, dev, s, scen, mesh)
+    ru = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    assert r2.V_m.shape[0] == B
+    np.testing.assert_array_equal(np.asarray(r2.converged),
+                                  np.asarray(ru.converged))
+    sel = np.asarray(ru.converged)
+    dv = np.abs(np.asarray(r2.V_m) - np.asarray(ru.V_m))[sel].max()
+    assert dv < 5e-8, dv
