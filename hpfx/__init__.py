@@ -34,7 +34,8 @@ from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
 from .sensitivity import (ScenarioParams, Sensitivity, injection_sensitivity,
                           scenario_sensitivity)
-from .trajlog import read_ilog, read_vlog, write_ilog, write_vlog
+from .trajlog import (read_ilog, read_vlog, trajectory_injections,
+                      write_ilog, write_vlog)
 from .ybus import build_ybus
 
 __version__ = "0.1.0"
@@ -60,6 +61,7 @@ __all__ = [
     "save_result", "load_result", "warm_start",
     "synthetic_feeder", "validate_network",
     "write_vlog", "read_vlog", "write_ilog", "read_ilog",
+    "trajectory_injections",
     "Sensitivity", "ScenarioParams", "injection_sensitivity",
     "scenario_sensitivity",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",

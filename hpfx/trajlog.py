@@ -145,6 +145,33 @@ def write_ilog(path: str, injections, harmonics: Sequence[int]) -> int:
     return n_written
 
 
+def trajectory_injections(trajectory, devices, m: int) -> np.ndarray:
+    """Per-iteration device injections from a recorded trajectory.
+
+    ``trajectory``: (T, 2, H, n) as recorded by
+    ``solve_harmonic(record_trajectory=True)``; ``devices`` a DeviceSet or
+    AnalyticDeviceSet; ``m`` the first nonlinear bus.  Returns complex
+    (T_valid, n_nl, H) — the quantity the reference logs per iteration
+    into I_log.json (hcne_based_on_fuchs.py:370-372); pass
+    ``out[:, d, :]`` of a single device to :func:`write_ilog`.
+    """
+    import jax.numpy as jnp
+
+    from . import cx as _cx
+    from .harmonic import current_injections
+
+    traj = np.asarray(trajectory)
+    rows = []
+    for t in range(traj.shape[0]):
+        if np.isnan(traj[t]).any():
+            break
+        V_m, V_a = jnp.asarray(traj[t, 0]), jnp.asarray(traj[t, 1])
+        V = _cx.polar(V_m, V_a)
+        I = current_injections(V, devices, m, V_m, V_a)
+        rows.append(I.to_numpy())
+    return np.stack(rows) if rows else np.zeros((0, 0, 0), complex)
+
+
 def read_ilog(path: str) -> Tuple[np.ndarray, Tuple[int, ...]]:
     """Read an ``I_log.json`` -> (injections (T, H) complex, harmonics)."""
     d = json.load(open(path))

@@ -93,16 +93,18 @@ def test_ilog_roundtrip_reference(tmp_path):
 def test_ilog_from_solver_injections(tmp_path):
     """Injections computed from a recorded trajectory export in the
     reference's I_log format (single-device net2 case)."""
+    from hpfx.trajlog import trajectory_injections
     s, net, dev = make_setup(("net2", 5, True))
     res = hpfx.hpf(net, dev, s, record_trajectory=True)
     traj = np.asarray(res.trajectory)
     T = int(res.n_iter) + 1
-    rows = []
-    for t in range(T):
-        V = cx.polar(np.asarray(traj[t, 0]), np.asarray(traj[t, 1]))
-        I = harmonic.current_injections(V, dev, net.m)
-        rows.append(I.to_numpy()[0])               # single device
-    inj = np.stack(rows)
+    inj_all = trajectory_injections(traj, dev, net.m)   # (T, n_nl, H)
+    assert inj_all.shape == (T, 1, s.n_harmonics)
+    # cross-check one state against a direct evaluation
+    V = cx.polar(np.asarray(traj[0, 0]), np.asarray(traj[0, 1]))
+    I0 = harmonic.current_injections(V, dev, net.m).to_numpy()
+    np.testing.assert_allclose(inj_all[0], I0, atol=1e-14)
+    inj = inj_all[:, 0, :]
     out = str(tmp_path / "ilog.json")
     assert write_ilog(out, inj, s.harmonics) == T
     inj2, _ = read_ilog(out)
