@@ -47,7 +47,7 @@ from . import cx
 from .arrow import ArrowIndex, make_arrow_index
 from .config import Settings
 from .cx import Cx
-from .devices import DeviceLibrary, DeviceSet
+from .devices import AnalyticDeviceSet, DeviceLibrary, DeviceSet
 from .fundamental import FundResult
 from .harmonic import HPFResult, cleanup_voltages
 from .network import Network
@@ -76,9 +76,9 @@ class LaneDevices(NamedTuple):
     batched: bool
 
 
-def _as_lane_devices(devices) -> "LaneDevices":
-    if isinstance(devices, LaneDevices):
-        return devices
+def _as_lane_devices(devices):
+    if isinstance(devices, (LaneDevices, AnalyticDeviceSet)):
+        return devices       # analytic devices keep their own interface
     return LaneDevices(devices.I_N, devices.Y_N, devices.coupled, False)
 
 
@@ -156,11 +156,18 @@ def stable_matvec_lanes(lineY: LineYbus, V_m, V_a) -> Cx:
     return out + Cx(acc(flows.re), acc(flows.im))
 
 
-def _injections_lanes(V_c: Cx, dev: LaneDevices, inj_db, m: int) -> Cx:
+def _injections_lanes(V_c: Cx, dev, inj_db, m: int,
+                      V_m=None, V_a=None) -> Cx:
     """Current injections (hpfx.harmonic.current_injections) on (H, n, B)
     voltages -> (n_nl, H, B).  ``inj_db`` (n_nl, B) scales the Norton
     parameters per device (I_N and Y_N scale together, so the injection
-    scales linearly; hcne_generalized.py:313-323)."""
+    scales linearly; hcne_generalized.py:313-323).  ``dev`` may also be an
+    AnalyticDeviceSet (autodiff injection, vmapped over the lane axis —
+    needs the polar ``V_m``/``V_a``)."""
+    if isinstance(dev, AnalyticDeviceSet):
+        raw = jax.vmap(dev.injections, in_axes=(-1, -1), out_axes=-1)(
+            V_m[:, m:], V_a[:, m:])                      # (n_nl, H, B)
+        return raw * inj_db[:, None, :]
     V_nl = V_c[:, m:]                                    # (H, n_nl, B)
     if dev.coupled:
         if dev.batched:
@@ -193,7 +200,8 @@ def mismatch_lanes(V_m, V_a, Y: Cx, S: Cx, devices, inj,
     I1 = YV[0, 1:m]
     Sl = V_c[0, 1:m] * I1.conj()
     dS = S[1:m] + Sl                                     # (m-1, B)
-    I_inj = _injections_lanes(V_c, dev, inj_db, m)       # (n_nl, H, B)
+    I_inj = _injections_lanes(V_c, dev, inj_db, m,
+                              V_m=V_m, V_a=V_a)          # (n_nl, H, B)
     dI_f = YV[0, m:] + I_inj[:, 0]
     dI_h = YV[1:]                                        # (K, n, B)
     dI_h = dI_h.at_add((_all, slice(m, None)),
@@ -216,6 +224,10 @@ def mismatch_floor_lanes(V_m, Y: Cx, devices, inj, m: int,
     vmax = jnp.abs(V_m)                                   # (H, n, B)
     rows = jnp.einsum("hij,hjb->hib", Y.abs(), vmax)
     scale = jnp.max(rows, axis=(0, 1))                    # (B,)
+    if isinstance(dev, AnalyticDeviceSet):
+        # no Norton sensitivity bound for analytic devices (mirrors
+        # hpfx.harmonic.mismatch_floor's isinstance gate)
+        return eps * scale
     if dev.I_N.shape[0] > 0:
         v_nl = vmax[:, m:]                                # (H, n_nl, B)
         vt = v_nl.transpose(1, 0, 2)                      # (n_nl, H, B)
@@ -250,10 +262,18 @@ def _power_jacobian_blocks_lanes(V: Cx, Vn: Cx, Y: Cx, n: int):
     return dSdA, dSdV
 
 
-def _coupling_lanes(V_m, V_a, dev: LaneDevices, inj_db, m: int):
+def _coupling_lanes(V_m, V_a, dev, inj_db, m: int):
     """K_V/K_A (H, H, n_nl, B): hpfx.arrow._coupling_cx, batch last.
     ``inj_db`` (n_nl, B) scales couplings per device (the Jacobian twin of
     the injection scaling, hcne_generalized.py:425-435)."""
+    if isinstance(dev, AnalyticDeviceSet):
+        # autodiff coupling blocks, vmapped over the lane axis (the same
+        # blocks hpfx.harmonic.build_harmonic_jacobian derives)
+        JV, JA = jax.vmap(dev.injection_jacobians, in_axes=(-1, -1),
+                          out_axes=-1)(V_m[:, m:], V_a[:, m:])
+        s = inj_db[None, None, :, :]
+        return (JV.transpose(1, 2, 0, 3) * s,
+                JA.transpose(1, 2, 0, 3) * s)
     Vn_nl = cx.expj(V_a)[:, m:]                           # (H, n_nl, B)
     V_nl = cx.polar(V_m, V_a)[:, m:]
     if dev.coupled:
@@ -523,8 +543,8 @@ def supports_lanes(devices, settings: Settings, net: Network) -> bool:
     """Whether the lane-major path implements this configuration."""
     if settings.solver != "arrow" or net.n <= net.m:
         return False
-    if isinstance(devices, DeviceLibrary):
-        return True          # device-mix sweeps (Scenarios.device_mix)
+    if isinstance(devices, (DeviceLibrary, AnalyticDeviceSet)):
+        return True          # device-mix sweeps / autodiff devices
     return isinstance(devices, DeviceSet) and devices.n_devices > 0
 
 
@@ -618,8 +638,9 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
                                  supports_fused)
     fused_mode = None
     # the kernel takes a per-scenario scalar injection scale and unbatched
-    # device constants: per-device scales and device mixes stay unfused
-    if dev.batched or inj.ndim == 2:
+    # Norton constants: per-device scales, device mixes, and analytic
+    # devices stay unfused
+    if not isinstance(dev, LaneDevices) or dev.batched or inj.ndim == 2:
         pass
     elif settings.fused_trip == "interpret":
         fused_mode = "interpret"

@@ -237,3 +237,37 @@ def test_per_bus_load_with_per_device_injection():
         assert int(batch.n_iter[k]) == int(single.n_iter), k
         np.testing.assert_allclose(np.asarray(batch.V_m[k]),
                                    np.asarray(single.V_m), atol=1e-10)
+
+
+def test_analytic_device_lanes_matches_vmap():
+    """AnalyticDeviceSet (autodiff injections) on the lane-major path:
+    equals both the vmap analytic sweep and the closed-form Norton sweep
+    (norton_inject is exactly the NE physics)."""
+    import hpfx as _h
+    from hpfx.devices import AnalyticDeviceSet, norton_inject
+
+    s = _h.settings_for_hmax(9, coupled=True, solver="arrow")
+    net = _h.load_network(f"{DATA}/net2_buses.csv",
+                          f"{DATA}/net2_lines.csv", s)
+    dev = _h.load_device_set(net, s)
+    adev = AnalyticDeviceSet(params=(dev.I_N, dev.Y_N),
+                             inject=norton_inject, n_nl=net.n_nonlinear)
+    B = 4
+    rng = np.random.default_rng(6)
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.95, 1.05, B)),
+        q_scale=jnp.ones(B),
+        injection_scale=jnp.asarray(
+            rng.uniform(0.7, 1.2, (B, net.n_nonlinear))))
+    r_v = hpf_sweep(net, adev, settings=s.with_(layout="vmap"),
+                    scenarios=scen)
+    r_l = hpf_sweep(net, adev, settings=s.with_(layout="lanes"),
+                    scenarios=scen)
+    r_n = hpf_sweep(net, dev, settings=s.with_(layout="lanes"),
+                    scenarios=scen)
+    np.testing.assert_array_equal(np.asarray(r_l.n_iter),
+                                  np.asarray(r_v.n_iter))
+    np.testing.assert_allclose(np.asarray(r_l.V_m), np.asarray(r_v.V_m),
+                               atol=2e-9)
+    np.testing.assert_allclose(np.asarray(r_l.V_m), np.asarray(r_n.V_m),
+                               atol=1e-8)
