@@ -20,9 +20,10 @@ principle of the solve kernel extended to the entire program.
 Scope: the structured arrow Newton step (Settings.solver = "arrow") with
 stacked Norton-equivalent devices (DeviceSet, coupled or uncoupled), plain
 or stable mismatch, PV buses, warm starts, per-device injection scales
-((B, n_nl) Scenarios.injection_scale) and device mixes
-(DeviceLibrary + Scenarios.device_mix) — i.e. the production sweep
-configuration.  Everything else (dense solver, AnalyticDeviceSet, single
+((B, n_nl) Scenarios.injection_scale), device mixes
+(DeviceLibrary + Scenarios.device_mix), and autodiff devices
+(AnalyticDeviceSet, vmapped over the lane axis) — i.e. the production
+sweep configuration.  Everything else (dense solver, AnalyticDeviceSet, single
 solves, trajectory recording) stays on the vmap path in hpfx.solve; the
 dispatcher there falls back automatically.  Both paths compute the same
 iteration (same formulas, same per-scenario convergence predication as
