@@ -33,7 +33,7 @@ from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
 from .sensitivity import (ScenarioParams, Sensitivity, injection_sensitivity,
-                          scenario_sensitivity)
+                          mix_sensitivity, scenario_sensitivity)
 from .trajlog import (read_ilog, read_vlog, trajectory_injections,
                       write_ilog, write_vlog)
 from .ybus import build_ybus
@@ -63,7 +63,7 @@ __all__ = [
     "write_vlog", "read_vlog", "write_ilog", "read_ilog",
     "trajectory_injections",
     "Sensitivity", "ScenarioParams", "injection_sensitivity",
-    "scenario_sensitivity",
+    "scenario_sensitivity", "mix_sensitivity",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
     "ControlledDeviceSet", "ExtendedResult", "hpf_extended",

@@ -146,6 +146,55 @@ def scenario_sensitivity(
 
 
 @highest_precision
+def mix_sensitivity(
+    net: Network, library, settings: Settings,
+    result: HPFResult, w,
+    functional: Callable = None,
+) -> Sensitivity:
+    """Gradient of ``functional`` wrt the device-mix weights ``w``
+    (n_nl, T) at a converged mix solve — the marginal impact of one more
+    device of type t at bus d, the decision quantity of a
+    hosting-capacity study.
+
+    ``library``: the :class:`hpfx.devices.DeviceLibrary` the sweep used;
+    ``w``: the scenario's mix weights (one scenario's slice of
+    ``Scenarios.device_mix``).  Returns ``grad`` shaped (n_nl, T).
+    Since Norton parameters are linear in ``w``, ∂f/∂w is exact and cheap
+    (forward-mode through the blend + mismatch).
+    """
+    if functional is None:
+        def functional(V_m, V_a):
+            return jnp.max(get_thd(V_m).THD_F)
+    rd = settings.real_dtype
+    w = jnp.asarray(w, rd)
+    H, n, c = settings.n_harmonics, net.n, net.c
+    m = net.m
+    Y = build_ybus(net, settings)
+    V_m, V_a = result.V_m, result.V_a
+    x_star = harmonic_state_vector(V_m, V_a, c)
+    S = Cx(net.bus_P, net.bus_Q)
+
+    def f(x, w_):
+        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+        return harmonic_mismatch(Vm2, Va2, Y, S, library.mixed(w_),
+                                 m, n, c)[0]
+
+    df = jax.jacfwd(lambda w_: f(x_star, w_))(w)       # (dim, n_nl, T)
+    dim = x_star.shape[0]
+    cols = df.reshape(dim, -1)
+    dev_t = library.mixed(w)
+    dx_cols = -_solve_columns(V_m, V_a, Y, dev_t, net, settings, cols)
+
+    def g_of_x(x):
+        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+        return functional(Vm2, Va2)
+
+    value, dg = jax.value_and_grad(g_of_x)(x_star)
+    return Sensitivity(value=value, grad=(dg @ dx_cols).reshape(w.shape),
+                       dx=dx_cols)
+
+
+@highest_precision
 def injection_sensitivity(
     net: Network, devices: DeviceSet, settings: Settings,
     result: HPFResult, theta: float = 1.0,

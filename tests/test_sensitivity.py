@@ -134,3 +134,43 @@ def test_injection_sensitivity_backcompat_and_vector():
                                 theta=jnp.ones(net.n_nonlinear))
     np.testing.assert_allclose(float(jnp.sum(vec.grad)), float(sc.grad),
                                rtol=1e-8)
+
+
+def test_mix_sensitivity_matches_fd():
+    """d(maxTHD)/d(mix weight) vs finite differences through full mix
+    re-solves (net4, 3 types x 3 buses)."""
+    from conftest import DATA
+    from hpfx.sensitivity import mix_sensitivity
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    s = hpfx.settings_for_hmax(9, coupled=True)
+    net = hpfx.load_network(f"{DATA}/net4_buses.csv",
+                            f"{DATA}/net4_lines.csv", s)
+    lib = hpfx.load_device_library(("SMPS", "ev_1", "ev_4"), s)
+    rng = np.random.default_rng(2)
+    w = rng.uniform(0.2, 1.0, (net.n_nonlinear, lib.n_types))
+
+    def solve(w_):
+        scen = Scenarios(p_scale=jnp.ones(1), q_scale=jnp.ones(1),
+                         device_mix=jnp.asarray(w_[None]))
+        return hpf_sweep(net, lib, settings=s, scenarios=scen)
+
+    res = solve(w)
+    assert bool(res.converged[0])
+    one = hpfx.HPFResult(V_m=res.V_m[0], V_a=res.V_a[0], err=res.err[0],
+                         n_iter=res.n_iter[0], err_hist=res.err_hist[0],
+                         converged=res.converged[0])
+    sens = mix_sensitivity(net, lib, s, one, w)
+    assert sens.grad.shape == w.shape
+
+    def thd(r):
+        return float(np.max(np.asarray(hpfx.get_thd(r.V_m[0]).THD_F)))
+
+    eps = 1e-5
+    for (d, t) in [(0, 0), (1, 2), (2, 1)]:
+        wp, wm = w.copy(), w.copy()
+        wp[d, t] += eps
+        wm[d, t] -= eps
+        fd = (thd(solve(wp)) - thd(solve(wm))) / (2 * eps)
+        np.testing.assert_allclose(float(sens.grad[d, t]), fd,
+                                   rtol=2e-3, atol=1e-8)
