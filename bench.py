@@ -213,7 +213,10 @@ def main():
         MAIN_RESULT = result()
     elif not SKIP_NET1:
         # mark the absence explicitly: a short-budget run must be
-        # distinguishable from a config without the h51 stage
+        # distinguishable from a config without the h51 stage.  Re-arm
+        # the watchdog — the next stage's alarm(0) must read the true
+        # remaining budget, not 0
+        signal.alarm(max(remaining, 1))
         extras["net1_h51_skipped"] = "insufficient_time"
         MAIN_RESULT = result()
 

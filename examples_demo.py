@@ -100,6 +100,21 @@ def main():
           f" 0-2 units each): conv="
           f"{float(jnp.mean(summ.converged.astype(jnp.float32))):.3f}, "
           f"frac THD>8%: {float(summ.frac_over_limit):.3f}")
+    # marginal THD impact of one more device of each type at each bus
+    w0 = jnp.asarray(np.ones((n_nl, lib.n_types)), s4.real_dtype)
+    scen1 = hpfx.Scenarios(p_scale=jnp.ones(1, s4.real_dtype),
+                           q_scale=jnp.ones(1, s4.real_dtype),
+                           device_mix=w0[None])
+    r1 = hpfx.hpf_sweep(net4, lib, settings=s4, scenarios=scen1)
+    one = hpfx.HPFResult(V_m=r1.V_m[0], V_a=r1.V_a[0], err=r1.err[0],
+                         n_iter=r1.n_iter[0], err_hist=r1.err_hist[0],
+                         converged=r1.converged[0])
+    msens = hpfx.mix_sensitivity(net4, lib, s4, one, w0)
+    worst = np.unravel_index(np.argmax(np.asarray(msens.grad)),
+                             msens.grad.shape)
+    print(f"    d(maxTHD)/d(one more {lib.names[worst[1]]} at bus "
+          f"{net4.m + worst[0] + 1}) = {float(msens.grad[worst]):+.4f} "
+          f"(the worst marginal addition)")
 
     # -- 7. warm-start continuation sweep ---------------------------------
     Bc = 64

@@ -149,6 +149,7 @@ def scenario_sensitivity(
 def mix_sensitivity(
     net: Network, library, settings: Settings,
     result: HPFResult, w,
+    params: Optional[ScenarioParams] = None,
     functional: Callable = None,
 ) -> Sensitivity:
     """Gradient of ``functional`` wrt the device-mix weights ``w``
@@ -158,31 +159,37 @@ def mix_sensitivity(
 
     ``library``: the :class:`hpfx.devices.DeviceLibrary` the sweep used;
     ``w``: the scenario's mix weights (one scenario's slice of
-    ``Scenarios.device_mix``).  Returns ``grad`` shaped (n_nl, T).
-    Since Norton parameters are linear in ``w``, ∂f/∂w is exact and cheap
-    (forward-mode through the blend + mismatch).
+    ``Scenarios.device_mix``); ``params``: the scenario's p/q/injection
+    scales (``result`` must have been solved at exactly these — mix first,
+    then scale, matching the sweep's composition; defaults to all-ones).
+    Returns ``grad`` shaped (n_nl, T).  Since Norton parameters are linear
+    in ``w``, ∂f/∂w is exact and cheap (forward-mode through the blend +
+    mismatch).
     """
     if functional is None:
         def functional(V_m, V_a):
             return jnp.max(get_thd(V_m).THD_F)
+    if params is None:
+        params = ScenarioParams()
     rd = settings.real_dtype
+    params = ScenarioParams(*(jnp.asarray(p, rd) for p in params))
     w = jnp.asarray(w, rd)
     H, n, c = settings.n_harmonics, net.n, net.c
     m = net.m
     Y = build_ybus(net, settings)
     V_m, V_a = result.V_m, result.V_a
     x_star = harmonic_state_vector(V_m, V_a, c)
-    S = Cx(net.bus_P, net.bus_Q)
+    S = Cx(net.bus_P * params.p_scale, net.bus_Q * params.q_scale)
 
     def f(x, w_):
         Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
-        return harmonic_mismatch(Vm2, Va2, Y, S, library.mixed(w_),
-                                 m, n, c)[0]
+        dev_ = library.mixed(w_).scale(params.injection_scale)
+        return harmonic_mismatch(Vm2, Va2, Y, S, dev_, m, n, c)[0]
 
     df = jax.jacfwd(lambda w_: f(x_star, w_))(w)       # (dim, n_nl, T)
     dim = x_star.shape[0]
     cols = df.reshape(dim, -1)
-    dev_t = library.mixed(w)
+    dev_t = library.mixed(w).scale(params.injection_scale)
     dx_cols = -_solve_columns(V_m, V_a, Y, dev_t, net, settings, cols)
 
     def g_of_x(x):

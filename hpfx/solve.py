@@ -297,9 +297,16 @@ def hpf_sweep_continuation(net: Network, devices, settings: Settings,
             V0 = (sVm[near], sVa[near])
         res = run(sub, V0)
         parts.append(res)
-        solved_keys.append(key[idx])
-        solved_Vm.append(res.V_m)
-        solved_Va.append(res.V_a)
+        # only CONVERGED (finite) states may seed later stages: a diverged
+        # scenario's NaN/runaway state as a warm start fails its whole
+        # key-neighborhood instantly (a NaN V0 makes the NR active mask
+        # false at iteration 0)
+        good = np.asarray(res.converged)
+        if good.any():
+            gi = jnp.asarray(np.nonzero(good)[0])
+            solved_keys.append(key[idx][good])
+            solved_Vm.append(res.V_m[gi])
+            solved_Va.append(res.V_a[gi])
 
     # merge back to the original order (drop padding duplicates)
     merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
@@ -323,8 +330,10 @@ def hpf_sweep_continuation(net: Network, devices, settings: Settings,
     # warm-started from their OWN final state — round 2 measured that
     # this self-warm-start breaks the oscillation/floor-hover stalls of
     # hard scenarios (the adaptive sweep's phase-2 mechanism), where a
-    # cold repeat just reproduces the stall.  Bucketed to a power of two
-    # like the adaptive sweep, for call-count-independent compiled shapes.
+    # cold repeat just reproduces the stall.  Scenarios whose state went
+    # non-finite (true divergence) get the flat start instead — their own
+    # state would no-op the re-solve at iteration 0.  Bucketed to a power
+    # of two like the adaptive sweep, for call-count-independent shapes.
     pend = np.where(~np.asarray(out.converged))[0]
     if pend.size == 0:
         return out
@@ -332,9 +341,18 @@ def hpf_sweep_continuation(net: Network, devices, settings: Settings,
     pend_p = np.concatenate(
         [pend, np.full(bucket - pend.size, pend[0], pend.dtype)])
     sub = _take_scen(scenarios, pend_p)
-    idxp = jnp.asarray(pend_p)
-    res_r = run(sub, (out.V_m[idxp], out.V_a[idxp]))
     idx = jnp.asarray(pend_p)
+    Vm0, Va0 = out.V_m[idx], out.V_a[idx]
+    finite = (jnp.isfinite(Vm0).all(axis=(1, 2))
+              & jnp.isfinite(Va0).all(axis=(1, 2)))
+    rd = settings.real_dtype
+    flat_m = jnp.full(Vm0.shape[1:], settings.v_init_h, rd) \
+        .at[0].set(settings.v_init_f)
+    flat_a = jnp.full(Va0.shape[1:], settings.a_init_h, rd) \
+        .at[0].set(settings.a_init_f)
+    Vm0 = jnp.where(finite[:, None, None], Vm0, flat_m)
+    Va0 = jnp.where(finite[:, None, None], Va0, flat_a)
+    res_r = run(sub, (Vm0, Va0))
     return out._replace(
         V_m=out.V_m.at[idx].set(res_r.V_m),
         V_a=out.V_a.at[idx].set(res_r.V_a),

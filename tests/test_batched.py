@@ -172,3 +172,27 @@ def test_continuation_with_device_axes_and_adaptive():
     sel = np.asarray(plain.converged)
     np.testing.assert_allclose(np.asarray(cont.V_m)[sel],
                                np.asarray(plain.V_m)[sel], atol=1e-5)
+
+
+def test_continuation_divergent_scenario_does_not_poison_neighbors():
+    """A truly divergent scenario (500x load) inside a continuation sweep
+    must not seed its key-neighbors with its NaN/runaway state: only
+    converged states seed later stages, and the rescue flat-starts
+    non-finite states instead of no-op'ing on them."""
+    from hpfx.solve import hpf_sweep_continuation
+    cfg = ("net2", 25, True)
+    s, net, dev = make_setup(cfg)
+    B = 12
+    p = np.ones(B)
+    p[5] = 500.0                      # no solution at this load
+    scen = Scenarios(p_scale=jnp.asarray(p), q_scale=jnp.asarray(p),
+                     injection_scale=jnp.linspace(0.6, 1.4, B))
+    plain = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    cont = hpf_sweep_continuation(net, dev, s, scen, n_stages=3)
+    np.testing.assert_array_equal(np.asarray(cont.converged),
+                                  np.asarray(plain.converged))
+    assert not bool(cont.converged[5])
+    sel = np.asarray(plain.converged)
+    assert sel.sum() == B - 1
+    np.testing.assert_allclose(np.asarray(cont.V_m)[sel],
+                               np.asarray(plain.V_m)[sel], atol=1e-5)
