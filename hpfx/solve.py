@@ -260,6 +260,11 @@ def hpf_sweep_continuation(net: Network, devices, settings: Settings,
         if scenarios.injection_scale is not None:
             k = np.asarray(scenarios.injection_scale, np.float64)
             key = k if k.ndim == 1 else k.mean(axis=1)
+        elif scenarios.device_mix is not None:
+            # total installed device weight — the natural continuation
+            # axis of a device-mix Monte-Carlo
+            key = np.asarray(scenarios.device_mix,
+                             np.float64).sum(axis=(1, 2))
         else:
             key = np.asarray(scenarios.p_scale, np.float64)
             key = key if key.ndim == 1 else key.mean(axis=1)
