@@ -557,6 +557,79 @@ def _scale_cols(base, scale, n: int, B: int):
     return base[:, None] * s.T
 
 
+def nr_trip_lanes(Y: Cx, lineY, S: Cx, dev, inj_db, V_m, V_a,
+                  settings: Settings, consts: _ArrowConsts, thresh_eff,
+                  vc=None, f0=None):
+    """The lane-major harmonic NR while-loop from state (V_m, V_a)
+    (H, n, B) to convergence/max_iter_h.
+
+    The reusable core of :func:`hpf_sweep_lanes`, also driven per-chunk by
+    the scan-based continuation sweep.  ``vc``: optional sharding-
+    constraint hook for the carry; ``f0``: optional precomputed
+    (f, err) at the initial state.  Returns raw (V_m, V_a, err, n_iter,
+    err_hist) — callers apply ``cleanup_voltages``.
+    """
+    idx = consts.idx
+    H, n, m, c = idx.H, idx.n, idx.m, idx.c
+    B = V_m.shape[-1]
+    rd = V_m.dtype
+    if vc is None:
+        vc = lambda a, b: (a, b)
+    if f0 is None:
+        f_init, err_init = mismatch_lanes(V_m, V_a, Y, S, dev, inj_db,
+                                          m, n, c, lineY)
+    else:
+        f_init, err_init = f0
+    hist0 = jnp.full((settings.max_iter_h, B), jnp.nan, rd)
+    x0 = jnp.concatenate([V_a.reshape(H * n, B)[1:],
+                          V_m.reshape(H * n, B)[c:]], axis=0)
+
+    def active(err, it):
+        return (err > thresh_eff) & (it < settings.max_iter_h)
+
+    def cond(carry):
+        _, _, _, _, err, it, _, _ = carry
+        return jnp.any(active(err, it))
+
+    D = H * n
+
+    def body(carry):
+        V_m, V_a, x, f, err, it, hist, t = carry
+        act = active(err, it)
+        if settings.big_solve == "warmup":
+            # cheap blocked-Schur steps while far from the root, fully
+            # pivoted direct steps for the final contraction (both
+            # branches compile once; the trip counter picks per trip)
+            step = lambda impl: (lambda vm, va, ff: arrow_step_lanes(
+                vm, va, ff, Y, dev, inj_db, consts, big_solve=impl))
+            dx = lax.cond(t < settings.big_solve_warmup,
+                          step("schur"), step("direct"), V_m, V_a, f)
+        else:
+            dx = arrow_step_lanes(V_m, V_a, f, Y, dev, inj_db, consts,
+                                  big_solve=settings.big_solve)
+        x_new = x - dx
+        Va_new = jnp.concatenate([V_a.reshape(D, B)[:1],
+                                  x_new[: D - 1]], axis=0).reshape(H, n, B)
+        Vm_new = jnp.concatenate([V_m.reshape(D, B)[:c],
+                                  x_new[D - 1:]], axis=0).reshape(H, n, B)
+        f_new, err_new = mismatch_lanes(Vm_new, Va_new, Y, S, dev, inj_db,
+                                        m, n, c, lineY)
+        V_m = jnp.where(act, Vm_new, V_m)
+        V_a = jnp.where(act, Va_new, V_a)
+        V_m, V_a = vc(V_m, V_a)
+        x = jnp.where(act, x_new, x)
+        f = jnp.where(act, f_new, f)
+        err = jnp.where(act, err_new, err)
+        hist = hist.at[t].set(jnp.where(act, err_new, hist[t]))
+        return V_m, V_a, x, f, err, it + act.astype(it.dtype), hist, t + 1
+
+    it0 = jnp.zeros((B,), jnp.int32)
+    V_m, V_a, _, _, err, n_iter, hist, _ = lax.while_loop(
+        cond, body, (V_m, V_a, x0, f_init, err_init, it0, hist0,
+                     jnp.int32(0)))
+    return V_m, V_a, err, n_iter, hist
+
+
 @highest_precision
 def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
                     scenarios, V0=None, Y: Optional[Cx] = None,
@@ -706,57 +779,212 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
             err=err, n_iter=n_iter, err_hist=hist.T,
             converged=err <= thresh_eff, fund=fund_bm)
 
-    x0 = jnp.concatenate([V_a.reshape(H * n, B)[1:],
-                          V_m.reshape(H * n, B)[c:]], axis=0)
-
-    def active(err, it):
-        return (err > thresh_eff) & (it < settings.max_iter_h)
-
-    def cond(carry):
-        _, _, _, _, err, it, _, _ = carry
-        return jnp.any(active(err, it))
-
-    D = H * n
-
-    def body(carry):
-        V_m, V_a, x, f, err, it, hist, t = carry
-        act = active(err, it)
-        if settings.big_solve == "warmup":
-            # cheap blocked-Schur steps while far from the root, fully
-            # pivoted direct steps for the final contraction (both
-            # branches compile once; the trip counter picks per trip)
-            step = lambda impl: (lambda vm, va, ff: arrow_step_lanes(
-                vm, va, ff, Y, dev, inj_db, consts, big_solve=impl))
-            dx = lax.cond(t < settings.big_solve_warmup,
-                          step("schur"), step("direct"), V_m, V_a, f)
-        else:
-            dx = arrow_step_lanes(V_m, V_a, f, Y, dev, inj_db, consts,
-                                  big_solve=settings.big_solve)
-        x_new = x - dx
-        Va_new = jnp.concatenate([V_a.reshape(D, B)[:1],
-                                  x_new[: D - 1]], axis=0).reshape(H, n, B)
-        Vm_new = jnp.concatenate([V_m.reshape(D, B)[:c],
-                                  x_new[D - 1:]], axis=0).reshape(H, n, B)
-        f_new, err_new = mismatch_lanes(Vm_new, Va_new, Y, S, dev, inj_db,
-                                        m, n, c, lineY)
-        V_m = jnp.where(act, Vm_new, V_m)
-        V_a = jnp.where(act, Va_new, V_a)
-        V_m, V_a = _vc(V_m, V_a)
-        x = jnp.where(act, x_new, x)
-        f = jnp.where(act, f_new, f)
-        err = jnp.where(act, err_new, err)
-        hist = hist.at[t].set(jnp.where(act, err_new, hist[t]))
-        return V_m, V_a, x, f, err, it + act.astype(it.dtype), hist, t + 1
-
-    it0 = jnp.zeros((B,), jnp.int32)
-    V_m, V_a, _, _, err, n_iter, hist, _ = lax.while_loop(
-        cond, body, (V_m, V_a, x0, f0, err0, it0, hist0, jnp.int32(0)))
+    V_m, V_a, err, n_iter, hist = nr_trip_lanes(
+        Y, lineY, S, dev, inj_db, V_m, V_a, settings, consts, thresh_eff,
+        vc=_vc, f0=(f0, err0))
 
     V_m, V_a = cleanup_voltages(V_m, V_a)
-    fund_bm = FundResult(
-        V_m=fund.V_m.T, V_a=fund.V_a.T, err=fund.err, n_iter=fund.n_iter,
-        err_hist=fund.err_hist.T, converged=fund.converged)
+    return _lanes_result(V_m, V_a, err, n_iter, hist, thresh_eff, fund)
+
+
+def _lanes_result(V_m, V_a, err, n_iter, hist, thresh_eff,
+                  fund) -> HPFResult:
+    fund_bm = None
+    if fund is not None:
+        fund_bm = FundResult(
+            V_m=fund.V_m.T, V_a=fund.V_a.T, err=fund.err,
+            n_iter=fund.n_iter, err_hist=fund.err_hist.T,
+            converged=fund.converged)
     return HPFResult(
         V_m=jnp.moveaxis(V_m, -1, 0), V_a=jnp.moveaxis(V_a, -1, 0),
         err=err, n_iter=n_iter, err_hist=hist.T,
         converged=err <= thresh_eff, fund=fund_bm)
+
+
+def _thresh_lanes(V_m, Y, dev, inj_db, m, settings):
+    return jnp.maximum(
+        jnp.asarray(settings.thresh_h, settings.real_dtype),
+        settings.floor_kappa *
+        mismatch_floor_lanes(V_m, Y, dev, inj_db, m, settings))
+
+
+@highest_precision
+def hpf_sweep_continuation_lanes(net: Network, devices, settings: Settings,
+                                 scenarios, n_stages: int = 8,
+                                 rescue: bool = True) -> HPFResult:
+    """Warm-start continuation sweep compiled as ONE device program.
+
+    The host-driven :func:`hpfx.solve.hpf_sweep_continuation` pays a host
+    round-trip per stage (seed gathering + dispatch); on a tunneled TPU
+    relay that overhead (~0.5 s/stage measured) dwarfs the 2.7x
+    iteration saving.  Here the whole schedule — key sort, chunking,
+    per-stage solves seeded from the previous stage's nearest CONVERGED
+    neighbor, and the self-warm rescue pass — is a single jitted program:
+    a ``lax.scan`` over key-ordered scenario chunks around
+    :func:`nr_trip_lanes`, so the only host interaction is the final
+    result transfer.
+
+    Semantics mirror the host version with one difference: stages seed
+    from the immediately PREVIOUS chunk only (a scan carry), not from all
+    earlier chunks — for key-sorted chunks the nearest neighbor is in the
+    adjacent chunk anyway.  Requires the lanes-supported configuration.
+    """
+    H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
+    rd = settings.real_dtype
+    B = scenarios.p_scale.shape[0]
+    n_stages = max(1, min(n_stages, B))
+    n_nl = n - m
+
+    Y = build_ybus(net, settings)
+    lineY, lineY_f = line_ybus_pair(net, settings)
+
+    q_scale = scenarios.q_scale if scenarios.q_scale is not None \
+        else scenarios.p_scale
+    inj = scenarios.injection_scale if scenarios.injection_scale is not None \
+        else jnp.ones((B,), rd)
+    inj = jnp.asarray(inj, rd)
+    inj_db = _as_inj_db(inj.T if inj.ndim == 2 else inj, n_nl, B, rd)
+    mix = getattr(scenarios, "device_mix", None)
+    if (mix is not None) != isinstance(devices, DeviceLibrary):
+        raise ValueError(
+            "Scenarios.device_mix requires passing a DeviceLibrary as "
+            "devices (and vice versa)")
+    dev = (_mix_lane_devices(devices, mix, rd)
+           if isinstance(devices, DeviceLibrary)
+           else _as_lane_devices(devices))
+    S = Cx(_scale_cols(net.bus_P, scenarios.p_scale, n, B),
+           _scale_cols(net.bus_Q, q_scale, n, B))
+
+    # continuation key (device-side twin of the host version's default)
+    if scenarios.injection_scale is not None:
+        key = inj if inj.ndim == 1 else inj.mean(axis=1)
+    elif mix is not None:
+        key = jnp.asarray(mix, rd).sum(axis=(1, 2))
+    else:
+        p = jnp.asarray(scenarios.p_scale, rd)
+        key = p if p.ndim == 1 else p.mean(axis=1)
+
+    order = jnp.argsort(key)
+    Bc = -(-B // n_stages)
+    Bp = n_stages * Bc
+    order_p = jnp.concatenate(
+        [order, jnp.broadcast_to(order[-1:], (Bp - B,))])
+
+    def chunk_last(x):
+        """(..., B) -> (n_stages, ..., Bc) via the sorted order."""
+        xs = jnp.take(x, order_p, axis=-1)
+        xs = xs.reshape(x.shape[:-1] + (n_stages, Bc))
+        return jnp.moveaxis(xs, -2, 0)
+
+    S_ch = Cx(chunk_last(S.re), chunk_last(S.im))
+    inj_ch = chunk_last(inj_db)
+    key_ch = chunk_last(key)
+    dev_ch = None
+    if isinstance(dev, LaneDevices) and dev.batched:
+        dev_ch = LaneDevices(
+            I_N=Cx(chunk_last(dev.I_N.re), chunk_last(dev.I_N.im)),
+            Y_N=Cx(chunk_last(dev.Y_N.re), chunk_last(dev.Y_N.im)),
+            coupled=dev.coupled, batched=True)
+
+    consts = _make_arrow_consts(H, n, m, c)
+
+    def step(carry, xs):
+        pVm, pVa, pK, pConv = carry
+        if dev_ch is None:
+            S_re, S_im, injc, kc = xs
+            dev_c = dev
+        else:
+            S_re, S_im, injc, kc, dIr, dIi, dYr, dYi = xs
+            dev_c = LaneDevices(I_N=Cx(dIr, dIi), Y_N=Cx(dYr, dYi),
+                                coupled=dev.coupled, batched=True)
+        S_c = Cx(S_re, S_im)
+        fund = solve_fundamental_lanes(Y[0], S_c, net, settings, Bc,
+                                       lineY_f)
+        coldVm = jnp.full((H, n, Bc), settings.v_init_h, rd) \
+            .at[0].set(fund.V_m)
+        coldVa = jnp.full((H, n, Bc), settings.a_init_h, rd) \
+            .at[0].set(fund.V_a)
+        # nearest CONVERGED scenario of the previous chunk
+        dist = jnp.abs(kc[:, None] - pK[None, :]) \
+            + 1e30 * (1.0 - pConv)[None, :]
+        j = jnp.argmin(dist, axis=1)
+        haveprev = jnp.any(pConv > 0)
+        Vm0 = jnp.where(haveprev, pVm[:, :, j], coldVm)
+        Va0 = jnp.where(haveprev, pVa[:, :, j], coldVa)
+        thresh = _thresh_lanes(Vm0, Y, dev_c, injc, m, settings)
+        Vm, Va, err, n_it, hist = nr_trip_lanes(
+            Y, lineY, S_c, dev_c, injc, Vm0, Va0, settings, consts, thresh)
+        conv = err <= thresh
+        carry2 = (Vm, Va, kc, conv.astype(rd))
+        return carry2, (Vm, Va, err, n_it, hist, conv)
+
+    carry0 = (jnp.zeros((H, n, Bc), rd), jnp.zeros((H, n, Bc), rd),
+              jnp.zeros((Bc,), rd), jnp.zeros((Bc,), rd))
+    xs = (S_ch.re, S_ch.im, inj_ch, key_ch)
+    if dev_ch is not None:
+        xs = xs + (dev_ch.I_N.re, dev_ch.I_N.im,
+                   dev_ch.Y_N.re, dev_ch.Y_N.im)
+    _, outs = lax.scan(step, carry0, xs)
+    Vm_s, Va_s, err_s, nit_s, hist_s, conv_s = outs
+
+    def unchunk(x):
+        """(n_stages, ..., Bc) -> (..., B) sorted -> original order."""
+        x = jnp.moveaxis(x, 0, -2)
+        flat = x.reshape(x.shape[:-2] + (Bp,))[..., :B]
+        out = jnp.zeros_like(flat)
+        return out.at[..., order].set(flat)
+
+    V_m = unchunk(Vm_s)
+    V_a = unchunk(Va_s)
+    err = unchunk(err_s)
+    n_iter = unchunk(nit_s)
+    hist = unchunk(hist_s)
+    conv = unchunk(conv_s)
+
+    if rescue:
+        # Two rescue passes, both in the same program (a fully converged
+        # batch exits the while-loop at iteration 0 — near-free):
+        #   1. self-warm from the scenario's own final state — breaks the
+        #      floor-hover stalls a cold repeat reproduces (BENCH_NOTES
+        #      round 2 / CLAUDE.md #23);
+        #   2. cold flat start for anything STILL stuck — breaks stalls
+        #      caused by a bad continuation seed (the complementary
+        #      failure: a cold start is exactly the plain sweep's path).
+        fundr = solve_fundamental_lanes(Y[0], S, net, settings, B, lineY_f)
+        coldVm = jnp.full((H, n, B), settings.v_init_h, rd) \
+            .at[0].set(fundr.V_m)
+        coldVa = jnp.full((H, n, B), settings.a_init_h, rd) \
+            .at[0].set(fundr.V_a)
+
+        def rescue_pass(V_m, V_a, err, n_iter, hist, conv, Vm0, Va0):
+            thresh_r = _thresh_lanes(Vm0, Y, dev, inj_db, m, settings)
+            # converged scenarios must stay inactive: lift their threshold
+            # to their achieved error so the loop never touches them
+            thresh_r = jnp.where(conv, jnp.maximum(thresh_r, err),
+                                 thresh_r)
+            Vm2, Va2, err2, nit2, hist2 = nr_trip_lanes(
+                Y, lineY, S, dev, inj_db, Vm0, Va0, settings, consts,
+                thresh_r)
+            redo = ~conv
+            V_m = jnp.where(redo[None, None, :], Vm2, V_m)
+            V_a = jnp.where(redo[None, None, :], Va2, V_a)
+            err = jnp.where(redo, err2, err)
+            n_iter = n_iter + jnp.where(redo, nit2, 0)
+            hist = jnp.where(redo[None, :], hist2, hist)
+            conv = conv | (redo & (err2 <= thresh_r))
+            return V_m, V_a, err, n_iter, hist, conv
+
+        finite = (jnp.isfinite(V_m).all(axis=(0, 1))
+                  & jnp.isfinite(V_a).all(axis=(0, 1)))
+        use_self = (finite | conv)[None, None, :]
+        state = (V_m, V_a, err, n_iter, hist, conv)
+        state = rescue_pass(*state, jnp.where(use_self, V_m, coldVm),
+                            jnp.where(use_self, V_a, coldVa))
+        state = rescue_pass(*state, coldVm, coldVa)
+        V_m, V_a, err, n_iter, hist, conv = state
+
+    V_m, V_a = cleanup_voltages(V_m, V_a)
+    return HPFResult(
+        V_m=jnp.moveaxis(V_m, -1, 0), V_a=jnp.moveaxis(V_a, -1, 0),
+        err=err, n_iter=n_iter, err_hist=hist.T,
+        converged=conv, fund=None)

@@ -214,3 +214,99 @@ def test_solve_lanes_kernel_interpret():
     x = gauss_solve_pallas_lanes(Al, bl, interpret=True)
     np.testing.assert_allclose(np.moveaxis(np.asarray(x), -1, 0), x_ref,
                                atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# device-side continuation sweep (hpf_sweep_continuation_lanes): the whole
+# key-sort / chunk / warm-start / rescue schedule as ONE compiled program
+# ---------------------------------------------------------------------------
+
+def test_continuation_lanes_matches_plain():
+    """The scan-based continuation sweep reaches the same fixed points as
+    the plain lanes sweep (warm starts change the path, not the root) at
+    materially fewer total NR iterations, with uneven chunking (B=14,
+    n_stages=4 -> padded last chunk)."""
+    from hpfx.lanes import hpf_sweep_continuation_lanes, hpf_sweep_lanes
+    s, net, dev = _setup("net2", 15, True, True)
+    B = 14
+    rng = np.random.default_rng(7)
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.8, 1.2, B), jnp.float32),
+        q_scale=jnp.asarray(rng.uniform(0.9, 1.1, B), jnp.float32),
+        injection_scale=jnp.asarray(rng.uniform(0.5, 1.5, B), jnp.float32))
+    plain = hpf_sweep_lanes(net, dev, s, scen)
+    cont = hpf_sweep_continuation_lanes(net, dev, s, scen, n_stages=4)
+    # warm starts + rescue converge AT LEAST the plain sweep's set (the
+    # knife-edge class plain sweeps drop is exactly what they fix)
+    conv_p = np.asarray(plain.converged)
+    conv_c = np.asarray(cont.converged)
+    assert np.all(conv_c)
+    take = lambda r: r._replace(V_m=r.V_m[conv_p], V_a=r.V_a[conv_p])
+    assert _phasor_dist(take(cont), take(plain)) < 1e-5
+    assert int(np.sum(np.asarray(cont.n_iter))) < \
+        int(np.sum(np.asarray(plain.n_iter)))
+
+
+def test_continuation_lanes_single_stage_is_plain():
+    """n_stages=1 degenerates to the plain cold-start sweep: identical
+    iteration counts and states (the scan wrapper adds nothing)."""
+    from hpfx.lanes import hpf_sweep_continuation_lanes, hpf_sweep_lanes
+    s, net, dev = _setup("net2", 5, False, True)
+    scen = _scen(6)
+    plain = hpf_sweep_lanes(net, dev, s, scen)
+    cont = hpf_sweep_continuation_lanes(net, dev, s, scen, n_stages=1,
+                                        rescue=False)
+    np.testing.assert_array_equal(np.asarray(cont.n_iter),
+                                  np.asarray(plain.n_iter))
+    np.testing.assert_allclose(np.asarray(cont.V_m), np.asarray(plain.V_m),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cont.V_a), np.asarray(plain.V_a),
+                               atol=1e-12)
+
+
+def test_continuation_lanes_device_mix():
+    """Continuation composes with the device-mix Monte-Carlo axes
+    (DeviceLibrary + (B, n_nl, T) mixes + (B, n_nl) injection scales):
+    same roots as the plain lanes sweep."""
+    from hpfx.devices import load_device_library
+    from hpfx.lanes import hpf_sweep_continuation_lanes, hpf_sweep_lanes
+    s, net, _ = _setup("net4", 9, True, True)
+    lib = load_device_library(("SMPS", "ev_1", "ev_4"), s)
+    B, n_nl = 7, net.n_nonlinear
+    rng = np.random.default_rng(13)
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.9, 1.1, B), jnp.float32),
+        q_scale=jnp.ones(B, jnp.float32),
+        injection_scale=jnp.asarray(
+            rng.uniform(0.5, 1.2, (B, n_nl)), jnp.float32),
+        device_mix=jnp.asarray(
+            rng.uniform(0.0, 1.0, (B, n_nl, lib.n_types)), jnp.float32))
+    plain = hpf_sweep_lanes(net, lib, s, scen)
+    cont = hpf_sweep_continuation_lanes(net, lib, s, scen, n_stages=3)
+    np.testing.assert_array_equal(np.asarray(cont.converged),
+                                  np.asarray(plain.converged))
+    assert np.all(np.asarray(cont.converged))
+    assert _phasor_dist(cont, plain) < 1e-5
+
+
+def test_continuation_lanes_divergent_isolation():
+    """A truly divergent scenario stays unconverged without poisoning its
+    chunk neighbors or being used as a warm-start seed (converged-only
+    seeding), and the rescue pass leaves converged scenarios untouched."""
+    from hpfx.lanes import hpf_sweep_continuation_lanes, hpf_sweep_lanes
+    s, net, dev = _setup("net2", 5, True, True)
+    B = 9
+    p = np.linspace(0.9, 1.1, B).astype(np.float32)
+    inj = np.linspace(0.8, 1.2, B).astype(np.float32)
+    p[4] = 500.0                      # no solution
+    scen = Scenarios(p_scale=jnp.asarray(p), q_scale=jnp.asarray(p),
+                     injection_scale=jnp.asarray(inj))
+    cont = hpf_sweep_continuation_lanes(net, dev, s, scen, n_stages=3)
+    conv = np.asarray(cont.converged)
+    assert not conv[4] and conv.sum() == B - 1
+    ok = np.ones(B, bool)
+    ok[4] = False
+    plain = hpf_sweep_lanes(net, dev, s, scen)
+    take = lambda r: r._replace(V_m=r.V_m[ok], V_a=r.V_a[ok])
+    assert _phasor_dist(take(cont), take(plain)) < 1e-5
+    assert np.all(np.isfinite(np.asarray(cont.V_m)[ok]))

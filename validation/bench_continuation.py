@@ -33,6 +33,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 import hpfx  # noqa: E402
+from hpfx.lanes import hpf_sweep_continuation_lanes  # noqa: E402
 from hpfx.solve import (Scenarios, hpf_sweep_adaptive,  # noqa: E402
                         hpf_sweep_continuation)
 
@@ -70,6 +71,11 @@ def run_ab(net_name, h_max, batch, phase2_solver, reps=3):
         "cont8": lambda sc: hpf_sweep_continuation(
             net, dev, s, sc, n_stages=8, phase_iters=24,
             phase2_settings=s2),
+        # single-program scan continuation: no per-stage host round-trips
+        "contdev8": lambda sc: hpf_sweep_continuation_lanes(
+            net, dev, s, sc, n_stages=8),
+        "contdev16": lambda sc: hpf_sweep_continuation_lanes(
+            net, dev, s, sc, n_stages=16),
     }
     # warm every variant (compile) before any timing
     for name, fn in variants.items():
