@@ -811,7 +811,8 @@ def _thresh_lanes(V_m, Y, dev, inj_db, m, settings):
 @highest_precision
 def hpf_sweep_continuation_lanes(net: Network, devices, settings: Settings,
                                  scenarios, n_stages: int = 8,
-                                 rescue: bool = True) -> HPFResult:
+                                 rescue: bool = True,
+                                 vsharding=None) -> HPFResult:
     """Warm-start continuation sweep compiled as ONE device program.
 
     The host-driven :func:`hpfx.solve.hpf_sweep_continuation` pays a host
@@ -828,6 +829,11 @@ def hpf_sweep_continuation_lanes(net: Network, devices, settings: Settings,
     from the immediately PREVIOUS chunk only (a scan carry), not from all
     earlier chunks — for key-sorted chunks the nearest neighbor is in the
     adjacent chunk anyway.  Requires the lanes-supported configuration.
+
+    ``vsharding``: optional ``NamedSharding`` for the (H, n, Bc) chunk
+    voltage carry (same convention as :func:`hpf_sweep_lanes`) — shards
+    every per-chunk Newton trip and the rescue passes over the mesh;
+    the one-time key sort / chunking stays global.  Requires jit.
     """
     H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
     rd = settings.real_dtype
@@ -888,6 +894,12 @@ def hpf_sweep_continuation_lanes(net: Network, devices, settings: Settings,
 
     consts = _make_arrow_consts(H, n, m, c)
 
+    def _vc(V_m, V_a):
+        if vsharding is None:
+            return V_m, V_a
+        return (lax.with_sharding_constraint(V_m, vsharding),
+                lax.with_sharding_constraint(V_a, vsharding))
+
     def step(carry, xs):
         pVm, pVa, pK, pConv = carry
         if dev_ch is None:
@@ -911,9 +923,11 @@ def hpf_sweep_continuation_lanes(net: Network, devices, settings: Settings,
         haveprev = jnp.any(pConv > 0)
         Vm0 = jnp.where(haveprev, pVm[:, :, j], coldVm)
         Va0 = jnp.where(haveprev, pVa[:, :, j], coldVa)
+        Vm0, Va0 = _vc(Vm0, Va0)
         thresh = _thresh_lanes(Vm0, Y, dev_c, injc, m, settings)
         Vm, Va, err, n_it, hist = nr_trip_lanes(
-            Y, lineY, S_c, dev_c, injc, Vm0, Va0, settings, consts, thresh)
+            Y, lineY, S_c, dev_c, injc, Vm0, Va0, settings, consts, thresh,
+            vc=_vc)
         conv = err <= thresh
         carry2 = (Vm, Va, kc, conv.astype(rd))
         return carry2, (Vm, Va, err, n_it, hist, conv)
@@ -964,7 +978,7 @@ def hpf_sweep_continuation_lanes(net: Network, devices, settings: Settings,
                                  thresh_r)
             Vm2, Va2, err2, nit2, hist2 = nr_trip_lanes(
                 Y, lineY, S, dev, inj_db, Vm0, Va0, settings, consts,
-                thresh_r)
+                thresh_r, vc=_vc)
             redo = ~conv
             V_m = jnp.where(redo[None, None, :], Vm2, V_m)
             V_a = jnp.where(redo[None, None, :], Va2, V_a)

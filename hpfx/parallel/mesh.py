@@ -206,6 +206,42 @@ def hpf_sweep_sharded2d(net: Network, devices: DeviceSet,
     return res
 
 
+def hpf_sweep_continuation_sharded(net: Network, devices,
+                                   settings: Settings,
+                                   scenarios: Scenarios, mesh: Mesh,
+                                   n_stages: int = 8,
+                                   rescue: bool = True) -> HPFResult:
+    """Device-side continuation sweep on a scenario (or scenario ×
+    harmonic) mesh.
+
+    The single-program scan continuation (:func:`hpfx.lanes.
+    hpf_sweep_continuation_lanes`) with each chunk's Newton trip and the
+    rescue passes sharded over ``mesh``: the chunk batch axis rides
+    ``SCENARIO_AXIS`` (independent scenarios, no communication) and — on
+    a 2-D ``hpf_mesh`` — the harmonic axis rides ``HARMONIC_AXIS``.  The
+    one-time key sort / chunk gather is global (a prefix of the program;
+    GSPMD inserts the collectives).  Numerically identical to the
+    unsharded continuation sweep (tests/test_sharding.py)."""
+    from ..lanes import hpf_sweep_continuation_lanes, supports_lanes
+
+    if not supports_lanes(devices, settings, net):
+        raise ValueError("hpf_sweep_continuation_sharded needs the "
+                         "lanes-supported configuration (arrow solver)")
+    scenarios, B = _pad_scenarios(scenarios, mesh)
+    net = _replicate(net, mesh)
+    devices = _replicate(devices, mesh)
+    scenarios = shard_scenarios(scenarios, mesh)
+    hax = HARMONIC_AXIS if HARMONIC_AXIS in mesh.axis_names else None
+    vspec = NamedSharding(mesh, P(hax, None, SCENARIO_AXIS))
+    fn = jax.jit(partial(hpf_sweep_continuation_lanes, settings=settings,
+                         n_stages=n_stages, rescue=rescue,
+                         vsharding=vspec))
+    res = fn(net, devices, scenarios=scenarios)
+    if res.V_m.shape[0] != B:
+        res = jax.tree.map(lambda x: x[:B], res)
+    return res
+
+
 def hosting_capacity_sharded(net: Network, devices: DeviceSet,
                              settings: Settings, scenarios: Scenarios,
                              mesh: Mesh, thd_limit: float = 0.08

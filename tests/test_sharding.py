@@ -222,3 +222,31 @@ def test_sharded2d_with_per_device_scales():
     sel = np.asarray(ru.converged)
     dv = np.abs(np.asarray(r2.V_m) - np.asarray(ru.V_m))[sel].max()
     assert dv < 5e-8, dv
+
+
+def test_continuation_sharded_matches_unsharded():
+    """Device-side continuation sweep on the 1-D scenario mesh and the 2-D
+    scenario × harmonic mesh vs the unsharded version: same convergence
+    set, same fixed points within the NR tolerance band."""
+    from hpfx.lanes import hpf_sweep_continuation_lanes
+    from hpfx.parallel import (hpf_mesh, hpf_sweep_continuation_sharded,
+                               scenario_mesh)
+
+    s, net, dev = make_setup(("net2", 15, True))
+    s = s.with_(solver="arrow", layout="lanes")
+    B = 24
+    rng = np.random.default_rng(9)
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.85, 1.15, B)),
+        q_scale=jnp.asarray(rng.uniform(0.9, 1.1, B)),
+        injection_scale=jnp.asarray(rng.uniform(0.6, 1.4, B)))
+    ref = hpf_sweep_continuation_lanes(net, dev, s, scen, n_stages=3)
+    conv_ref = np.asarray(ref.converged)
+    assert conv_ref.all()
+    for mesh in (scenario_mesh(8), hpf_mesh(4, 2)):
+        out = hpf_sweep_continuation_sharded(net, dev, s, scen, mesh,
+                                             n_stages=3)
+        assert out.V_m.shape == ref.V_m.shape
+        np.testing.assert_array_equal(np.asarray(out.converged), conv_ref)
+        np.testing.assert_allclose(np.asarray(out.V_m),
+                                   np.asarray(ref.V_m), atol=5e-5)
