@@ -35,6 +35,10 @@ BIG_SOLVE = os.environ.get("HPFX_BENCH_BIG_SOLVE", "panel")
 SKIP_NET1 = os.environ.get("HPFX_BENCH_SKIP_NET1", "0") == "1"
 # >1 switches the sweeps to warm-start continuation with that many stages
 CONTINUATION_STAGES = int(os.environ.get("HPFX_BENCH_CONTINUATION", "0"))
+# >1 switches the sweeps to the DEVICE-SIDE continuation program
+# (hpfx.lanes.hpf_sweep_continuation_lanes, jitted whole-schedule scan)
+# with that many stages; takes precedence over HPFX_BENCH_CONTINUATION
+CONTDEV_STAGES = int(os.environ.get("HPFX_BENCH_CONTDEV", "0"))
 TARGET_V5E8 = 10_000.0  # solves/sec on 8 chips (BASELINE.md)
 
 
@@ -135,7 +139,18 @@ def bench_net(net, dev, s, batch: int, repeats: int,
     # panel rows — was A/B'd in every arrangement and always lost
     # converged-throughput; see BENCH_NOTES.)
     s2 = s.with_(solver=phase2_solver)
-    if CONTINUATION_STAGES > 1:
+    if CONTDEV_STAGES > 1:
+        # device-side continuation (HPFX_BENCH_CONTDEV=<stages>): the
+        # whole warm-start schedule as one jitted scan program — measured
+        # conv 1.000 at plain-sweep throughput on net2 (BENCH_NOTES
+        # round 3)
+        from functools import partial as _partial
+
+        from hpfx.lanes import hpf_sweep_continuation_lanes
+        _jc = jax.jit(_partial(hpf_sweep_continuation_lanes, settings=s,
+                               n_stages=CONTDEV_STAGES))
+        run = lambda sc: _jc(net, dev, scenarios=sc)
+    elif CONTINUATION_STAGES > 1:
         # warm-start continuation A/B (HPFX_BENCH_CONTINUATION=<stages>):
         # stage chunks seeded from nearest solved neighbors
         from hpfx.solve import hpf_sweep_continuation

@@ -924,7 +924,13 @@ def hpf_sweep_continuation_lanes(net: Network, devices, settings: Settings,
         Vm0 = jnp.where(haveprev, pVm[:, :, j], coldVm)
         Va0 = jnp.where(haveprev, pVa[:, :, j], coldVa)
         Vm0, Va0 = _vc(Vm0, Va0)
-        thresh = _thresh_lanes(Vm0, Y, dev_c, injc, m, settings)
+        # the floor-aware threshold is evaluated at the COLD state — the
+        # plain sweep's bar.  A warm seed sits near the solution where
+        # harmonic |V| (and with it the mismatch floor) is ~10x smaller;
+        # evaluating the floor there holds knife-edge scenarios to a
+        # stricter criterion than the plain/adaptive paths (measured:
+        # net1 B=512 conv 0.98 vs adaptive 1.000 before this fix)
+        thresh = _thresh_lanes(coldVm, Y, dev_c, injc, m, settings)
         Vm, Va, err, n_it, hist = nr_trip_lanes(
             Y, lineY, S_c, dev_c, injc, Vm0, Va0, settings, consts, thresh,
             vc=_vc)
@@ -956,46 +962,78 @@ def hpf_sweep_continuation_lanes(net: Network, devices, settings: Settings,
     conv = unchunk(conv_s)
 
     if rescue:
-        # Two rescue passes, both in the same program (a fully converged
-        # batch exits the while-loop at iteration 0 — near-free):
+        # Two rescue passes, both in the same program:
         #   1. self-warm from the scenario's own final state — breaks the
         #      floor-hover stalls a cold repeat reproduces (BENCH_NOTES
         #      round 2 / CLAUDE.md #23);
         #   2. cold flat start for anything STILL stuck — breaks stalls
         #      caused by a bad continuation seed (the complementary
         #      failure: a cold start is exactly the plain sweep's path).
-        fundr = solve_fundamental_lanes(Y[0], S, net, settings, B, lineY_f)
-        coldVm = jnp.full((H, n, B), settings.v_init_h, rd) \
+        # Stragglers are GATHERED into a chunk-width (K = Bc) batch first
+        # (the adaptive sweep's narrow-re-solve trick, device-side):
+        # B-wide rescue loops made the straggler reps ~1.8x slower at
+        # net2 B=4096 — one knife-edge scenario dragged 32 lane-slabs
+        # through up to 2·max_iter_h trips.  Up to K stragglers are
+        # rescued; typical failure counts are <<Bc.
+        K = min(Bc, B)
+        bad = jnp.argsort(conv.astype(rd), stable=True)[:K]
+        was_bad = ~conv[bad]
+        g = lambda x: jnp.take(x, bad, axis=-1)
+        S_k = Cx(g(S.re), g(S.im))
+        inj_k = g(inj_db)
+        dev_k = dev
+        if isinstance(dev, LaneDevices) and dev.batched:
+            dev_k = LaneDevices(I_N=Cx(g(dev.I_N.re), g(dev.I_N.im)),
+                                Y_N=Cx(g(dev.Y_N.re), g(dev.Y_N.im)),
+                                coupled=dev.coupled, batched=True)
+        fundr = solve_fundamental_lanes(Y[0], S_k, net, settings, K,
+                                        lineY_f)
+        coldVm = jnp.full((H, n, K), settings.v_init_h, rd) \
             .at[0].set(fundr.V_m)
-        coldVa = jnp.full((H, n, B), settings.a_init_h, rd) \
+        coldVa = jnp.full((H, n, K), settings.a_init_h, rd) \
             .at[0].set(fundr.V_a)
 
-        def rescue_pass(V_m, V_a, err, n_iter, hist, conv, Vm0, Va0):
-            thresh_r = _thresh_lanes(Vm0, Y, dev, inj_db, m, settings)
+        # rescue threshold: same cold-state floor as the chunks (above)
+        thresh_k = _thresh_lanes(coldVm, Y, dev_k, inj_k, m, settings)
+
+        def rescue_pass(V_mk, V_ak, errk, nitk, histk, convk, Vm0, Va0):
             # converged scenarios must stay inactive: lift their threshold
             # to their achieved error so the loop never touches them
-            thresh_r = jnp.where(conv, jnp.maximum(thresh_r, err),
-                                 thresh_r)
+            thresh_r = jnp.where(convk, jnp.maximum(thresh_k, errk),
+                                 thresh_k)
             Vm2, Va2, err2, nit2, hist2 = nr_trip_lanes(
-                Y, lineY, S, dev, inj_db, Vm0, Va0, settings, consts,
+                Y, lineY, S_k, dev_k, inj_k, Vm0, Va0, settings, consts,
                 thresh_r, vc=_vc)
-            redo = ~conv
-            V_m = jnp.where(redo[None, None, :], Vm2, V_m)
-            V_a = jnp.where(redo[None, None, :], Va2, V_a)
-            err = jnp.where(redo, err2, err)
-            n_iter = n_iter + jnp.where(redo, nit2, 0)
-            hist = jnp.where(redo[None, :], hist2, hist)
-            conv = conv | (redo & (err2 <= thresh_r))
-            return V_m, V_a, err, n_iter, hist, conv
+            redo = ~convk
+            V_mk = jnp.where(redo[None, None, :], Vm2, V_mk)
+            V_ak = jnp.where(redo[None, None, :], Va2, V_ak)
+            errk = jnp.where(redo, err2, errk)
+            nitk = nitk + jnp.where(redo, nit2, 0)
+            histk = jnp.where(redo[None, :], hist2, histk)
+            convk = convk | (redo & (err2 <= thresh_r))
+            return V_mk, V_ak, errk, nitk, histk, convk
 
-        finite = (jnp.isfinite(V_m).all(axis=(0, 1))
-                  & jnp.isfinite(V_a).all(axis=(0, 1)))
-        use_self = (finite | conv)[None, None, :]
-        state = (V_m, V_a, err, n_iter, hist, conv)
-        state = rescue_pass(*state, jnp.where(use_self, V_m, coldVm),
-                            jnp.where(use_self, V_a, coldVa))
+        Vmk, Vak = g(V_m), g(V_a)
+        finite = (jnp.isfinite(Vmk).all(axis=(0, 1))
+                  & jnp.isfinite(Vak).all(axis=(0, 1)))
+        use_self = (finite | conv[bad])[None, None, :]
+        state = (Vmk, Vak, err[bad], n_iter[bad], g(hist), conv[bad])
+        state = rescue_pass(*state, jnp.where(use_self, Vmk, coldVm),
+                            jnp.where(use_self, Vak, coldVa))
         state = rescue_pass(*state, coldVm, coldVa)
-        V_m, V_a, err, n_iter, hist, conv = state
+        Vmk, Vak, errk, nitk, histk, convk = state
+
+        # scatter the rescued stragglers back (slots that held converged
+        # padding write their unchanged gathered values — harmless even
+        # with duplicate indices)
+        sc = lambda full, kk, mask: full.at[..., bad].set(
+            jnp.where(mask, kk, jnp.take(full, bad, axis=-1)))
+        V_m = sc(V_m, Vmk, was_bad[None, None, :])
+        V_a = sc(V_a, Vak, was_bad[None, None, :])
+        err = sc(err, errk, was_bad)
+        n_iter = sc(n_iter, nitk, was_bad)
+        hist = sc(hist, histk, was_bad[None, :])
+        conv = sc(conv, convk, was_bad)
 
     V_m, V_a = cleanup_voltages(V_m, V_a)
     return HPFResult(
