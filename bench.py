@@ -66,6 +66,13 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import hpfx  # noqa: E402
+from hpfx.utils.cache import enable_persistent_cache  # noqa: E402
+
+# persistent executable cache: warm runs skip the 20-200 s first
+# compiles, keeping the whole run well inside the watchdog budget
+# (validation/precompile.py primes it compile-only; HPFX_CACHE_DIR=""
+# disables)
+enable_persistent_cache()
 from hpfx.solve import Scenarios, hpf_sweep_adaptive  # noqa: E402
 
 DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),

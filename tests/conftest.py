@@ -28,6 +28,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 import hpfx  # noqa: E402
+from hpfx.utils.cache import enable_persistent_cache  # noqa: E402
+
+# persistent executable cache: repeat suite runs skip the multi-second
+# sweep compiles (and fewer live compiles means less exposure to the
+# sporadic concurrent-load XLA:CPU compiler segfaults, CLAUDE.md #21)
+enable_persistent_cache()
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDENS = os.path.join(REPO, "validation", "goldens")

@@ -33,6 +33,9 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 import hpfx  # noqa: E402
+from hpfx.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # compile-once across processes
 from hpfx.lanes import hpf_sweep_continuation_lanes  # noqa: E402
 from hpfx.solve import (Scenarios, hpf_sweep_adaptive,  # noqa: E402
                         hpf_sweep_continuation)

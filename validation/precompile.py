@@ -1,0 +1,125 @@
+"""Compile-only priming of the persistent executable cache.
+
+Lowers + AOT-compiles the exact jit programs bench.py and
+validation/bench_continuation.py execute (phase-1 sweeps, common
+phase-2 straggler buckets, device-side continuation programs) WITHOUT
+running any of them, and writes the executables to the persistent cache
+(hpfx.utils.cache).  Safe to run while the TPU runtime is wedged — the
+AOT compile service stays up (CLAUDE.md #4) and all inputs are
+ShapeDtypeStructs, so nothing is dispatched to the device.
+
+Usage:  python validation/precompile.py          (all bench programs)
+        HPFX_PRECOMPILE_ONLY=net2 ...            (substring filter)
+"""
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import hpfx
+from hpfx.utils.cache import enable_persistent_cache
+
+print("cache dir:", enable_persistent_cache(), flush=True)
+
+from hpfx.lanes import hpf_sweep_continuation_lanes  # noqa: E402
+from hpfx.solve import Scenarios, hpf_sweep  # noqa: E402
+
+DATA = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "hpfx", "data")
+ONLY = os.environ.get("HPFX_PRECOMPILE_ONLY", "")
+
+
+def sds(tree):
+    """Concrete pytree -> ShapeDtypeStructs (no device involvement)."""
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        tree)
+
+
+def scen_struct(batch):
+    x = jax.ShapeDtypeStruct((batch,), jnp.float32)
+    return Scenarios(p_scale=x, q_scale=x, injection_scale=x)
+
+
+def setup(net_name, h_max, solver, big_solve="panel"):
+    s = hpfx.settings_for_hmax(h_max, coupled=True).with_(
+        solver=solver, stable_mismatch=True, big_solve=big_solve)
+    if net_name.startswith("synth"):
+        from hpfx.generators import synthetic_feeder
+        n, n_nl = (int(t) for t in net_name.split("_")[1:])
+        net = synthetic_feeder(n, n_nl, s, components=("SMPS",), seed=1)
+    else:
+        net = hpfx.load_network(
+            os.path.join(DATA, f"{net_name}_buses.csv"),
+            os.path.join(DATA, f"{net_name}_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+    return s, sds(net), sds(dev)
+
+
+def compile_one(tag, fn, *args, **kw):
+    if ONLY and ONLY not in tag:
+        return
+    t0 = time.perf_counter()
+    try:
+        fn.lower(*args, **kw).compile()
+        print(f"  {tag}: compiled in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    except Exception as e:  # keep priming the rest
+        print(f"  {tag}: FAILED ({type(e).__name__}: {e})", flush=True)
+
+
+def prime_config(net_name, h_max, solver, batch, phase2_solver,
+                 phase_iters=24, p2_buckets=()):
+    s, net, dev = setup(net_name, h_max, solver)
+    s1 = s.with_(max_iter_h=min(phase_iters, s.max_iter_h))
+    tag = f"{net_name}_h{h_max}_B{batch}"
+    compile_one(f"{tag} phase1[{solver}]", hpf_sweep,
+                net, dev, s1, scen_struct(batch))
+    # phase-2 straggler re-solves: warm-started (V0 present), bucketed to
+    # powers of two (hpf_sweep_adaptive buckets data-dependent straggler
+    # counts so these shapes are the only ones that occur)
+    s2 = s.with_(solver=phase2_solver,
+                 max_iter_h=s.max_iter_h - s1.max_iter_h)
+    H, n = s.n_harmonics, net.bus_P.shape[0]
+    for b in p2_buckets:
+        v = jax.ShapeDtypeStruct((b, H, n), jnp.float32)
+        compile_one(f"{tag} phase2[{phase2_solver}] bucket{b}", hpf_sweep,
+                    net, dev, s2, scen_struct(b), V0=(v, v))
+    return s, net, dev
+
+
+def prime_contdev(net_name, h_max, solver, batch, stages):
+    s, net, dev = setup(net_name, h_max, solver)
+    for st in stages:
+        f = jax.jit(partial(hpf_sweep_continuation_lanes,
+                            settings=s, n_stages=st))
+        compile_one(f"{net_name}_h{h_max}_B{batch} contdev{st}", f,
+                    net, dev, scenarios=scen_struct(batch))
+
+
+def main():
+    t0 = time.perf_counter()
+    print(f"backend: {jax.default_backend()}", flush=True)
+    # bench.py stage programs (HPFX_BENCH_* defaults)
+    prime_config("net2", 25, "arrow", 4096, "dense",
+                 p2_buckets=(32, 64, 128, 256))
+    prime_config("net1", 25, "arrow", 512, "arrow",
+                 p2_buckets=(16, 32, 64))
+    prime_config("net1", 51, "arrow", 128, "arrow", phase_iters=30,
+                 p2_buckets=(8, 16, 32))
+    prime_config("synth_64_7", 25, "arrow", 256, "arrow", phase_iters=30,
+                 p2_buckets=(16, 32))
+    # device-side continuation A/B programs (bench_continuation.py)
+    prime_contdev("net2", 25, "arrow", 4096, (8, 16))
+    prime_contdev("net1", 25, "arrow", 512, (8, 16))
+    print(f"total {time.perf_counter()-t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
