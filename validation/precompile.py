@@ -103,9 +103,45 @@ def prime_contdev(net_name, h_max, solver, batch, stages):
                     net, dev, scenarios=scen_struct(batch))
 
 
+def prime_n128_execute():
+    """Pay the n=128 first-dispatch window once (NO watchdog — it can
+    take ~14 min on a cold cache; killing it mid-flight wedges the
+    runtime, BENCH_NOTES round-3 wedge reconstruction) and write the
+    marker that un-gates bench.py's synthetic_n128 stage."""
+    import numpy as np
+
+    from hpfx.generators import synthetic_feeder
+    from hpfx.solve import hpf_sweep_adaptive
+    s = hpfx.settings_for_hmax(25, coupled=True).with_(
+        solver="arrow", stable_mismatch=True, big_solve="panel")
+    net = synthetic_feeder(128, 30, s, components=("SMPS",), seed=1)
+    dev = hpfx.load_device_set(net, s)
+    B = 128
+    scen = Scenarios(
+        p_scale=jnp.asarray(np.linspace(0.95, 1.05, B), jnp.float32),
+        q_scale=jnp.asarray(np.linspace(0.95, 1.05, B), jnp.float32),
+        injection_scale=jnp.asarray(np.linspace(0.8, 1.1, B), jnp.float32))
+    t0 = time.perf_counter()
+    print("priming n=128 first dispatch (up to ~15 min, do not kill)...",
+          flush=True)
+    r = hpf_sweep_adaptive(net, dev, s, scen, phase_iters=30,
+                           phase2_settings=s.with_(solver="arrow"))
+    np.asarray(r.V_m)
+    conv = float(np.mean(np.asarray(r.converged)))
+    print(f"  n128 primed in {time.perf_counter()-t0:.0f}s "
+          f"(conv {conv:.3f})", flush=True)
+    from hpfx.utils.cache import DEFAULT_DIR
+    marker_dir = os.environ.get("HPFX_CACHE_DIR") or DEFAULT_DIR
+    with open(os.path.join(marker_dir, "n128_primed"), "w") as f:
+        f.write(time.strftime("%Y-%m-%dT%H:%M:%S\n"))
+
+
 def main():
     t0 = time.perf_counter()
     print(f"backend: {jax.default_backend()}", flush=True)
+    if "--execute-n128" in sys.argv:
+        prime_n128_execute()
+        return
     # bench.py stage programs (HPFX_BENCH_* defaults)
     prime_config("net2", 25, "arrow", 4096, "dense",
                  p2_buckets=(32, 64, 128, 256))
