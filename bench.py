@@ -23,7 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = int(os.environ.get("HPFX_BENCH_BATCH", "4096"))
+# default batch: measured saturation point of the dispatch-bound net2
+# sweep on one v5e chip (round-3 interleaved A/B: 4096 -> 12-16k/s,
+# 16384 -> 20-22k/s, 32768/65536 flat at ~20-21k/s — BENCH_NOTES)
+BATCH = int(os.environ.get("HPFX_BENCH_BATCH", "16384"))
 BATCH_NET1 = int(os.environ.get("HPFX_BENCH_BATCH_NET1", "512"))
 REPEATS = int(os.environ.get("HPFX_BENCH_REPEATS", "5"))
 TIMEOUT_S = int(os.environ.get("HPFX_BENCH_TIMEOUT", "1500"))

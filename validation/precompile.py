@@ -143,8 +143,8 @@ def main():
         prime_n128_execute()
         return
     # bench.py stage programs (HPFX_BENCH_* defaults)
-    prime_config("net2", 25, "arrow", 4096, "dense",
-                 p2_buckets=(32, 64, 128, 256))
+    prime_config("net2", 25, "arrow", 16384, "dense",
+                 p2_buckets=(32, 64, 128, 256, 512))
     prime_config("net1", 25, "arrow", 512, "arrow",
                  p2_buckets=(16, 32, 64))
     prime_config("net1", 51, "arrow", 128, "arrow", phase_iters=30,
@@ -153,6 +153,8 @@ def main():
                  p2_buckets=(16, 32))
     # device-side continuation A/B programs (bench_continuation.py)
     prime_contdev("net2", 25, "arrow", 4096, (8, 16))
+    prime_config("synth_128_30", 25, "arrow", 128, "arrow", phase_iters=30,
+                 p2_buckets=(16, 32))
     prime_contdev("net1", 25, "arrow", 512, (8, 16))
     print(f"total {time.perf_counter()-t0:.0f}s", flush=True)
 
