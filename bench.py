@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # sweep on one v5e chip (round-3 interleaved A/B: 4096 -> 12-16k/s,
 # 16384 -> 20-22k/s, 32768/65536 flat at ~20-21k/s — BENCH_NOTES)
 BATCH = int(os.environ.get("HPFX_BENCH_BATCH", "16384"))
-BATCH_NET1 = int(os.environ.get("HPFX_BENCH_BATCH_NET1", "512"))
+# net1 saturates ~1150/s at B=2048 (A/B: 512->0.6-1.0k, 1024->1.0-1.15k,
+# 2048->1.14-1.16k; BENCH_NOTES round 3)
+BATCH_NET1 = int(os.environ.get("HPFX_BENCH_BATCH_NET1", "2048"))
 REPEATS = int(os.environ.get("HPFX_BENCH_REPEATS", "5"))
 TIMEOUT_S = int(os.environ.get("HPFX_BENCH_TIMEOUT", "1500"))
 SOLVER_NET2 = os.environ.get("HPFX_BENCH_SOLVER_NET2", "arrow")
@@ -236,7 +238,8 @@ def main():
     remaining = signal.alarm(0)
     if not SKIP_NET1 and remaining > 600:
         signal.alarm(remaining)
-        h51 = bench_config("net1", 51, SOLVER_NET1, 128, 2,
+        # B=256: 253-264/s vs 184-195/s at B=128 (round-3 A/B)
+        h51 = bench_config("net1", 51, SOLVER_NET1, 256, 2,
                            phase2_solver="arrow", phase_iters=30)
         extras.update({
             "net1_h51_solves_per_sec": round(h51["converged"], 1),
