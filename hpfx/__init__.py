@@ -32,7 +32,8 @@ from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
 from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
-from .sensitivity import (ScenarioParams, Sensitivity, injection_sensitivity,
+from .sensitivity import (LineParams, ScenarioParams, Sensitivity,
+                          injection_sensitivity, line_sensitivity,
                           mix_sensitivity, scenario_sensitivity)
 from .trajlog import (read_ilog, read_vlog, trajectory_injections,
                       write_ilog, write_vlog)
@@ -62,8 +63,8 @@ __all__ = [
     "synthetic_feeder", "validate_network",
     "write_vlog", "read_vlog", "write_ilog", "read_ilog",
     "trajectory_injections",
-    "Sensitivity", "ScenarioParams", "injection_sensitivity",
-    "scenario_sensitivity", "mix_sensitivity",
+    "Sensitivity", "ScenarioParams", "LineParams", "injection_sensitivity",
+    "scenario_sensitivity", "mix_sensitivity", "line_sensitivity",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
     "ControlledDeviceSet", "ExtendedResult", "hpf_extended",

@@ -27,6 +27,7 @@ sensitivities affordable.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -199,6 +200,96 @@ def mix_sensitivity(
     value, dg = jax.value_and_grad(g_of_x)(x_star)
     return Sensitivity(value=value, grad=(dg @ dx_cols).reshape(w.shape),
                        dx=dx_cols)
+
+
+class LineParams(NamedTuple):
+    """Differentiation point for :func:`line_sensitivity`: the network
+    (line/branch) parameters.  ``z_scale`` is a scalar or (L,) scale applied
+    to both series R and X of each line; ``tau``/``shift_rad`` are the
+    per-line tap ratios and phase shifts (radians) the transformer Ybus
+    extension uses (``ybus.build_ybus``; pi_trafo_pf_test.py:117-145).
+    ``tau``/``shift_rad`` default to the network's own values, so the
+    default LineParams reproduces the network exactly."""
+    z_scale: object = 1.0
+    tau: object = None
+    shift_rad: object = None
+
+
+@highest_precision
+def line_sensitivity(
+    net: Network, devices, settings: Settings,
+    result: HPFResult, line_params: Optional[LineParams] = None,
+    scenario_params: Optional[ScenarioParams] = None,
+    functional: Callable = None,
+) -> Sensitivity:
+    """Gradient of ``functional(V_m, V_a)`` wrt line/branch parameters at a
+    converged solution — per-line series-impedance scaling and transformer
+    tap/phase-shift — via the same implicit-function-theorem machinery as
+    :func:`scenario_sensitivity`, with ∂f/∂θ obtained by forward-mode
+    autodiff *through the Ybus assembly* (``build_ybus`` is pure JAX over
+    the line arrays).  The reference has nothing comparable; the classical
+    use case is tap optimization / network-reinforcement screening.
+
+    ``line_params``: the :class:`LineParams` at which ``result`` was solved
+    (defaults: ``z_scale=1``, ``tau``/``shift_rad`` from ``net`` — i.e. the
+    network as loaded).  ``scenario_params``: the scenario scales of the
+    solve (defaults to all-ones).  Returns ``grad`` as a LineParams pytree
+    with leaves shaped like the (normalized, per-line) inputs.
+    """
+    if functional is None:
+        def functional(V_m, V_a):
+            return jnp.max(get_thd(V_m).THD_F)
+    if line_params is None:
+        line_params = LineParams()
+    if scenario_params is None:
+        scenario_params = ScenarioParams()
+    rd = settings.real_dtype
+    sp = ScenarioParams(*(jnp.asarray(p, rd) for p in scenario_params))
+    lp = LineParams(
+        z_scale=jnp.asarray(line_params.z_scale, rd),
+        tau=jnp.asarray(net.line_tau if line_params.tau is None
+                        else line_params.tau, rd),
+        shift_rad=jnp.asarray(net.line_shift if line_params.shift_rad is None
+                              else line_params.shift_rad, rd))
+
+    H, n, c = settings.n_harmonics, net.n, net.c
+    m = net.m
+    V_m, V_a = result.V_m, result.V_a
+    x_star = harmonic_state_vector(V_m, V_a, c)
+    S = Cx(net.bus_P * sp.p_scale, net.bus_Q * sp.q_scale)
+    dev_t = devices.scale(sp.injection_scale)
+
+    def f(x, p: LineParams):
+        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+        net_p = dataclasses.replace(
+            net,
+            line_R=net.line_R * p.z_scale,
+            line_X=net.line_X * p.z_scale,
+            line_tau=p.tau, line_shift=p.shift_rad)
+        Yp = build_ybus(net_p, settings)
+        return harmonic_mismatch(Vm2, Va2, Yp, S, dev_t, m, n, c)[0]
+
+    df = jax.jacfwd(lambda p: f(x_star, p))(lp)
+    dim = x_star.shape[0]
+    cols = jnp.concatenate(
+        [leaf.reshape(dim, -1) for leaf in df], axis=1)    # (dim, P)
+
+    # J at the solved point: the default lp reproduces net's Ybus exactly
+    Y = build_ybus(net, settings)
+    dx_cols = -_solve_columns(V_m, V_a, Y, dev_t, net, settings, cols)
+
+    def g_of_x(x):
+        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+        return functional(Vm2, Va2)
+
+    value, dg = jax.value_and_grad(g_of_x)(x_star)
+    grad_flat = dg @ dx_cols                               # (P,)
+    out, off = [], 0
+    for leaf in lp:
+        k = max(1, leaf.size)
+        out.append(grad_flat[off:off + k].reshape(leaf.shape))
+        off += k
+    return Sensitivity(value=value, grad=LineParams(*out), dx=dx_cols)
 
 
 @highest_precision

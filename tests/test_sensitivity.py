@@ -174,3 +174,81 @@ def test_mix_sensitivity_matches_fd():
         fd = (thd(solve(wp)) - thd(solve(wm))) / (2 * eps)
         np.testing.assert_allclose(float(sens.grad[d, t]), fd,
                                    rtol=2e-3, atol=1e-8)
+
+
+def test_line_sensitivity_matches_fd():
+    """d(maxTHD)/d(line params) via IFT-through-build_ybus vs central finite
+    differences through full re-solves: per-line series-impedance scale,
+    transformer tap, and phase shift."""
+    from hpfx.sensitivity import LineParams, line_sensitivity
+
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    res = hpfx.hpf(net, dev, s)
+    assert bool(res.converged)
+    L = net.n_lines
+    sens = line_sensitivity(
+        net, dev, s, res, line_params=LineParams(z_scale=jnp.ones(L)))
+    assert sens.grad.z_scale.shape == (L,)
+    assert sens.grad.tau.shape == (L,)
+    assert sens.grad.shift_rad.shape == (L,)
+
+    def thd(r):
+        return float(np.max(np.asarray(hpfx.get_thd(r.V_m).THD_F)))
+
+    def solve_net(**line_fields):
+        return hpfx.hpf(dataclasses.replace(net, **line_fields), dev, s)
+
+    eps = 1e-6
+    # per-line impedance scale on two lines
+    for k in (0, L - 1):
+        grads = []
+        for sgn in (+1.0, -1.0):
+            z = np.ones(L)
+            z[k] += sgn * eps
+            z = jnp.asarray(z, net.line_R.dtype)
+            grads.append(thd(solve_net(line_R=net.line_R * z,
+                                       line_X=net.line_X * z)))
+        fd = (grads[0] - grads[1]) / (2 * eps)
+        np.testing.assert_allclose(float(sens.grad.z_scale[k]), fd,
+                                   rtol=2e-3, atol=1e-9)
+
+    # transformer tap on line 1 (tau=1 in the base net)
+    k = 1
+    tau_hi = np.asarray(net.line_tau, float).copy()
+    tau_lo = tau_hi.copy()
+    tau_hi[k] += eps
+    tau_lo[k] -= eps
+    fd = (thd(solve_net(line_tau=jnp.asarray(tau_hi))) -
+          thd(solve_net(line_tau=jnp.asarray(tau_lo)))) / (2 * eps)
+    np.testing.assert_allclose(float(sens.grad.tau[k]), fd,
+                               rtol=2e-3, atol=1e-9)
+
+    # phase shift on line 0 (0 rad in the base net)
+    k = 0
+    sh_hi = np.asarray(net.line_shift, float).copy()
+    sh_lo = sh_hi.copy()
+    sh_hi[k] += eps
+    sh_lo[k] -= eps
+    fd = (thd(solve_net(line_shift=jnp.asarray(sh_hi))) -
+          thd(solve_net(line_shift=jnp.asarray(sh_lo)))) / (2 * eps)
+    np.testing.assert_allclose(float(sens.grad.shift_rad[k]), fd,
+                               rtol=2e-3, atol=1e-9)
+
+
+def test_line_sensitivity_arrow_matches_dense():
+    """The arrow-solver column path gives the same line gradients as the
+    dense-LU path (the solver only changes the linear solve)."""
+    from hpfx.sensitivity import LineParams, line_sensitivity
+
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    res = hpfx.hpf(net, dev, s)
+    lp = LineParams(z_scale=jnp.ones(net.n_lines))
+    dense = line_sensitivity(net, dev, s, res, line_params=lp)
+    s_arrow = s.with_(solver="arrow")
+    res_a = hpfx.hpf(net, dev, s_arrow)
+    arrow = line_sensitivity(net, dev, s_arrow, res_a, line_params=lp)
+    for g_d, g_a in zip(dense.grad, arrow.grad):
+        np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_d),
+                                   rtol=1e-6, atol=1e-12)
