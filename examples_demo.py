@@ -146,6 +146,14 @@ def main():
           f"|V1|={float(res_t.V_m[0, 1]):.4f} "
           f"ang={np.degrees(float(res_t.V_a[0, 1])):.1f}deg")
 
+    # -- 9. line-parameter sensitivities on the trafo feeder --------------
+    lsens = hpfx.line_sensitivity(
+        net_t, dev_t, st, res_t,
+        line_params=hpfx.LineParams(z_scale=jnp.ones(net_t.n_lines)))
+    print(f"[9] d(maxTHD)/d(trafo tap)={float(lsens.grad.tau[0]):+.4f}, "
+          f"d/d(line-1 |Z| scale)={float(lsens.grad.z_scale[1]):+.4f} "
+          f"(THD={float(lsens.value):.4f})")
+
 
 if __name__ == "__main__":
     main()
