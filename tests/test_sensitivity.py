@@ -252,3 +252,39 @@ def test_line_sensitivity_arrow_matches_dense():
     for g_d, g_a in zip(dense.grad, arrow.grad):
         np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_d),
                                    rtol=1e-6, atol=1e-12)
+
+
+def test_tap_descent_reduces_thd():
+    """The tap-optimization use case line_sensitivity exists for: a few
+    gradient-descent steps on the transformer tap ratio, re-solving at each
+    step, must monotonically reduce worst-bus THD (the demo feeder, where
+    d(maxTHD)/d(tau) is nonzero)."""
+    from hpfx.network import NONLINEAR, PQ, SLACK
+    from hpfx.sensitivity import LineParams, line_sensitivity
+
+    s = hpfx.settings_for_hmax(9, coupled=True)
+    tau0 = 1.05
+
+    def solve_at(tau):
+        net = hpfx.network_from_arrays(
+            bus_types=(SLACK, PQ, NONLINEAR),
+            components=("generator", "lin_load", "SMPS"),
+            P=[0, 100, 250], Q=[0, 50, 100], X_sh=[0.005, 0, 0],
+            line_from=[0, 1], line_to=[1, 2],
+            R=[0.5, 1.0], X=[2.0, 4.0],
+            tau=[tau, 1.0], phase_shift=[30.0, 0.0],
+            settings=s, per_unit=False)
+        dev = hpfx.load_device_set(net, s)
+        res = hpfx.hpf(net, dev, s)
+        assert bool(res.converged)
+        return net, dev, res
+
+    thds, tau = [], tau0
+    for _ in range(4):
+        net, dev, res = solve_at(tau)
+        sens = line_sensitivity(net, dev, s, res)
+        thds.append(float(sens.value))
+        tau -= 0.02 * float(jnp.sign(sens.grad.tau[0]))
+    assert all(b < a for a, b in zip(thds, thds[1:])), thds
+    # a real reduction, not fp noise
+    assert thds[-1] < thds[0] - 1e-3
