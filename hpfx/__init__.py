@@ -34,7 +34,8 @@ from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
 from .sensitivity import (LineParams, ScenarioParams, Sensitivity,
                           injection_sensitivity, line_sensitivity,
-                          mix_sensitivity, scenario_sensitivity)
+                          mix_sensitivity, scenario_sensitivity,
+                          sweep_sensitivity)
 from .trajlog import (read_ilog, read_vlog, trajectory_injections,
                       write_ilog, write_vlog)
 from .ybus import build_ybus
@@ -65,6 +66,7 @@ __all__ = [
     "trajectory_injections",
     "Sensitivity", "ScenarioParams", "LineParams", "injection_sensitivity",
     "scenario_sensitivity", "mix_sensitivity", "line_sensitivity",
+    "sweep_sensitivity",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
     "ControlledDeviceSet", "ExtendedResult", "hpf_extended",

@@ -202,6 +202,83 @@ def mix_sensitivity(
                        dx=dx_cols)
 
 
+@highest_precision
+def sweep_sensitivity(
+    net: Network, devices, settings: Settings,
+    sweep_result, scenarios,
+    functional: Callable = None,
+) -> Sensitivity:
+    """Per-scenario gradients for a whole sweep in ONE vmapped program:
+    the batched counterpart of :func:`scenario_sensitivity`, giving every
+    scenario of a :func:`hpfx.solve.hpf_sweep` its own (p, q, injection)
+    gradient of ``functional`` — the "distortion headroom per knob"
+    surface of a hosting-capacity Monte-Carlo.  The reference has no
+    derivative capability at all; here the whole (B,)-batch of implicit
+    -function-theorem solves shares one traced program (TPU-friendly: the
+    arrow column solves batch through the same custom-vmap path the sweep
+    itself uses).
+
+    ``sweep_result``: the batched result of ``hpf_sweep`` (leaves with
+    leading B).  ``scenarios``: the :class:`hpfx.solve.Scenarios` the sweep
+    ran (``device_mix`` is carried through the blend but not differentiated
+    — use :func:`mix_sensitivity` for mix-weight gradients).  Gradients at
+    non-converged scenarios are meaningless; mask with
+    ``sweep_result.converged``.  Returns value (B,), grad ScenarioParams
+    with leading B, dx (B, dim, P).
+    """
+    if functional is None:
+        def functional(V_m, V_a):
+            return jnp.max(get_thd(V_m).THD_F)
+    rd = settings.real_dtype
+    B = scenarios.batch
+    ones = jnp.ones((B,), rd)
+    p = jnp.asarray(scenarios.p_scale, rd)
+    q = (ones if scenarios.q_scale is None
+         else jnp.asarray(scenarios.q_scale, rd))
+    inj = (ones if scenarios.injection_scale is None
+           else jnp.asarray(scenarios.injection_scale, rd))
+    mix = scenarios.device_mix
+    H, n, c, m = settings.n_harmonics, net.n, net.c, net.m
+    Y = build_ybus(net, settings)
+
+    def one(V_m, V_a, p_s, q_s, i_s, w):
+        base = devices.mixed(w) if w is not None else devices
+        params = ScenarioParams(p_s, q_s, i_s)
+        x_star = harmonic_state_vector(V_m, V_a, c)
+
+        def f(x, pr: ScenarioParams):
+            Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+            S = Cx(net.bus_P * pr.p_scale, net.bus_Q * pr.q_scale)
+            return harmonic_mismatch(Vm2, Va2, Y, S,
+                                     base.scale(pr.injection_scale),
+                                     m, n, c)[0]
+
+        df = jax.jacfwd(lambda pr: f(x_star, pr))(params)
+        dim = x_star.shape[0]
+        cols = jnp.concatenate(
+            [leaf.reshape(dim, -1) for leaf in df], axis=1)
+        dx_cols = -_solve_columns(V_m, V_a, Y, base.scale(i_s), net,
+                                  settings, cols)
+
+        def g_of_x(x):
+            Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+            return functional(Vm2, Va2)
+
+        value, dg = jax.value_and_grad(g_of_x)(x_star)
+        grad_flat = dg @ dx_cols
+        out, off = [], 0
+        for leaf in params:
+            k = max(1, leaf.size)
+            out.append(grad_flat[off:off + k].reshape(leaf.shape))
+            off += k
+        return value, ScenarioParams(*out), dx_cols
+
+    in_axes = (0, 0, 0, 0, 0, None if mix is None else 0)
+    value, grad, dx = jax.vmap(one, in_axes=in_axes)(
+        sweep_result.V_m, sweep_result.V_a, p, q, inj, mix)
+    return Sensitivity(value=value, grad=grad, dx=dx)
+
+
 class LineParams(NamedTuple):
     """Differentiation point for :func:`line_sensitivity`: the network
     (line/branch) parameters.  ``z_scale`` is a scalar or (L,) scale applied

@@ -288,3 +288,87 @@ def test_tap_descent_reduces_thd():
     assert all(b < a for a, b in zip(thds, thds[1:])), thds
     # a real reduction, not fp noise
     assert thds[-1] < thds[0] - 1e-3
+
+
+def test_sweep_sensitivity_matches_per_scenario_loop():
+    """The vmapped batch gradients equal a Python loop of per-scenario
+    scenario_sensitivity calls, on both the dense and arrow solvers."""
+    from hpfx.sensitivity import sweep_sensitivity
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    B = 4
+    rng = np.random.default_rng(7)
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.9, 1.1, B), s.real_dtype),
+        q_scale=jnp.asarray(rng.uniform(0.9, 1.1, B), s.real_dtype),
+        injection_scale=jnp.asarray(rng.uniform(0.5, 1.2, B), s.real_dtype))
+
+    for s_v in (s, s.with_(solver="arrow")):
+        res = hpf_sweep(net, dev, settings=s_v, scenarios=scen)
+        assert bool(jnp.all(res.converged))
+        sens = sweep_sensitivity(net, dev, s_v, res, scen)
+        assert sens.value.shape == (B,)
+        assert sens.grad.p_scale.shape == (B,)
+        for b in range(B):
+            one = hpfx.HPFResult(
+                V_m=res.V_m[b], V_a=res.V_a[b], err=res.err[b],
+                n_iter=res.n_iter[b], err_hist=res.err_hist[b],
+                converged=res.converged[b])
+            ref = scenario_sensitivity(
+                net, dev.scale(scen.injection_scale[b]), s_v, one,
+                params=ScenarioParams(scen.p_scale[b], scen.q_scale[b], 1.0))
+            np.testing.assert_allclose(float(sens.value[b]),
+                                       float(ref.value), rtol=1e-10)
+            np.testing.assert_allclose(float(sens.grad.p_scale[b]),
+                                       float(ref.grad.p_scale), rtol=1e-8)
+            np.testing.assert_allclose(float(sens.grad.q_scale[b]),
+                                       float(ref.grad.q_scale), rtol=1e-8)
+            # chain rule: the loop solved at inj pre-scaled into the device
+            # set, so d/d(theta) there = inj_b * d/d(inj_b) here
+            np.testing.assert_allclose(
+                float(sens.grad.injection_scale[b])
+                * float(scen.injection_scale[b]),
+                float(ref.grad.injection_scale), rtol=1e-8)
+
+
+def test_sweep_sensitivity_with_device_mix():
+    """Batched gradients through a device-mix sweep (mix carried through
+    the blend, p/q/inj differentiated) match finite differences."""
+    from conftest import DATA
+    from hpfx.sensitivity import sweep_sensitivity
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    s = hpfx.settings_for_hmax(9, coupled=True)
+    net = hpfx.load_network(f"{DATA}/net4_buses.csv",
+                            f"{DATA}/net4_lines.csv", s)
+    lib = hpfx.load_device_library(("SMPS", "ev_1", "ev_4"), s)
+    rng = np.random.default_rng(3)
+    B = 3
+    w = rng.uniform(0.2, 1.0, (B, net.n_nonlinear, lib.n_types))
+
+    def scen_at(p):
+        return Scenarios(p_scale=jnp.asarray(p, s.real_dtype),
+                         q_scale=jnp.ones(B, s.real_dtype),
+                         injection_scale=jnp.ones(B, s.real_dtype),
+                         device_mix=jnp.asarray(w, s.real_dtype))
+
+    p0 = rng.uniform(0.95, 1.05, B)
+    res = hpf_sweep(net, lib, settings=s, scenarios=scen_at(p0))
+    assert bool(jnp.all(res.converged))
+    sens = sweep_sensitivity(net, lib, s, res, scen_at(p0))
+
+    def thd_b(r, b):
+        return float(np.max(np.asarray(hpfx.get_thd(r.V_m[b]).THD_F)))
+
+    eps = 1e-5
+    for b in range(B):
+        e = np.zeros(B)
+        e[b] = eps
+        fd = (thd_b(hpf_sweep(net, lib, settings=s,
+                              scenarios=scen_at(p0 + e)), b)
+              - thd_b(hpf_sweep(net, lib, settings=s,
+                                scenarios=scen_at(p0 - e)), b)) / (2 * eps)
+        np.testing.assert_allclose(float(sens.grad.p_scale[b]), fd,
+                                   rtol=2e-3, atol=1e-9)
