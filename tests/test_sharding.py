@@ -250,3 +250,31 @@ def test_continuation_sharded_matches_unsharded():
         np.testing.assert_array_equal(np.asarray(out.converged), conv_ref)
         np.testing.assert_allclose(np.asarray(out.V_m),
                                    np.asarray(ref.V_m), atol=5e-5)
+
+
+def test_sharded_sweep_sensitivity_matches_unsharded():
+    """sweep_sensitivity jitted over scenario-sharded inputs (GSPMD mesh)
+    equals the unsharded computation — batched IFT gradients ride the same
+    scenario-parallel axis as the sweep itself."""
+    import hpfx
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hpfx.parallel.mesh import SCENARIO_AXIS
+
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    scen = _scen(16)
+    mesh = scenario_mesh(8)
+    res = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    ref = hpfx.sweep_sensitivity(net, dev, s, res, scen)
+
+    spec = NamedSharding(mesh, P(SCENARIO_AXIS))
+    scen_sh = shard_scenarios(scen, mesh)
+    res_sh = jax.tree.map(lambda x: jax.device_put(x, spec), res)
+    out = jax.jit(
+        lambda r, sc: hpfx.sweep_sensitivity(net, dev, s, r, sc))(
+        res_sh, scen_sh)
+    np.testing.assert_allclose(np.asarray(out.value),
+                               np.asarray(ref.value), atol=1e-12)
+    for g_sh, g in zip(out.grad, ref.grad):
+        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g),
+                                   atol=1e-12)
