@@ -66,6 +66,11 @@ def main():
     print(f"[3] sweep B={B}: conv="
           f"{float(jnp.mean(summary.converged.astype(jnp.float32))):.3f}, "
           f"frac THD>0.5: {float(summary.frac_over_limit):.3f}")
+    sweep_res = hpfx.hpf_sweep(net, dev, settings=s, scenarios=scen)
+    ssens = hpfx.sweep_sensitivity(net, dev, s, sweep_res, scen)
+    g = np.asarray(ssens.grad.injection_scale)[np.asarray(sweep_res.converged)]
+    print(f"    per-scenario d(maxTHD)/d(penetration): "
+          f"min={g.min():+.3f} median={np.median(g):+.3f} max={g.max():+.3f}")
 
     # -- 4. sensitivity of worst-bus THD to penetration -------------------
     sens = hpfx.injection_sensitivity(net, dev, s, res)
