@@ -372,3 +372,37 @@ def test_sweep_sensitivity_with_device_mix():
                                 scenarios=scen_at(p0 - e)), b)) / (2 * eps)
         np.testing.assert_allclose(float(sens.grad.p_scale[b]), fd,
                                    rtol=2e-3, atol=1e-9)
+
+
+def test_sweep_sensitivity_per_bus_scales():
+    """(B, n) per-bus p/q arms: the vmapped gradients carry the per-bus
+    shape and match the per-scenario scenario_sensitivity loop."""
+    from hpfx.sensitivity import sweep_sensitivity
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    B, n = 3, net.n
+    rng = np.random.default_rng(9)
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.95, 1.05, (B, n)), s.real_dtype),
+        q_scale=jnp.asarray(rng.uniform(0.95, 1.05, (B, n)), s.real_dtype),
+        injection_scale=jnp.ones(B, s.real_dtype))
+    res = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    assert bool(jnp.all(res.converged))
+    sens = sweep_sensitivity(net, dev, s, res, scen)
+    assert sens.grad.p_scale.shape == (B, n)
+    assert sens.grad.q_scale.shape == (B, n)
+    for b in range(B):
+        one = hpfx.HPFResult(V_m=res.V_m[b], V_a=res.V_a[b], err=res.err[b],
+                             n_iter=res.n_iter[b], err_hist=res.err_hist[b],
+                             converged=res.converged[b])
+        ref = scenario_sensitivity(
+            net, dev, s, one,
+            params=ScenarioParams(scen.p_scale[b], scen.q_scale[b], 1.0))
+        np.testing.assert_allclose(np.asarray(sens.grad.p_scale[b]),
+                                   np.asarray(ref.grad.p_scale), rtol=1e-8,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(sens.grad.q_scale[b]),
+                                   np.asarray(ref.grad.q_scale), rtol=1e-8,
+                                   atol=1e-12)
