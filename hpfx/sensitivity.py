@@ -231,11 +231,12 @@ def sweep_sensitivity(
             return jnp.max(get_thd(V_m).THD_F)
     rd = settings.real_dtype
     B = scenarios.batch
-    ones = jnp.ones((B,), rd)
     p = jnp.asarray(scenarios.p_scale, rd)
-    q = (ones if scenarios.q_scale is None
-         else jnp.asarray(scenarios.q_scale, rd))
-    inj = (ones if scenarios.injection_scale is None
+    # None defaults must mirror hpf_sweep's (solve.py): q follows p,
+    # injections default to one — else gradients are taken at the wrong
+    # operating point
+    q = p if scenarios.q_scale is None else jnp.asarray(scenarios.q_scale, rd)
+    inj = (jnp.ones((B,), rd) if scenarios.injection_scale is None
            else jnp.asarray(scenarios.injection_scale, rd))
     mix = scenarios.device_mix
     H, n, c, m = settings.n_harmonics, net.n, net.c, net.m

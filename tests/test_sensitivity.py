@@ -406,3 +406,32 @@ def test_sweep_sensitivity_per_bus_scales():
         np.testing.assert_allclose(np.asarray(sens.grad.q_scale[b]),
                                    np.asarray(ref.grad.q_scale), rtol=1e-8,
                                    atol=1e-12)
+
+
+def test_sweep_sensitivity_none_defaults_match_sweep():
+    """Scenarios with q_scale=None solve at q==p (solve.py's default);
+    sweep_sensitivity must differentiate at that same operating point."""
+    from hpfx.sensitivity import sweep_sensitivity
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    cfg = ("net2", 5, True)
+    s, net, dev = make_setup(cfg)
+    B = 3
+    p = jnp.asarray(np.linspace(0.95, 1.05, B), s.real_dtype)
+    scen = Scenarios(p_scale=p)                  # q_scale/inj default
+    res = hpf_sweep(net, dev, settings=s, scenarios=scen)
+    assert bool(jnp.all(res.converged))
+    sens = sweep_sensitivity(net, dev, s, res, scen)
+    for b in range(B):
+        one = hpfx.HPFResult(V_m=res.V_m[b], V_a=res.V_a[b], err=res.err[b],
+                             n_iter=res.n_iter[b], err_hist=res.err_hist[b],
+                             converged=res.converged[b])
+        ref = scenario_sensitivity(
+            net, dev, s, one,
+            params=ScenarioParams(p[b], p[b], 1.0))   # q follows p
+        np.testing.assert_allclose(float(sens.value[b]), float(ref.value),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(float(sens.grad.p_scale[b]),
+                                   float(ref.grad.p_scale), rtol=1e-8)
+        np.testing.assert_allclose(float(sens.grad.q_scale[b]),
+                                   float(ref.grad.q_scale), rtol=1e-8)
