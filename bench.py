@@ -307,4 +307,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # an unreachable TPU backend (init raises RuntimeError/
+        # JaxRuntimeError UNAVAILABLE — the wedge #5 outage mode) must
+        # still hand the driver a JSON line, like the watchdog does
+        print(json.dumps(MAIN_RESULT if MAIN_RESULT is not None else {
+            "metric": "batched coupled-NR HPF solves/sec (net2, H<=25) — "
+                      f"benchmark aborted: {type(e).__name__}: {e}",
+            "value": 0.0,
+            "unit": "solves/sec",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(0)
