@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+# Wedge protocol (CLAUDE.md #32): demo scripts must not run on the shared
+# TPU by default — a killed process with enqueued TPU work wedges the
+# runtime for hours.  Force CPU (+x64) unless HPFX_DEMO_TPU=1.
+from hpfx.utils.backend import backend_guard
+
+backend_guard()
 if jax.default_backend() == "cpu":
     jax.config.update("jax_enable_x64", True)
 

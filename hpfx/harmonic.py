@@ -318,8 +318,9 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
     H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
     S = Cx(net.bus_P, net.bus_Q)
 
+    cold_V_m, cold_V_a = init_harmonic_voltages(fund, net, settings)
     if V0 is None:
-        V_m, V_a = init_harmonic_voltages(fund, net, settings)
+        V_m, V_a = cold_V_m, cold_V_a
     else:
         V_m, V_a = V0
 
@@ -332,10 +333,16 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
     V_m, V_a = _vc(V_m, V_a)
     f0, err0 = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c, lineY)
     # floor-aware effective threshold (see mismatch_floor); reduces to the
-    # plain absolute thresh_h in f64 where the floor is ~1e-12
+    # plain absolute thresh_h in f64 where the floor is ~1e-12.  The floor
+    # is evaluated at the COLD flat-start state even for warm starts: a
+    # warm V0 near the solution has ~10x smaller harmonic |V| (hence a
+    # stricter floor), which would hold knife-edge re-solves to a tighter
+    # criterion than the cold solve used (the lanes continuation twin does
+    # the same — see hpfx.lanes.hpf_sweep_continuation_lanes).
     thresh_eff = jnp.maximum(
         jnp.asarray(settings.thresh_h, settings.real_dtype),
-        settings.floor_kappa * mismatch_floor(V_m, Y, devices, m, settings))
+        settings.floor_kappa
+        * mismatch_floor(cold_V_m, Y, devices, m, settings))
     x0 = harmonic_state_vector(V_m, V_a, c)
     hist0 = jnp.full((settings.max_iter_h,), jnp.nan, settings.real_dtype)
     traj0 = None

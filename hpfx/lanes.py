@@ -684,8 +684,9 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
 
     fund = solve_fundamental_lanes(Y[0], S, net, settings, B, lineY_f)
 
+    cold_V_m = jnp.full((H, n, B), settings.v_init_h, rd).at[0].set(fund.V_m)
     if V0 is None:
-        V_m = jnp.full((H, n, B), settings.v_init_h, rd).at[0].set(fund.V_m)
+        V_m = cold_V_m
         V_a = jnp.full((H, n, B), settings.a_init_h, rd).at[0].set(fund.V_a)
     else:
         V_m = jnp.moveaxis(jnp.asarray(V0[0], rd), 0, -1)
@@ -701,10 +702,10 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
 
     consts = _make_arrow_consts(H, n, m, c)
     f0, err0 = mismatch_lanes(V_m, V_a, Y, S, dev, inj_db, m, n, c, lineY)
-    thresh_eff = jnp.maximum(
-        jnp.asarray(settings.thresh_h, rd),
-        settings.floor_kappa *
-        mismatch_floor_lanes(V_m, Y, dev, inj_db, m, settings))
+    # floor evaluated at the COLD state even for warm starts (same rule
+    # and rationale as hpfx.harmonic.solve_harmonic / the continuation
+    # twin's per-chunk threshold below)
+    thresh_eff = _thresh_lanes(cold_V_m, Y, dev, inj_db, m, settings)
     hist0 = jnp.full((settings.max_iter_h, B), jnp.nan, rd)
 
     # ---- fused NR-trip megakernel (hpfx.ops.fused_trip) ----

@@ -383,12 +383,19 @@ def injection_sensitivity(
     ``functional(V_m, V_a) -> scalar`` defaults to the worst-bus THD_F.
     ``theta`` is the injection scale at which ``result`` was solved.
     """
+    params = ScenarioParams(injection_scale=theta)
     sens = scenario_sensitivity(
-        net, devices, settings, result,
-        params=ScenarioParams(injection_scale=theta),
+        net, devices, settings, result, params=params,
         functional=functional)
     grad = sens.grad.injection_scale
-    dx = sens.dx[:, 2:]
+    # dx columns are laid out leaf-by-leaf in ScenarioParams order (the
+    # unflatten loop in scenario_sensitivity); derive the injection-scale
+    # column offset from the leading leaves' sizes rather than assuming
+    # one column each
+    rd = settings.real_dtype
+    off = sum(max(1, jnp.asarray(p, rd).size)
+              for p in (params.p_scale, params.q_scale))
+    dx = sens.dx[:, off:]
     if jnp.ndim(theta) == 0:
         grad = grad.reshape(())
         dx = dx[:, 0]

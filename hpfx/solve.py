@@ -143,10 +143,73 @@ hpf_sweep = partial(jax.jit, static_argnames=("settings",))(
     hpf_sweep_unjitted)
 
 
+def _take_scen(scenarios: Scenarios, idx) -> Scenarios:
+    return Scenarios(*(None if x is None else jnp.asarray(x)[idx]
+                       for x in scenarios))
+
+
+def _rescue_sweep(settings: Settings, scenarios: Scenarios, out: HPFResult,
+                  run) -> HPFResult:
+    """Deterministic straggler rescue shared by the adaptive and
+    continuation sweeps: re-solve scenarios left unconverged with a fresh
+    iteration budget, in two passes —
+
+      1. warm-started from the scenario's OWN final state: round 2
+         measured that this self-warm-start breaks the oscillation/
+         floor-hover stalls of hard scenarios, where a cold repeat just
+         reproduces the stall (BENCH_NOTES; CLAUDE.md #23).  Scenarios
+         whose state went non-finite (true divergence) get the flat start
+         instead — their own state would no-op the re-solve at iter 0;
+      2. cold flat restart for anything STILL stuck — the complementary
+         failure, a stall caused by a bad warm seed (mirrors the second
+         rescue pass of hpfx.lanes.hpf_sweep_continuation_lanes).
+
+    Bucketed to a power of two (padding with duplicates of the first
+    straggler) for call-count-independent shapes, like the adaptive
+    sweep's phase 2.  ``run(sub_scenarios, V0)`` must return an HPFResult
+    with err_hist width == settings.max_iter_h.
+    """
+    import numpy as np
+
+    B = out.V_m.shape[0]
+    rd = settings.real_dtype
+    flat_m = jnp.full(out.V_m.shape[1:], settings.v_init_h, rd) \
+        .at[0].set(settings.v_init_f)
+    flat_a = jnp.full(out.V_a.shape[1:], settings.a_init_h, rd) \
+        .at[0].set(settings.a_init_f)
+    for use_self in (True, False):
+        pend = np.where(~np.asarray(out.converged))[0]
+        if pend.size == 0:
+            return out
+        bucket = min(1 << (int(pend.size) - 1).bit_length(), B)
+        pend_p = np.concatenate(
+            [pend, np.full(bucket - pend.size, pend[0], pend.dtype)])
+        sub = _take_scen(scenarios, pend_p)
+        idx = jnp.asarray(pend_p)
+        if use_self:
+            Vm0, Va0 = out.V_m[idx], out.V_a[idx]
+            finite = (jnp.isfinite(Vm0).all(axis=(1, 2))
+                      & jnp.isfinite(Va0).all(axis=(1, 2)))
+            Vm0 = jnp.where(finite[:, None, None], Vm0, flat_m)
+            Va0 = jnp.where(finite[:, None, None], Va0, flat_a)
+        else:
+            Vm0 = jnp.broadcast_to(flat_m, (bucket,) + flat_m.shape)
+            Va0 = jnp.broadcast_to(flat_a, (bucket,) + flat_a.shape)
+        res_r = run(sub, (Vm0, Va0))
+        out = out._replace(
+            V_m=out.V_m.at[idx].set(res_r.V_m),
+            V_a=out.V_a.at[idx].set(res_r.V_a),
+            err=out.err.at[idx].set(res_r.err),
+            n_iter=out.n_iter.at[idx].set(out.n_iter[idx] + res_r.n_iter),
+            err_hist=out.err_hist.at[idx].set(res_r.err_hist),
+            converged=out.converged.at[idx].set(res_r.converged))
+    return out
+
+
 def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
                        scenarios: Scenarios, phase_iters: int = 16,
                        phase2_settings: Optional[Settings] = None,
-                       V0=None) -> HPFResult:
+                       V0=None, rescue: bool = True) -> HPFResult:
     """Two-phase sweep that avoids straggler lockstep.
 
     The batched while-loop runs every scenario until the *slowest* one
@@ -161,8 +224,17 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
     ``phase2_settings``: optional settings override for the re-solve phase
     (e.g. phase 1 on the fast structured ``solver="arrow"``, stragglers on
     the dense solver, whose f32 Newton steps are sturdier).
+
+    ``rescue`` (default on): scenarios still unconverged after phase 2 —
+    the knife-edge f32 class whose convergence depends on batch
+    composition (CLAUDE.md #24) — get the deterministic two-pass rescue
+    of :func:`_rescue_sweep` (self-warm-start, then cold restart), each
+    with a fresh iteration budget.
     """
     import numpy as np
+
+    def run_r(sub, V0_):
+        return hpf_sweep(net, devices, settings, sub, V0=V0_)
 
     s1 = settings.with_(max_iter_h=min(phase_iters, settings.max_iter_h))
     r1 = hpf_sweep(net, devices, s1, scenarios, V0=V0)
@@ -175,6 +247,8 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
                             r1.err_hist.dtype)
             r1 = r1._replace(err_hist=hist.at[:, : s1.max_iter_h]
                              .set(r1.err_hist))
+        if rescue and pending.size:
+            r1 = _rescue_sweep(settings, scenarios, r1, run_r)
         return r1
 
     # bucket the re-solve batch to the next power of two (padding with
@@ -212,12 +286,9 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
         err_hist=hist,
         converged=r1.converged.at[idx].set(r2.converged),
         fund=r1.fund)
+    if rescue:
+        merged = _rescue_sweep(settings, scenarios, merged, run_r)
     return merged
-
-
-def _take_scen(scenarios: Scenarios, idx) -> Scenarios:
-    return Scenarios(*(None if x is None else jnp.asarray(x)[idx]
-                       for x in scenarios))
 
 
 def hpf_sweep_continuation(net: Network, devices, settings: Settings,
@@ -279,9 +350,12 @@ def hpf_sweep_continuation(net: Network, devices, settings: Settings,
 
     def run(sub, V0):
         if phase_iters is not None:
+            # rescue=False: the continuation does one rescue over the
+            # merged result instead of one per stage
             return hpf_sweep_adaptive(net, devices, settings, sub,
                                       phase_iters=phase_iters, V0=V0,
-                                      phase2_settings=phase2_settings)
+                                      phase2_settings=phase2_settings,
+                                      rescue=False)
         if V0 is not None:
             return hpf_sweep(net, devices, settings, sub, V0=V0)
         return hpf_sweep(net, devices, settings, sub)
@@ -331,40 +405,11 @@ def hpf_sweep_continuation(net: Network, devices, settings: Settings,
     if not rescue:
         return out
 
-    # rescue of scenarios left unconverged after their stage: re-solve
-    # warm-started from their OWN final state — round 2 measured that
-    # this self-warm-start breaks the oscillation/floor-hover stalls of
-    # hard scenarios (the adaptive sweep's phase-2 mechanism), where a
-    # cold repeat just reproduces the stall.  Scenarios whose state went
-    # non-finite (true divergence) get the flat start instead — their own
-    # state would no-op the re-solve at iteration 0.  Bucketed to a power
-    # of two like the adaptive sweep, for call-count-independent shapes.
-    pend = np.where(~np.asarray(out.converged))[0]
-    if pend.size == 0:
-        return out
-    bucket = min(1 << (int(pend.size) - 1).bit_length(), B)
-    pend_p = np.concatenate(
-        [pend, np.full(bucket - pend.size, pend[0], pend.dtype)])
-    sub = _take_scen(scenarios, pend_p)
-    idx = jnp.asarray(pend_p)
-    Vm0, Va0 = out.V_m[idx], out.V_a[idx]
-    finite = (jnp.isfinite(Vm0).all(axis=(1, 2))
-              & jnp.isfinite(Va0).all(axis=(1, 2)))
-    rd = settings.real_dtype
-    flat_m = jnp.full(Vm0.shape[1:], settings.v_init_h, rd) \
-        .at[0].set(settings.v_init_f)
-    flat_a = jnp.full(Va0.shape[1:], settings.a_init_h, rd) \
-        .at[0].set(settings.a_init_f)
-    Vm0 = jnp.where(finite[:, None, None], Vm0, flat_m)
-    Va0 = jnp.where(finite[:, None, None], Va0, flat_a)
-    res_r = run(sub, (Vm0, Va0))
-    return out._replace(
-        V_m=out.V_m.at[idx].set(res_r.V_m),
-        V_a=out.V_a.at[idx].set(res_r.V_a),
-        err=out.err.at[idx].set(res_r.err),
-        n_iter=out.n_iter.at[idx].set(out.n_iter[idx] + res_r.n_iter),
-        err_hist=out.err_hist.at[idx].set(res_r.err_hist),
-        converged=out.converged.at[idx].set(res_r.converged))
+    # deterministic straggler rescue (shared with hpf_sweep_adaptive):
+    # self-warm-start pass then cold-restart pass, see _rescue_sweep.
+    # Stage-level adaptive rescue is disabled inside `run` (the merged
+    # result gets this one rescue instead).
+    return _rescue_sweep(settings, scenarios, out, run)
 
 
 @partial(jax.jit, static_argnames=("settings",))

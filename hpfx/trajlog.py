@@ -73,11 +73,16 @@ def write_vlog(path: str, trajectory, harmonics: Sequence[int],
     if len(harmonics) != H:
         raise ValueError(
             f"harmonics has {len(harmonics)} entries for H={H} trajectory")
+    # clamp to the last valid (non-NaN) row even when an explicit n_iter
+    # overshoots: serializing NaN would emit bare `NaN` tokens (json's
+    # allow_nan default), which strict parsers — including the reference
+    # side's pandas read_json — reject
+    valid = ~np.isnan(traj).any(axis=(1, 2, 3))
+    T_valid = int(np.max(np.nonzero(valid)[0])) + 1 if valid.any() else 0
     if n_iter is None:
-        valid = ~np.isnan(traj).any(axis=(1, 2, 3))
-        T_out = int(np.max(np.nonzero(valid)[0])) + 1 if valid.any() else 0
+        T_out = T_valid
     else:
-        T_out = min(int(n_iter) + 1, T)
+        T_out = min(int(n_iter) + 1, T, T_valid)
     rows = []
     for it in range(T_out):
         for hi, h in enumerate(harmonics):
