@@ -47,7 +47,16 @@ def test_hpf_voltage_parity(config):
         assert not bool(res.converged)
         return
     if config in LOOSE_ITERS:
+        # iteration-count parity is chaotic-transient on this config
+        # (CLAUDE.md #25: even replicating the reference's spsolve moves
+        # the count); the tested invariant backing the loosened bound is
+        # that the CONVERGED STATE is the same fixed point to ~fp noise
+        # (far inside the 1e-8 parity gate below)
         assert abs(int(res.n_iter) - int(g["n_iter_h"])) <= 6
+        np.testing.assert_allclose(np.asarray(res.V_m), g["V_m"],
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(res.V_a), g["V_a"],
+                                   rtol=0, atol=1e-10)
     else:
         assert int(res.n_iter) == int(g["n_iter_h"])
     assert bool(res.converged)
