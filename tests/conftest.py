@@ -39,11 +39,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDENS = os.path.join(REPO, "validation", "goldens")
 DATA = os.path.join(REPO, "hpfx", "data")
 
-# every captured reference configuration: (net, h_max, coupled)
+# every captured reference configuration: (net, h_max, coupled).
+# H=99 is the full depth of the shipped device table (smps_NE.csv carries
+# odd harmonics 1..99); net1_h99 (dim 1998) is captured too but kept out
+# of the every-test matrix — test_harmonic.py::test_net1_h99_parity
+# covers it once.
 ALL_CONFIGS = [
     (net, h, c)
     for net in ("net2", "net3", "net1")
     for h in (5, 25, 51)
+    for c in (False, True)
+] + [
+    (net, 99, c)
+    for net in ("net2", "net3")
     for c in (False, True)
 ]
 # reference itself fails to converge here (50 iters, err ~ 78) — behavioral
@@ -54,6 +62,13 @@ DIVERGED = {("net1", 5, True)}
 # (voltages agree to ~1e-12) but fp-level linear-solver differences shift
 # the iteration count; voltage parity stays gated, counts get a tolerance
 LOOSE_ITERS = {("net1", 51, True)}
+# reference stopped at a SHALLOW residual (err 6.3e-5, just under its
+# 1e-4 threshold) after a wild transient (residuals ~1e2): hpfx's extra
+# contraction steps land at err 1.3e-7 — the same fixed point, but the
+# 1e-8 voltage-parity gate is bounded by the reference's own truncation
+# (|dV| ~ err_ref / |J| ~ 1e-6), not by hpfx; counts drift like
+# LOOSE_ITERS (24 vs 20)
+SHALLOW_STOP = {("net2", 99, True)}
 
 
 def config_id(cfg):

@@ -125,7 +125,10 @@ def mi_to_array(df_col, harmonics, n):
     return out
 
 
-def run_config(ns, net, h_max, coupled):
+def run_config(ns, net, h_max, coupled, save_jacobians=True):
+    """``save_jacobians=False`` drops the dense J0/J_final blocks from the
+    fixture (net1 at H=99 is dim ~2000: two dense f64 matrices would be
+    ~64 MB of committed fixture; the parity tests guard on key presence)."""
     set_harmonics(ns, h_max)
     buses, lines, m, n, c = load_net(ns, net)
     ns.buses, ns.lines, ns.m, ns.n, ns.c = buses, lines, m, n, c
@@ -161,44 +164,56 @@ def run_config(ns, net, h_max, coupled):
         for d in devices])
 
     tag = f"{net}_h{h_max}_{'c' if coupled else 'uc'}"
-    np.savez(
-        os.path.join(OUT_DIR, tag + ".npz"),
+    payload = dict(
         harmonics=np.array(harmonics),
         m=m, n=n, c=c,
         Y=Y_arr,
         V_fund_m=V_fund_m, V_fund_a=V_fund_a, n_iter_f=n_iter_f,
         err_f_t=np.array([err_f_t[k] for k in sorted(err_f_t)]),
         f0=np.asarray(f0, dtype=float), x0=np.asarray(x0, dtype=float),
-        J0=np.asarray(J0.todense(), dtype=float), err_h0=err_h0,
+        err_h0=err_h0,
         V_m=V_m, V_a=V_a, err_h=err_h, n_iter_h=n_iter_h,
-        J_final=np.asarray(J.todense(), dtype=float),
         THD_F=np.asarray(THD.THD_F, dtype=float),
         THD_R=np.asarray(THD.THD_R, dtype=float),
         NE_devices=np.array(devices),
         NE_I_N=I_N, NE_Y_N=Y_N,
         coupled=coupled,
     )
+    if save_jacobians:
+        payload["J0"] = np.asarray(J0.todense(), dtype=float)
+        payload["J_final"] = np.asarray(J.todense(), dtype=float)
+    np.savez(os.path.join(OUT_DIR, tag + ".npz"), **payload)
     print(f"[golden] {tag}: n_iter_f={n_iter_f} n_iter_h={n_iter_h} "
           f"err_h={err_h:.3e} THD_F={np.asarray(THD.THD_F)}")
 
 
-def main():
+def main(argv=None):
+    """Regenerate fixtures.  With no args: the full matrix.  With args:
+    only the named configs, e.g. ``make_goldens.py net2_h99_c net1_h99_uc``.
+    H=99 is the full depth of the shipped device table (smps_NE.csv
+    carries odd harmonics 1..99, to 4950 Hz)."""
     os.makedirs(OUT_DIR, exist_ok=True)
     ns = load_reference_module()
     configs = []
     for net in ("net2", "net3", "net1"):
-        # net1 at H=51 is the dim-1038 scale config: slow (~minutes of
-        # reference pandas/scipy loops) but required — the committed
-        # net1_h51_{c,uc}.npz fixtures must stay reproducible from here
-        for h_max in (5, 25, 51):
+        # net1 at H=51/99 are the dim-1038/1998 scale configs: slow
+        # (minutes of reference pandas/scipy loops) but required — the
+        # committed fixtures must stay reproducible from here
+        for h_max in (5, 25, 51, 99):
             for coupled in (False, True):
                 configs.append((net, h_max, coupled))
+    only = set(argv) if argv else None
     for net, h_max, coupled in configs:
+        tag = f"{net}_h{h_max}_{'c' if coupled else 'uc'}"
+        if only is not None and tag not in only:
+            continue
+        # net1 H=99: dim ~2000 — skip the two ~32 MB dense Jacobian blocks
+        save_j = not (net == "net1" and h_max == 99)
         try:
-            run_config(ns, net, h_max, coupled)
+            run_config(ns, net, h_max, coupled, save_jacobians=save_j)
         except Exception as e:  # record which configs the reference itself fails on
             print(f"[golden] FAILED {net} H={h_max} coupled={coupled}: {e!r}")
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:])
