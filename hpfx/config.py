@@ -85,16 +85,11 @@ class Settings:
     # is supported (arrow solver + stacked Norton devices), vmap otherwise.
     layout: str = "auto"
 
-    # Fused NR-trip megakernel (hpfx.ops.fused_trip): one Pallas program
-    # per Newton iteration (block assembly + simultaneous per-harmonic
-    # Gauss-Jordan + Woodbury + state update + mismatch, VMEM-resident).
-    # "off" (default): the unfused lane-major XLA trip — on THIS backend's
-    # Mosaic the fused kernel miscompiles (wrong results vs its own
-    # interpret mode) and its per-elimination-step overhead is ~30x the
-    # unfused path (see BENCH_NOTES "fused-trip negative result");
-    # "on" = force the compiled kernel on TPU (for re-testing on newer
-    # runtimes); "interpret" = Pallas interpret mode (the tests' oracle).
-    fused_trip: str = "off"
+    # (A former `fused_trip` knob selected a one-Pallas-program-per-
+    # -Newton-iteration megakernel here; it miscompiles on this backend's
+    # Mosaic and measured ~30x slower per elimination step, so the kernel
+    # is quarantined in validation/fused_trip.py with its interpret-mode
+    # oracle tests — see BENCH_NOTES "fused-trip negative result".)
 
     # Large-dim Newton-solve implementation on the lanes path (systems
     # above hpfx.ops.batched_solve.SCHUR_MIN_DIM, e.g. the net1 dim-182

@@ -708,78 +708,10 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
     thresh_eff = _thresh_lanes(cold_V_m, Y, dev, inj_db, m, settings)
     hist0 = jnp.full((settings.max_iter_h, B), jnp.nan, rd)
 
-    # ---- fused NR-trip megakernel (hpfx.ops.fused_trip) ----
-    from .ops.fused_trip import (LANES, fused_trip, make_trip_consts,
-                                 supports_fused)
-    fused_mode = None
-    # the kernel takes a per-scenario scalar injection scale and unbatched
-    # Norton constants: per-device scales, device mixes, and analytic
-    # devices stay unfused
-    if not isinstance(dev, LaneDevices) or dev.batched or inj.ndim == 2:
-        pass
-    elif settings.fused_trip == "interpret":
-        fused_mode = "interpret"
-    elif (settings.fused_trip == "on"
-          and jax.default_backend() == "tpu"
-          and rd == jnp.float32):
-        # NOT selected automatically: miscompiles + pathological GJ-step
-        # overhead on this backend's Mosaic (BENCH_NOTES negative result)
-        fused_mode = "compiled"
-    if fused_mode is not None:
-        dims, tconsts = make_trip_consts(Y, lineY, devices, net, settings,
-                                         dtype=rd)
-        if fused_mode == "compiled" and not supports_fused(dims):
-            fused_mode = None
-
-    if fused_mode is not None:
-        # the kernel processes 128-lane slabs: pad the batch by edge
-        # replication (the pad lanes converge like their source scenario
-        # and are sliced off below)
-        Bp = -(-B // LANES) * LANES
-        padB = lambda x: x if Bp == B else jnp.pad(
-            x, [(0, 0)] * (x.ndim - 1) + [(0, Bp - B)], mode="edge")
-        f0_g = f0[jnp.asarray(consts.inv_f_perm)]
-        Vp, Ap, fp_, errp = padB(V_m), padB(V_a), padB(f0_g), padB(err0)
-        Sp = Cx(padB(S.re), padB(S.im))
-        injp = padB(inj)
-        threshp = padB(thresh_eff)
-        histp = jnp.full((settings.max_iter_h, Bp), jnp.nan, rd)
-
-        def active_p(err, it):
-            return (err > threshp) & (it < settings.max_iter_h)
-
-        def cond_f(carry):
-            _, _, _, err, it, _, _ = carry
-            return jnp.any(active_p(err, it))
-
-        def body_f(carry):
-            V_m, V_a, f_g, err, it, hist, t = carry
-            act = active_p(err, it)
-            Vm2, Va2, f2, err2 = fused_trip(
-                dims, tconsts, V_m, V_a, f_g, err[None],
-                act.astype(rd)[None], Sp.re, Sp.im, injp[None],
-                interpret=(fused_mode == "interpret"))
-            err2v = err2[0]
-            hist = hist.at[t].set(jnp.where(act, err2v, hist[t]))
-            return (Vm2, Va2, f2, err2v, it + act.astype(it.dtype),
-                    hist, t + 1)
-
-        it0 = jnp.zeros((Bp,), jnp.int32)
-        V_m, V_a, _, err, n_iter, hist, _ = lax.while_loop(
-            cond_f, body_f,
-            (Vp, Ap, fp_, errp, it0, histp, jnp.int32(0)))
-        V_m, V_a = V_m[..., :B], V_a[..., :B]
-        err, n_iter, hist = err[:B], n_iter[:B], hist[:, :B]
-        V_m, V_a = cleanup_voltages(V_m, V_a)
-        fund_bm = FundResult(
-            V_m=fund.V_m.T, V_a=fund.V_a.T, err=fund.err,
-            n_iter=fund.n_iter, err_hist=fund.err_hist.T,
-            converged=fund.converged)
-        return HPFResult(
-            V_m=jnp.moveaxis(V_m, -1, 0), V_a=jnp.moveaxis(V_a, -1, 0),
-            err=err, n_iter=n_iter, err_hist=hist.T,
-            converged=err <= thresh_eff, fund=fund_bm)
-
+    # (the fused NR-trip megakernel that used to dispatch here is
+    # quarantined in validation/fused_trip.py: it miscompiles on this
+    # backend's Mosaic and measured ~30x slower per elimination step —
+    # BENCH_NOTES "fused-trip negative result")
     V_m, V_a, err, n_iter, hist = nr_trip_lanes(
         Y, lineY, S, dev, inj_db, V_m, V_a, settings, consts, thresh_eff,
         vc=_vc, f0=(f0, err0))

@@ -1,27 +1,35 @@
-"""Fused NR-trip megakernel (hpfx.ops.fused_trip): interpret-mode parity.
+"""Fused NR-trip megakernel (QUARANTINED in validation/fused_trip.py):
+interpret-mode parity.
 
 The kernel is validated against the unfused lane-major functions it fuses
 (hpfx.lanes: arrow step + state update + mismatch).  In f64 the comparison
 is tight (same algorithm, fp-reorder noise only — heavy-tailed across
 scenarios only where a pivot near-tie flips, which the tolerance covers);
-the f32 production path is additionally gated by whole-sweep convergence
-equality in test_lanes-style form below.
+the f32 production semantics are additionally gated by whole-sweep
+convergence equality below (the sweep loop is driven locally here — the
+former Settings.fused_trip dispatch in hpfx.lanes was removed when the
+kernel was quarantined for miscompiling on this backend's Mosaic).
 """
+import os
+import sys
+
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 import hpfx
 from hpfx import lanes as LN
 from hpfx.cx import Cx
-from hpfx.ops.fused_trip import (fused_trip, make_trip_consts,
-                                 supports_fused)
 from hpfx.solve import Scenarios, hpf_sweep
 from hpfx.ybus import build_ybus, line_ybus_pair
 
-from conftest import DATA
+from conftest import DATA, REPO
+
+sys.path.insert(0, os.path.join(REPO, "validation"))
+from fused_trip import fused_trip, make_trip_consts, supports_fused  # noqa: E402
 
 
 def _setup(net_name, h_max, coupled, stable, dtype):
@@ -125,6 +133,57 @@ def test_fused_trip_act_passthrough():
     assert float(jnp.max(jnp.abs(err2[0] - err0))) == 0.0
 
 
+def _fused_sweep_interpret(net, dev, s, sc):
+    """Drive a whole sweep through the quarantined kernel in interpret
+    mode: the loop the former Settings.fused_trip dispatch ran inside
+    hpf_sweep_lanes (128-lane edge padding, active-mask iteration,
+    err_hist bookkeeping), reproduced locally as the tests' oracle."""
+    from fused_trip import LANES
+
+    rd = s.real_dtype
+    H, n, m, c = s.n_harmonics, net.n, net.m, net.c
+    B = sc.p_scale.shape[0]
+    Y = build_ybus(net, s)
+    lineY, lineY_f = line_ybus_pair(net, s)
+    inj = jnp.asarray(sc.injection_scale, rd)
+    S = Cx(jnp.asarray(net.bus_P, rd)[:, None] * jnp.asarray(sc.p_scale, rd),
+           jnp.asarray(net.bus_Q, rd)[:, None] * jnp.asarray(sc.q_scale, rd))
+    fund = LN.solve_fundamental_lanes(Y[0], S, net, s, B, lineY_f)
+    V_m = jnp.full((H, n, B), s.v_init_h, rd).at[0].set(fund.V_m)
+    V_a = jnp.full((H, n, B), s.a_init_h, rd).at[0].set(fund.V_a)
+    consts = LN._make_arrow_consts(H, n, m, c)
+    dev_l = LN._as_lane_devices(dev)
+    inj_db = LN._as_inj_db(inj, n - m, B, rd)
+    f0, err0 = LN.mismatch_lanes(V_m, V_a, Y, S, dev_l, inj_db, m, n, c,
+                                 lineY)
+    thresh = LN._thresh_lanes(V_m, Y, dev_l, inj_db, m, s)
+    dims, tconsts = make_trip_consts(Y, lineY, dev, net, s, dtype=rd)
+
+    Bp = -(-B // LANES) * LANES
+    padB = lambda x: x if Bp == B else jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(0, Bp - B)], mode="edge")
+    f0_g = f0[jnp.asarray(consts.inv_f_perm)]
+    Vp, Ap, fp_, errp = padB(V_m), padB(V_a), padB(f0_g), padB(err0)
+    Sp = Cx(padB(S.re), padB(S.im))
+    injp, threshp = padB(inj), padB(thresh)
+    hist = jnp.full((s.max_iter_h, Bp), jnp.nan, rd)
+    it = jnp.zeros((Bp,), jnp.int32)
+    t = 0
+    # host loop (interpret mode is eager anyway)
+    while bool(jnp.any((errp > threshp) & (it < s.max_iter_h))):
+        act = (errp > threshp) & (it < s.max_iter_h)
+        Vp, Ap, fp_, err2 = fused_trip(
+            dims, tconsts, Vp, Ap, fp_, errp[None], act.astype(rd)[None],
+            Sp.re, Sp.im, injp[None], interpret=True)
+        errp = err2[0]
+        hist = hist.at[t].set(jnp.where(act, errp, hist[t]))
+        it = it + act.astype(it.dtype)
+        t += 1
+    V_m, V_a = LN.cleanup_voltages(Vp[..., :B], Ap[..., :B])
+    return (jnp.moveaxis(V_m, -1, 0), jnp.moveaxis(V_a, -1, 0),
+            errp[:B] <= thresh, it[:B], hist[:, :B].T)
+
+
 def test_fused_sweep_interpret_converges():
     """Whole fused sweep (interpret) vs the unfused lanes sweep: identical
     convergence flags, phasor agreement at the f32 threshold scale, and a
@@ -135,18 +194,16 @@ def test_fused_sweep_interpret_converges():
                    q_scale=jnp.linspace(0.95, 1.05, B, dtype=jnp.float32),
                    injection_scale=jnp.linspace(0.8, 1.2, B,
                                                 dtype=jnp.float32))
-    r_l = hpf_sweep(net, dev, s.with_(layout="lanes", fused_trip="off"), sc)
-    r_f = hpf_sweep(net, dev, s.with_(layout="lanes",
-                                      fused_trip="interpret"), sc)
-    assert np.asarray(r_f.converged).all()
-    assert np.array_equal(np.asarray(r_l.converged),
-                          np.asarray(r_f.converged))
+    r_l = hpf_sweep(net, dev, s.with_(layout="lanes"), sc)
+    Vm_f, Va_f, conv_f, n_iter, hist = _fused_sweep_interpret(net, dev, s, sc)
+    assert np.asarray(conv_f).all()
+    assert np.array_equal(np.asarray(r_l.converged), np.asarray(conv_f))
     pa = np.asarray(r_l.V_m) * np.exp(1j * np.asarray(r_l.V_a))
-    pb = np.asarray(r_f.V_m) * np.exp(1j * np.asarray(r_f.V_a))
+    pb = np.asarray(Vm_f) * np.exp(1j * np.asarray(Va_f))
     assert np.abs(pa - pb).max() < 5e-4
     # err_hist semantics preserved
-    hist = np.asarray(r_f.err_hist)
-    n_iter = np.asarray(r_f.n_iter)
+    hist = np.asarray(hist)
+    n_iter = np.asarray(n_iter)
     for i in range(B):
         assert np.isfinite(hist[i, : n_iter[i]]).all()
         assert np.isnan(hist[i, n_iter[i]:]).all()

@@ -1,5 +1,15 @@
 """Fused NR-trip megakernel: one Pallas program per Newton iteration.
 
+QUARANTINED (round 4): this kernel MISCOMPILES on this backend's Mosaic
+(wrong results vs its own interpret mode) and its per-elimination-step
+overhead measured ~30x the unfused lane-major trip (BENCH_NOTES
+"fused-trip negative result") — so it lives here in validation/, not on
+the shipped hpfx/ surface, with its interpret-mode oracle tests
+(tests/test_fused_trip.py) still gating the trip semantics.  Re-test on
+newer Mosaic runtimes by driving `fused_trip(..., interpret=False)`
+directly; the former Settings.fused_trip dispatch in hpfx.lanes was
+removed with the quarantine.
+
 The lane-major sweep (hpfx.lanes) fixed the *tiling* of the batched trip
 but still executes it as ~150 separate XLA ops, each paying HBM round
 trips and fixed thunk overhead on tensors of a few MB — measured ~7 ms per
@@ -50,7 +60,7 @@ try:  # pallas TPU backend is absent on pure-CPU installs
 except Exception:  # pragma: no cover
     pltpu = None
 
-from .batched_solve import VMEM_LIMIT
+from hpfx.ops.batched_solve import VMEM_LIMIT
 
 LANES = 128
 
