@@ -44,6 +44,14 @@ CONTINUATION_STAGES = int(os.environ.get("HPFX_BENCH_CONTINUATION", "0"))
 # (hpfx.lanes.hpf_sweep_continuation_lanes, jitted whole-schedule scan)
 # with that many stages; takes precedence over HPFX_BENCH_CONTINUATION
 CONTDEV_STAGES = int(os.environ.get("HPFX_BENCH_CONTDEV", "0"))
+# 1 switches the sweeps to the single-program DEVICE-SIDE adaptive sweep
+# (hpfx.lanes.hpf_sweep_adaptive_lanes: phase-capped trip + gathered
+# warm rescue + cold knife-edge restart, no host round-trip between
+# phases); A/B knob for the host-driven default
+ADAPTDEV = os.environ.get("HPFX_BENCH_ADAPTDEV", "0") == "1"
+# seconds granted to the TPU-availability preflight probe (see
+# _tpu_preflight); 0 disables the probe and the CPU fallback entirely
+PREFLIGHT_S = int(os.environ.get("HPFX_BENCH_PREFLIGHT", "300"))
 TARGET_V5E8 = 10_000.0  # solves/sec on 8 chips (BASELINE.md)
 
 
@@ -68,6 +76,52 @@ signal.signal(signal.SIGALRM, _watchdog)
 signal.alarm(TIMEOUT_S)
 
 import jax  # noqa: E402
+
+
+def _tpu_preflight() -> bool:
+    """Bounded TPU-availability probe; returns True if we fell back to CPU.
+
+    A post-wedge backend init hangs ~25-30 min before erroring
+    UNAVAILABLE (CLAUDE.md #32) — longer than the whole watchdog budget,
+    so a dead chip used to turn the round's official bench record into
+    a flat 0.0 (BENCH_r03).  Healthy init takes seconds, so probe it in
+    a DETACHED subprocess with a bounded wait; on timeout or failure the
+    probe is abandoned, never killed (killing in-flight TPU processes is
+    the documented wedge cause), and the bench runs on CPU with an
+    honestly-labeled metric instead of reporting nothing at all.
+    """
+    if PREFLIGHT_S <= 0:
+        return False
+    # only probe when the default (TPU) backend would be used
+    forced = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in forced or jax.config.jax_platforms == "cpu":
+        return False
+    import subprocess
+    code = ("import jax\n"
+            "jax.devices()\n"
+            "print('TPU_PREFLIGHT_OK', flush=True)\n")
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code], stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, start_new_session=True)
+        proc.wait(timeout=PREFLIGHT_S)
+        ok = proc.returncode == 0 and b"TPU_PREFLIGHT_OK" in proc.stdout.read()
+    except subprocess.TimeoutExpired:
+        ok = False                    # abandon the probe — do NOT kill it
+    except Exception:
+        ok = False
+    if not ok:
+        jax.config.update("jax_platforms", "cpu")
+    return not ok
+
+
+CPU_FALLBACK = _tpu_preflight()
+if CPU_FALLBACK:
+    # keep the CPU run comfortably inside the remaining watchdog budget
+    BATCH = min(BATCH, 1024)
+    BATCH_NET1 = min(BATCH_NET1, 64)
+    REPEATS = min(REPEATS, 2)
+
 import jax.numpy as jnp  # noqa: E402
 
 import hpfx  # noqa: E402
@@ -169,6 +223,16 @@ def bench_net(net, dev, s, batch: int, repeats: int,
         run = lambda sc: hpf_sweep_continuation(
             net, dev, s, sc, n_stages=CONTINUATION_STAGES,
             phase_iters=phase_iters, phase2_settings=s2)
+    elif ADAPTDEV:
+        # single-program device-side adaptive sweep (HPFX_BENCH_ADAPTDEV=1):
+        # no host round-trip between phase 1, the gathered warm rescue,
+        # and the cold knife-edge restart
+        from functools import partial as _partial
+
+        from hpfx.lanes import hpf_sweep_adaptive_lanes
+        _ja = jax.jit(_partial(hpf_sweep_adaptive_lanes, settings=s,
+                               phase_iters=phase_iters))
+        run = lambda sc: _ja(net, dev, scenarios=sc)
     else:
         run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc,
                                             phase_iters=phase_iters,
@@ -202,6 +266,8 @@ def main():
         "net2_convergence": round(net2["conv"], 4),
         "net2_solver": net2["solver"],
     }
+    if CPU_FALLBACK:
+        extras["tpu_unavailable_cpu_fallback"] = True
     if not SKIP_NET1:
         net1 = bench_config("net1", 25, SOLVER_NET1, BATCH_NET1,
                             max(2, REPEATS // 2), phase2_solver="arrow")
@@ -213,10 +279,14 @@ def main():
             "net1_solver": net1["solver"],
         })
     def result():
+        backend_note = (
+            "CPU FALLBACK — TPU backend unavailable at bench time, "
+            "vs_baseline still vs the per-chip TPU target; " if CPU_FALLBACK
+            else f"{n_dev} chip(s); ")
         return {
             "metric": "batched coupled-NR HPF converged-solves/sec (net2, "
                       f"H<=25, B={BATCH}, conv={net2['conv']:.3f}, "
-                      f"solver={net2['solver']}, {n_dev} chip(s); "
+                      f"solver={net2['solver']}, {backend_note}"
                       "net1_* keys = reference-scale config, J dim 518)",
             "value": round(net2["converged"], 1),
             "unit": "solves/sec",
@@ -236,7 +306,7 @@ def main():
     # the seconds left — the alarm was armed before the slow jax import,
     # so wall-clock arithmetic would overestimate the budget)
     remaining = signal.alarm(0)
-    if not SKIP_NET1 and remaining > 600:
+    if not SKIP_NET1 and not CPU_FALLBACK and remaining > 600:
         signal.alarm(remaining)
         # B=256: 253-264/s vs 184-195/s at B=128 (round-3 A/B)
         h51 = bench_config("net1", 51, SOLVER_NET1, 256, 2,
@@ -253,7 +323,8 @@ def main():
         # the watchdog — the next stage's alarm(0) must read the true
         # remaining budget, not 0
         signal.alarm(max(remaining, 1))
-        extras["net1_h51_skipped"] = "insufficient_time"
+        extras["net1_h51_skipped"] = ("tpu_unavailable" if CPU_FALLBACK
+                                      else "insufficient_time")
         MAIN_RESULT = result()
 
     # beyond-n=20 scaling data points: synthetic 64-bus feeder (7 SMPS)
@@ -268,7 +339,7 @@ def main():
     # a completed validation/precompile.py --execute or manual priming
     # run), so a cold machine can never hang itself here.
     remaining = signal.alarm(0)
-    if not SKIP_NET1 and remaining > 420:
+    if not SKIP_NET1 and not CPU_FALLBACK and remaining > 420:
         signal.alarm(remaining)
         syn = bench_synthetic(64, 7, 25, batch=256)
         extras.update({
@@ -279,13 +350,15 @@ def main():
         MAIN_RESULT = result()
     elif not SKIP_NET1:
         signal.alarm(max(remaining, 1))
-        extras["synthetic_n64_skipped"] = "insufficient_time"
+        extras["synthetic_n64_skipped"] = (
+            "tpu_unavailable" if CPU_FALLBACK else "insufficient_time")
         MAIN_RESULT = result()
 
     n128_marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache", "n128_primed")
     remaining = signal.alarm(0)
-    if not SKIP_NET1 and remaining > 420 and os.path.exists(n128_marker):
+    if not SKIP_NET1 and not CPU_FALLBACK and remaining > 420 \
+            and os.path.exists(n128_marker):
         signal.alarm(remaining)
         syn128 = bench_synthetic(128, 30, 25, batch=128,
                                  spread=(0.95, 1.05, 0.8, 1.1))
@@ -298,7 +371,8 @@ def main():
     elif not SKIP_NET1:
         signal.alarm(max(remaining, 1))
         extras["synthetic_n128_skipped"] = (
-            "insufficient_time" if os.path.exists(n128_marker)
+            "tpu_unavailable" if CPU_FALLBACK
+            else "insufficient_time" if os.path.exists(n128_marker)
             else "first_dispatch_unprimed")
         MAIN_RESULT = result()
 

@@ -648,6 +648,51 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
     ``P(harmonic, None, scenario)`` constraint makes the whole Newton
     trip DP × TP partitioned under GSPMD.  Requires jit; None = off.
     """
+    su = _sweep_setup(net, devices, settings, scenarios, Y=Y,
+                      vsharding=vsharding)
+    if V0 is None:
+        V_m, V_a = su.cold_V_m, su.cold_V_a
+    else:
+        rd = settings.real_dtype
+        V_m = jnp.moveaxis(jnp.asarray(V0[0], rd), 0, -1)
+        V_a = jnp.moveaxis(jnp.asarray(V0[1], rd), 0, -1)
+
+    V_m, V_a = su.vc(V_m, V_a)
+
+    # (the fused NR-trip megakernel that used to dispatch here is
+    # quarantined in validation/fused_trip.py: it miscompiles on this
+    # backend's Mosaic and measured ~30x slower per elimination step —
+    # BENCH_NOTES "fused-trip negative result")
+    V_m, V_a, err, n_iter, hist = nr_trip_lanes(
+        su.Y, su.lineY, su.S, su.dev, su.inj_db, V_m, V_a, settings,
+        su.consts, su.thresh, vc=su.vc)
+
+    V_m, V_a = cleanup_voltages(V_m, V_a)
+    return _lanes_result(V_m, V_a, err, n_iter, hist, su.thresh, su.fund)
+
+
+class _SweepSetup(NamedTuple):
+    """Shared pre-trip state of the lane-major sweep entry points."""
+    Y: Cx
+    lineY: object
+    S: Cx
+    dev: object
+    inj_db: jnp.ndarray
+    fund: object
+    cold_V_m: jnp.ndarray
+    cold_V_a: jnp.ndarray
+    consts: object
+    thresh: jnp.ndarray          # floor-aware, evaluated at the COLD state
+    vc: object                   # sharding-constraint hook (V_m, V_a)
+
+
+def _sweep_setup(net: Network, devices, settings: Settings, scenarios,
+                 Y=None, vsharding=None) -> _SweepSetup:
+    """Everything a lane-major sweep needs before its first Newton trip:
+    admittances, scenario-scaled powers/injections, lane devices, the
+    batched fundamental solve, cold-start state and the floor-aware
+    threshold (evaluated at the cold state even for warm starts — same
+    rule as hpfx.harmonic.solve_harmonic)."""
     H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
     rd = settings.real_dtype
     B = scenarios.p_scale.shape[0]
@@ -685,39 +730,143 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
     fund = solve_fundamental_lanes(Y[0], S, net, settings, B, lineY_f)
 
     cold_V_m = jnp.full((H, n, B), settings.v_init_h, rd).at[0].set(fund.V_m)
-    if V0 is None:
-        V_m = cold_V_m
-        V_a = jnp.full((H, n, B), settings.a_init_h, rd).at[0].set(fund.V_a)
-    else:
-        V_m = jnp.moveaxis(jnp.asarray(V0[0], rd), 0, -1)
-        V_a = jnp.moveaxis(jnp.asarray(V0[1], rd), 0, -1)
+    cold_V_a = jnp.full((H, n, B), settings.a_init_h, rd).at[0].set(fund.V_a)
 
-    def _vc(V_m, V_a):
+    def vc(V_m, V_a):
         if vsharding is None:
             return V_m, V_a
         return (lax.with_sharding_constraint(V_m, vsharding),
                 lax.with_sharding_constraint(V_a, vsharding))
 
-    V_m, V_a = _vc(V_m, V_a)
-
     consts = _make_arrow_consts(H, n, m, c)
-    f0, err0 = mismatch_lanes(V_m, V_a, Y, S, dev, inj_db, m, n, c, lineY)
-    # floor evaluated at the COLD state even for warm starts (same rule
-    # and rationale as hpfx.harmonic.solve_harmonic / the continuation
-    # twin's per-chunk threshold below)
-    thresh_eff = _thresh_lanes(cold_V_m, Y, dev, inj_db, m, settings)
-    hist0 = jnp.full((settings.max_iter_h, B), jnp.nan, rd)
+    thresh = _thresh_lanes(cold_V_m, Y, dev, inj_db, m, settings)
+    return _SweepSetup(Y, lineY, S, dev, inj_db, fund, cold_V_m, cold_V_a,
+                       consts, thresh, vc)
 
-    # (the fused NR-trip megakernel that used to dispatch here is
-    # quarantined in validation/fused_trip.py: it miscompiles on this
-    # backend's Mosaic and measured ~30x slower per elimination step —
-    # BENCH_NOTES "fused-trip negative result")
-    V_m, V_a, err, n_iter, hist = nr_trip_lanes(
-        Y, lineY, S, dev, inj_db, V_m, V_a, settings, consts, thresh_eff,
-        vc=_vc, f0=(f0, err0))
+
+@highest_precision
+def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
+                             scenarios, phase_iters: int = 24,
+                             rescue_width: Optional[int] = None,
+                             vsharding=None) -> HPFResult:
+    """Two-phase adaptive sweep + deterministic knife-edge rescue as ONE
+    device program — no host round-trip between phases.
+
+    The host-driven :func:`hpfx.solve.hpf_sweep_adaptive` pays a second
+    dispatch plus a full host materialization between phase 1 and
+    phase 2; on this tunneled relay that overhead is a measurable
+    fraction of a saturated net2 sweep.  Here the whole schedule
+    compiles once:
+
+      1. phase 1: full-width lane trip capped at ``phase_iters``;
+      2. phase 2: the ``rescue_width`` worst lanes are GATHERED into a
+         narrow batch (converged gather-padding lanes keep a lifted
+         threshold so they stay inactive) and continue warm from their
+         own phase-1 state with the remaining budget — the self-warm-
+         start that breaks floor-hover/oscillation stalls (CLAUDE.md
+         #23);
+      3. cold-restart rescue: lanes STILL unconverged (the knife-edge
+         f32 class, CLAUDE.md #24) restart from the flat start with a
+         fresh full budget — mirroring hpfx.solve._rescue_sweep and the
+         continuation rescue below;
+      4. scatter back with full-width ``err_hist`` splicing.
+
+    Semantics match ``hpf_sweep_adaptive(rescue=True)`` except at most
+    ``rescue_width`` stragglers re-solve (default ``max(128, B//16)``;
+    typical straggler counts at phase_iters=24 are far below that).
+    The width is STATIC — the price of the single compiled program vs
+    the host twin's data-dependent straggler bucket: should stragglers
+    ever exceed it, the excess lanes keep their phase-1 state and are
+    honestly reported unconverged (never silently wrong).
+    ``vsharding`` as in :func:`hpf_sweep_lanes`.
+    """
+    su = _sweep_setup(net, devices, settings, scenarios,
+                      vsharding=vsharding)
+    rd = settings.real_dtype
+    B = scenarios.p_scale.shape[0]
+    p1 = min(phase_iters, settings.max_iter_h)
+
+    s1 = settings.with_(max_iter_h=p1)
+    V_m, V_a, err, n_iter, hist1 = nr_trip_lanes(
+        su.Y, su.lineY, su.S, su.dev, su.inj_db,
+        su.cold_V_m, su.cold_V_a, s1, su.consts, su.thresh, vc=su.vc)
+    conv = err <= su.thresh
+    hist = jnp.full((settings.max_iter_h, B), jnp.nan, rd) \
+        .at[:p1].set(hist1)
+
+    K = min(B, rescue_width if rescue_width is not None
+            else max(128, B // 16))
+    # unconverged lanes first (stable: deterministic padding choice)
+    bad = jnp.argsort(conv.astype(rd), stable=True)[:K]
+    was_bad = ~conv[bad]
+    g = lambda x: jnp.take(x, bad, axis=-1)
+    S_k = Cx(g(su.S.re), g(su.S.im))
+    inj_k = g(su.inj_db)
+    dev_k = su.dev
+    if isinstance(su.dev, LaneDevices) and su.dev.batched:
+        dev_k = LaneDevices(
+            I_N=Cx(g(su.dev.I_N.re), g(su.dev.I_N.im)),
+            Y_N=Cx(g(su.dev.Y_N.re), g(su.dev.Y_N.im)),
+            coupled=su.dev.coupled, batched=True)
+    thresh_k = g(su.thresh)
+    coldVm_k, coldVa_k = g(su.cold_V_m), g(su.cold_V_a)
+
+    Vmk, Vak = g(V_m), g(V_a)
+    errk, nitk, convk = g(err), g(n_iter), conv[bad]
+
+    def rescue_pass(s_pass, Vm0, Va0, state):
+        Vmk, Vak, errk, nitk, convk = state
+        # converged gather-padding stays inactive: threshold lifted to
+        # its achieved error
+        thresh_r = jnp.where(convk, jnp.maximum(thresh_k, errk), thresh_k)
+        Vm2, Va2, err2, nit2, hist2 = nr_trip_lanes(
+            su.Y, su.lineY, S_k, dev_k, inj_k, Vm0, Va0, s_pass,
+            su.consts, thresh_r, vc=su.vc)
+        redo = ~convk
+        Vmk = jnp.where(redo[None, None, :], Vm2, Vmk)
+        Vak = jnp.where(redo[None, None, :], Va2, Vak)
+        errk = jnp.where(redo, err2, errk)
+        nitk = nitk + jnp.where(redo, nit2, 0)
+        convk = convk | (redo & (err2 <= thresh_r))
+        return (Vmk, Vak, errk, nitk, convk), redo, hist2
+
+    state = (Vmk, Vak, errk, nitk, convk)
+    if p1 < settings.max_iter_h:
+        # phase 2: continue warm from the phase-1 state (cold where it
+        # went non-finite — a NaN state no-ops the trip at iteration 0).
+        # The seed passes through cleanup_voltages exactly like the host
+        # twin's (hpf_sweep_adaptive phase-2 V0 is a finished hpf_sweep
+        # result, i.e. post-cleanup) — cleanup is idempotent, so the two
+        # schedules stay fp-identical when their gather widths coincide
+        finite = (jnp.isfinite(Vmk).all(axis=(0, 1))
+                  & jnp.isfinite(Vak).all(axis=(0, 1)))
+        use_self = (finite | convk)[None, None, :]
+        Vmc, Vac = cleanup_voltages(Vmk, Vak)
+        s2 = settings.with_(max_iter_h=settings.max_iter_h - p1)
+        state, redo, hist2 = rescue_pass(
+            s2, jnp.where(use_self, Vmc, coldVm_k),
+            jnp.where(use_self, Vac, coldVa_k), state)
+        hist = hist.at[p1:, bad].set(
+            jnp.where(redo[None, :], hist2, hist[p1:, bad]))
+
+    # cold-restart rescue with a fresh full budget for anything STILL
+    # stuck; its history replaces the whole row (a restart, not a resume)
+    state, redo, hist3 = rescue_pass(settings, coldVm_k, coldVa_k, state)
+    hist = hist.at[:, bad].set(
+        jnp.where(redo[None, :], hist3, hist[:, bad]))
+    Vmk, Vak, errk, nitk, convk = state
+
+    sc = lambda full, kk, mask: full.at[..., bad].set(
+        jnp.where(mask, kk, jnp.take(full, bad, axis=-1)))
+    V_m = sc(V_m, Vmk, was_bad[None, None, :])
+    V_a = sc(V_a, Vak, was_bad[None, None, :])
+    err = sc(err, errk, was_bad)
+    n_iter = sc(n_iter, nitk, was_bad)
+    conv = sc(conv, convk, was_bad)
 
     V_m, V_a = cleanup_voltages(V_m, V_a)
-    return _lanes_result(V_m, V_a, err, n_iter, hist, thresh_eff, fund)
+    res = _lanes_result(V_m, V_a, err, n_iter, hist, su.thresh, su.fund)
+    return res._replace(converged=conv)
 
 
 def _lanes_result(V_m, V_a, err, n_iter, hist, thresh_eff,

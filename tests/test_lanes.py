@@ -310,3 +310,79 @@ def test_continuation_lanes_divergent_isolation():
     take = lambda r: r._replace(V_m=r.V_m[ok], V_a=r.V_a[ok])
     assert _phasor_dist(take(cont), take(plain)) < 1e-5
     assert np.all(np.isfinite(np.asarray(cont.V_m)[ok]))
+
+
+def test_adaptive_lanes_matches_host_adaptive():
+    """The single-program device-side adaptive sweep
+    (hpf_sweep_adaptive_lanes) reproduces the host-driven
+    hpf_sweep_adaptive: in f64 — where its gather width coincides with
+    the host's phase-2 bucket — fp-identical states and exact
+    per-scenario iteration counts; in f32 the two compiled schedules
+    differ by fp noise, which the knife-edge iteration counts amplify
+    (CLAUDE.md #24), so the gates are conv-flag equality, small count
+    drift, and state agreement at the convergence level."""
+    from functools import partial
+
+    import jax
+    from hpfx.lanes import hpf_sweep_adaptive_lanes
+
+    for dtype, tol in (("float64", 1e-12), ("float32", 1e-4)):
+        s, net, dev = _setup("net2", 25, True, True, dtype=dtype)
+        s = s.with_(layout="lanes")
+        B = 48
+        rdt = jnp.float64 if dtype == "float64" else jnp.float32
+        scen = Scenarios(p_scale=jnp.linspace(0.8, 1.2, B, dtype=rdt),
+                         q_scale=jnp.linspace(0.8, 1.2, B, dtype=rdt),
+                         injection_scale=jnp.linspace(0.6, 1.4, B,
+                                                      dtype=rdt))
+        r_host = hpf_sweep_adaptive(net, dev, s, scen, phase_iters=6)
+        f = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
+                            phase_iters=6))
+        r_dev = f(net, dev, scenarios=scen)
+        assert np.asarray(r_dev.converged).all()
+        np.testing.assert_array_equal(np.asarray(r_dev.converged),
+                                      np.asarray(r_host.converged))
+        dn = np.abs(np.asarray(r_dev.n_iter, np.int64)
+                    - np.asarray(r_host.n_iter, np.int64))
+        # f32: fp noise between the two compiled schedules perturbs
+        # knife-edge counts (chaotic transient, same bound class as
+        # conftest.LOOSE_ITERS); both states are gated at `tol` anyway
+        assert dn.max() <= (0 if dtype == "float64" else 6)
+        assert _phasor_dist(r_dev, r_host) < tol
+        hist = np.asarray(r_dev.err_hist)
+        ni = np.asarray(r_dev.n_iter)
+        for i in range(B):
+            assert np.isfinite(hist[i, : ni[i]]).all()
+            assert np.isnan(hist[i, ni[i]:]).all()
+
+
+def test_adaptive_lanes_divergent_and_rescue_width():
+    """A truly divergent scenario stays unconverged (cold rescue cannot
+    save it) without poisoning neighbors, with a rescue_width much
+    smaller than the batch: phase_iters is set high enough that the
+    easy lanes converge in phase 1, so the static-width gather (the
+    device program's stand-in for the host's data-dependent straggler
+    bucket) only has to cover the divergent lane."""
+    from functools import partial
+
+    import jax
+    from hpfx.lanes import hpf_sweep_adaptive_lanes, hpf_sweep_lanes
+
+    s, net, dev = _setup("net2", 5, True, True)
+    B = 9
+    p = np.linspace(0.9, 1.1, B).astype(np.float32)
+    inj = np.linspace(0.8, 1.2, B).astype(np.float32)
+    p[4] = 500.0                      # no solution
+    scen = Scenarios(p_scale=jnp.asarray(p), q_scale=jnp.asarray(p),
+                     injection_scale=jnp.asarray(inj))
+    f = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
+                        phase_iters=24, rescue_width=2))
+    r = f(net, dev, scenarios=scen)
+    conv = np.asarray(r.converged)
+    assert not conv[4] and conv.sum() == B - 1
+    plain = hpf_sweep_lanes(net, dev, s, scen)
+    ok = np.ones(B, bool)
+    ok[4] = False
+    take = lambda rr: rr._replace(V_m=rr.V_m[ok], V_a=rr.V_a[ok])
+    assert _phasor_dist(take(r), take(plain)) < 1e-5
+    assert np.all(np.isfinite(np.asarray(r.V_m)[ok]))
