@@ -27,7 +27,8 @@ from hpfx.utils.cache import enable_persistent_cache
 
 print("cache dir:", enable_persistent_cache(), flush=True)
 
-from hpfx.lanes import hpf_sweep_continuation_lanes  # noqa: E402
+from hpfx.lanes import (hpf_sweep_adaptive_lanes,  # noqa: E402
+                        hpf_sweep_continuation_lanes)
 from hpfx.solve import Scenarios, hpf_sweep  # noqa: E402
 
 DATA = os.path.join(os.path.dirname(os.path.dirname(
@@ -103,6 +104,51 @@ def prime_contdev(net_name, h_max, solver, batch, stages):
                     net, dev, scenarios=scen_struct(batch))
 
 
+def prime_adaptdev(net_name, h_max, solver, batch, phase_iters=24):
+    """The single-program device-side adaptive sweep (bench.py
+    HPFX_BENCH_ADAPTDEV=1 A/B path)."""
+    s, net, dev = setup(net_name, h_max, solver)
+    f = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
+                        phase_iters=phase_iters))
+    compile_one(f"{net_name}_h{h_max}_B{batch} adaptdev", f,
+                net, dev, scenarios=scen_struct(batch))
+
+
+def prime_h99_execute():
+    """Pay the H<=99 first-dispatch windows once (NO watchdog — new
+    Mosaic kernel shapes: net1's capacitance panel-GJ grows to dim 728;
+    killing a first dispatch mid-flight wedges the runtime) and write
+    the marker that un-gates bench.py's h99 stage."""
+    import numpy as np
+
+    from hpfx.solve import hpf_sweep_adaptive
+    for net_name, B in (("net2", 256), ("net1", 64)):
+        s = hpfx.settings_for_hmax(99, coupled=True).with_(
+            solver="arrow", stable_mismatch=True, big_solve="panel")
+        net = hpfx.load_network(
+            os.path.join(DATA, f"{net_name}_buses.csv"),
+            os.path.join(DATA, f"{net_name}_lines.csv"), s)
+        dev = hpfx.load_device_set(net, s)
+        scen = Scenarios(
+            p_scale=jnp.asarray(np.linspace(0.9, 1.1, B), jnp.float32),
+            q_scale=jnp.asarray(np.linspace(0.9, 1.1, B), jnp.float32),
+            injection_scale=jnp.asarray(np.linspace(0.8, 1.2, B),
+                                        jnp.float32))
+        t0 = time.perf_counter()
+        print(f"priming {net_name} H<=99 first dispatch (can take many "
+              "minutes, do not kill)...", flush=True)
+        r = hpf_sweep_adaptive(net, dev, s, scen, phase_iters=30,
+                               phase2_settings=s.with_(solver="arrow"))
+        np.asarray(r.V_m)
+        conv = float(np.mean(np.asarray(r.converged)))
+        print(f"  {net_name}_h99 primed in {time.perf_counter()-t0:.0f}s "
+              f"(conv {conv:.3f})", flush=True)
+    from hpfx.utils.cache import DEFAULT_DIR
+    marker_dir = os.environ.get("HPFX_CACHE_DIR") or DEFAULT_DIR
+    with open(os.path.join(marker_dir, "h99_primed"), "w") as f:
+        f.write(time.strftime("%Y-%m-%dT%H:%M:%S\n"))
+
+
 def prime_n128_execute():
     """Pay the n=128 first-dispatch window once (NO watchdog — it can
     take ~14 min on a cold cache; killing it mid-flight wedges the
@@ -142,15 +188,21 @@ def main():
     if "--execute-n128" in sys.argv:
         prime_n128_execute()
         return
+    if "--execute-h99" in sys.argv:
+        prime_h99_execute()
+        return
     # bench.py stage programs (HPFX_BENCH_* defaults)
     prime_config("net2", 25, "arrow", 16384, "dense",
                  p2_buckets=(32, 64, 128, 256, 512))
-    prime_config("net1", 25, "arrow", 512, "arrow",
-                 p2_buckets=(16, 32, 64))
-    prime_config("net1", 51, "arrow", 128, "arrow", phase_iters=30,
+    prime_config("net1", 25, "arrow", 2048, "arrow",
+                 p2_buckets=(16, 32, 64, 128))
+    prime_config("net1", 51, "arrow", 256, "arrow", phase_iters=30,
                  p2_buckets=(8, 16, 32))
     prime_config("synth_64_7", 25, "arrow", 256, "arrow", phase_iters=30,
                  p2_buckets=(16, 32))
+    # single-program adaptive A/B (bench HPFX_BENCH_ADAPTDEV=1)
+    prime_adaptdev("net2", 25, "arrow", 16384)
+    prime_adaptdev("net1", 25, "arrow", 2048)
     # device-side continuation A/B programs (bench_continuation.py)
     prime_contdev("net2", 25, "arrow", 4096, (8, 16))
     prime_config("synth_128_30", 25, "arrow", 128, "arrow", phase_iters=30,
