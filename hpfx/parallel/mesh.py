@@ -242,6 +242,42 @@ def hpf_sweep_continuation_sharded(net: Network, devices,
     return res
 
 
+def hpf_sweep_adaptive_sharded(net: Network, devices,
+                               settings: Settings,
+                               scenarios: Scenarios, mesh: Mesh,
+                               phase_iters: int = 24,
+                               rescue_width=None) -> HPFResult:
+    """Single-program adaptive sweep on a scenario (or scenario ×
+    harmonic) mesh.
+
+    :func:`hpfx.lanes.hpf_sweep_adaptive_lanes` — phase-capped trip,
+    gathered warm straggler rescue, cold knife-edge restart, all one
+    compiled program — with every Newton trip sharded over ``mesh``:
+    the batch axis rides ``SCENARIO_AXIS`` and, on a 2-D ``hpf_mesh``,
+    the harmonic axis rides ``HARMONIC_AXIS``.  The straggler gather
+    (argsort over the convergence mask + take) is global; GSPMD inserts
+    the collectives.  Numerically identical to the unsharded program
+    (tests/test_sharding.py)."""
+    from ..lanes import hpf_sweep_adaptive_lanes, supports_lanes
+
+    if not supports_lanes(devices, settings, net):
+        raise ValueError("hpf_sweep_adaptive_sharded needs the "
+                         "lanes-supported configuration (arrow solver)")
+    scenarios, B = _pad_scenarios(scenarios, mesh)
+    net = _replicate(net, mesh)
+    devices = _replicate(devices, mesh)
+    scenarios = shard_scenarios(scenarios, mesh)
+    hax = HARMONIC_AXIS if HARMONIC_AXIS in mesh.axis_names else None
+    vspec = NamedSharding(mesh, P(hax, None, SCENARIO_AXIS))
+    fn = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=settings,
+                         phase_iters=phase_iters,
+                         rescue_width=rescue_width, vsharding=vspec))
+    res = fn(net, devices, scenarios=scenarios)
+    if res.V_m.shape[0] != B:
+        res = jax.tree.map(lambda x: x[:B], res)
+    return res
+
+
 def hosting_capacity_sharded(net: Network, devices: DeviceSet,
                              settings: Settings, scenarios: Scenarios,
                              mesh: Mesh, thd_limit: float = 0.08

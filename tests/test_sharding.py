@@ -278,3 +278,37 @@ def test_sharded_sweep_sensitivity_matches_unsharded():
     for g_sh, g in zip(out.grad, ref.grad):
         np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g),
                                    atol=1e-12)
+
+
+def test_adaptive_sharded_matches_unsharded():
+    """Single-program adaptive sweep on the 1-D scenario mesh and the
+    2-D scenario × harmonic mesh vs the unsharded program: same
+    convergence set, same fixed points within the NR tolerance band.
+    The straggler gather/scatter crosses the scenario shards (global
+    argsort + take), so this also exercises GSPMD's collectives around
+    the rescue trips."""
+    from functools import partial
+
+    from hpfx.lanes import hpf_sweep_adaptive_lanes
+    from hpfx.parallel import (hpf_mesh, hpf_sweep_adaptive_sharded,
+                               scenario_mesh)
+
+    s, net, dev = make_setup(("net2", 15, True))
+    s = s.with_(solver="arrow", layout="lanes")
+    B = 24
+    rng = np.random.default_rng(9)
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.85, 1.15, B)),
+        q_scale=jnp.asarray(rng.uniform(0.9, 1.1, B)),
+        injection_scale=jnp.asarray(rng.uniform(0.6, 1.4, B)))
+    ref = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
+                          phase_iters=8))(net, dev, scenarios=scen)
+    conv_ref = np.asarray(ref.converged)
+    assert conv_ref.all()
+    for mesh in (scenario_mesh(8), hpf_mesh(4, 2)):
+        out = hpf_sweep_adaptive_sharded(net, dev, s, scen, mesh,
+                                         phase_iters=8)
+        assert out.V_m.shape == ref.V_m.shape
+        np.testing.assert_array_equal(np.asarray(out.converged), conv_ref)
+        np.testing.assert_allclose(np.asarray(out.V_m),
+                                   np.asarray(ref.V_m), atol=5e-5)
