@@ -32,6 +32,8 @@ from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
 from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
+from .impedance import (driving_point_impedance, impedance_scan,
+                        resonance_peaks)
 from .sensitivity import (LineParams, ScenarioParams, Sensitivity,
                           injection_sensitivity, line_sensitivity,
                           mix_sensitivity, scenario_sensitivity,
@@ -67,6 +69,7 @@ __all__ = [
     "Sensitivity", "ScenarioParams", "LineParams", "injection_sensitivity",
     "scenario_sensitivity", "mix_sensitivity", "line_sensitivity",
     "sweep_sensitivity",
+    "impedance_scan", "driving_point_impedance", "resonance_peaks",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
     "ControlledDeviceSet", "ExtendedResult", "hpf_extended",
