@@ -14,6 +14,8 @@ Covers, in order:
      sensitivities
   7. warm-start continuation sweep (stages seeded from solved neighbors)
   8. a transformer feeder (tap + phase shift) solved end-to-end
+  9. line-parameter sensitivities (tap / impedance gradients of THD)
+  10. per-harmonic impedance scan with resonance detection
 """
 import os
 import sys
@@ -164,6 +166,15 @@ def main():
     print(f"[9] d(maxTHD)/d(trafo tap)={float(lsens.grad.tau[0]):+.4f}, "
           f"d/d(line-1 |Z| scale)={float(lsens.grad.z_scale[1]):+.4f} "
           f"(THD={float(lsens.value):.4f})")
+
+    # -- 10. impedance scan: which orders does the grid amplify? ----------
+    zmag = hpfx.driving_point_impedance(net, s)
+    is_peak, worst_h, worst_z = hpfx.resonance_peaks(zmag, s)
+    wb = int(np.argmax(np.asarray(worst_z)))
+    print(f"[10] impedance scan net2: bus {wb} peaks at h="
+          f"{int(worst_h[wb])} (|Z|={float(worst_z[wb]):.3f} pu; "
+          f"{int(np.asarray(is_peak).sum())} local peaks across "
+          f"{zmag.shape[1]} buses x {zmag.shape[0]} harmonics)")
 
 
 if __name__ == "__main__":
