@@ -25,11 +25,12 @@ from .cx import Cx
 from .network import Network
 from .ybus import build_ybus
 
-__all__ = ["impedance_scan", "driving_point_impedance", "resonance_peaks"]
+__all__ = ["impedance_scan", "driving_point_impedance", "resonance_peaks",
+           "tuned_filter_admittance", "install_shunt"]
 
 
 def impedance_scan(net: Network, settings: Settings,
-                   Y: Optional[Cx] = None,
+                   Y: Optional[Cx] = None, devices=None,
                    ground_slack: bool = True) -> Cx:
     """Nodal impedance matrices ``Z(h)``, shape ``(H, n, n)``.
 
@@ -37,6 +38,21 @@ def impedance_scan(net: Network, settings: Settings,
     source injected at bus ``k`` sees at order ``settings.harmonics[h]``;
     ``Z[h, j, k]`` the transfer impedance to bus ``j`` (the voltage
     distortion a remote injection causes).
+
+    ``devices``: optional :class:`hpfx.devices.DeviceSet` whose Norton
+    admittances are folded into the nonlinear buses — the OPERATIONAL
+    scan.  The passive scan (devices=None) characterizes the wires
+    alone; in service the installed converters' ``Y_N(h)`` typically
+    damp or shift the passive peaks.  Sign convention: the reference's
+    injection is ``I_inj = I_N − Y_N·V`` with balance ``Y·V + I_inj = 0``
+    (hcne_generalized.py:313-357), so the harmonic fixed point satisfies
+    ``(Y − Y_N)·V(h) = −I_N(h)`` — the scan SUBTRACTS ``Y_N`` to match,
+    and for the uncoupled device model ``−Z(h)·I_N(h)`` (with
+    ``ground_slack=False``) reproduces the solved HPF harmonic voltages
+    to the NR tolerance (tests/test_impedance.py).  For coupled devices
+    the ``h``-diagonal of ``Y_N`` is used (cross-harmonic couplings
+    cannot enter a per-harmonic ``Z(h)``): a first-order operational
+    picture.
 
     ``ground_slack`` (default): the slack bus is treated as an ideal
     voltage source — a short to ground for harmonic currents — so its
@@ -52,6 +68,14 @@ def impedance_scan(net: Network, settings: Settings,
     """
     if Y is None:
         Y = build_ybus(net, settings)
+    if devices is not None and devices.n_devices:
+        yn = devices.Y_N
+        if getattr(devices, "coupled", False):
+            yn = Cx(jnp.diagonal(yn.re, axis1=-2, axis2=-1),
+                    jnp.diagonal(yn.im, axis1=-2, axis2=-1))
+        buses = net.m + jnp.arange(devices.n_devices)
+        Y = Cx(Y.re.at[:, buses, buses].add(-yn.re.T),
+               Y.im.at[:, buses, buses].add(-yn.im.T))
     H, n = Y.shape[0], Y.shape[1]
     rd = settings.real_dtype
     if ground_slack:
@@ -66,10 +90,11 @@ def impedance_scan(net: Network, settings: Settings,
 
 
 def driving_point_impedance(net: Network, settings: Settings,
-                            Y: Optional[Cx] = None,
+                            Y: Optional[Cx] = None, devices=None,
                             ground_slack: bool = True) -> jnp.ndarray:
     """Driving-point impedance magnitudes ``|Z_kk(h)|``, shape (H, n)."""
-    Z = impedance_scan(net, settings, Y=Y, ground_slack=ground_slack)
+    Z = impedance_scan(net, settings, Y=Y, devices=devices,
+                       ground_slack=ground_slack)
     d = jnp.diagonal(Z.re, axis1=-2, axis2=-1), \
         jnp.diagonal(Z.im, axis1=-2, axis2=-1)
     return jnp.sqrt(d[0] * d[0] + d[1] * d[1])
@@ -102,3 +127,42 @@ def resonance_peaks(zmag: jnp.ndarray,
     hs = jnp.asarray(settings.harmonics)
     k = jnp.argmax(zmag, axis=0)
     return is_peak, hs[k], jnp.take_along_axis(zmag, k[None], axis=0)[0]
+
+
+def tuned_filter_admittance(settings: Settings, h_tune: float,
+                            x_cap: float, quality: float = 30.0) -> Cx:
+    """Admittance ``Y_f(h)``, shape (H,), of a single-tuned shunt filter.
+
+    A series R-L-C branch sized the textbook way: capacitive reactance
+    ``x_cap`` at fundamental (sets the var contribution), inductor tuned
+    so the branch resonates at order ``h_tune`` (``X_L = x_cap /
+    h_tune²``), damping from the quality factor (``R = sqrt(X_L·x_cap) /
+    quality``).  At ``h_tune`` the branch is purely resistive with
+    conductance ``quality / sqrt(X_L·x_cap)`` — a low-impedance sink
+    that collapses the parallel-resonance peak :func:`resonance_peaks`
+    found; away from it the branch is nearly transparent.
+
+    Use with :func:`install_shunt` and the solvers' ``Y=`` override to
+    re-run the scan or the full HPF with the filter in service.
+    """
+    rd = settings.real_dtype
+    h = jnp.asarray(settings.harmonics, rd)
+    x_l = x_cap / (h_tune * h_tune)
+    r = jnp.sqrt(x_l * x_cap) / quality
+    x = x_l * h - x_cap / h
+    d = r * r + x * x
+    return Cx(r / d, -x / d)
+
+
+def install_shunt(Y: Cx, bus: int, y_shunt: Cx) -> Cx:
+    """Return ``Y`` with a shunt admittance added at ``bus``'s diagonal.
+
+    ``y_shunt``: (H,) split-complex per-harmonic admittance (e.g. from
+    :func:`tuned_filter_admittance`).  The result feeds any entry point
+    with a ``Y=`` override (``hpf``, ``hpf_sweep``,
+    :func:`impedance_scan`) — note an overridden ``Y`` routes the solver
+    to the reference-form dense mismatch (hpfx.solve), which is exactly
+    the safe choice for a modified network.
+    """
+    return Cx(Y.re.at[:, bus, bus].add(y_shunt.re),
+              Y.im.at[:, bus, bus].add(y_shunt.im))
