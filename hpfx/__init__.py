@@ -32,9 +32,9 @@ from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
 from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
-from .impedance import (driving_point_impedance, impedance_scan,
-                        install_shunt, resonance_peaks,
-                        tuned_filter_admittance)
+from .impedance import (distortion_contributions, driving_point_impedance,
+                        frequency_scan, impedance_scan, install_shunt,
+                        resonance_peaks, tuned_filter_admittance)
 from .sensitivity import (LineParams, ScenarioParams, Sensitivity,
                           injection_sensitivity, line_sensitivity,
                           mix_sensitivity, scenario_sensitivity,
@@ -71,7 +71,8 @@ __all__ = [
     "scenario_sensitivity", "mix_sensitivity", "line_sensitivity",
     "sweep_sensitivity",
     "impedance_scan", "driving_point_impedance", "resonance_peaks",
-    "tuned_filter_admittance", "install_shunt",
+    "tuned_filter_admittance", "install_shunt", "frequency_scan",
+    "distortion_contributions",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
     "ControlledDeviceSet", "ExtendedResult", "hpf_extended",

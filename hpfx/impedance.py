@@ -15,8 +15,9 @@ the per-harmonic inversion is one H-batched real block solve
 (:func:`hpfx.cx.solve`), a single batched LU on the MXU.  Everything is
 jittable with static shapes.
 """
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from . import cx
@@ -26,7 +27,29 @@ from .network import Network
 from .ybus import build_ybus
 
 __all__ = ["impedance_scan", "driving_point_impedance", "resonance_peaks",
-           "tuned_filter_admittance", "install_shunt"]
+           "tuned_filter_admittance", "install_shunt", "frequency_scan",
+           "distortion_contributions"]
+
+
+def _norton_diag(devices) -> Cx:
+    """Per-device Norton admittance h-diagonal, (n_nl, H) split-complex.
+
+    For the coupled model this takes the diagonal of the (H, H) coupling
+    matrix — cross-harmonic terms cannot enter a per-harmonic ``Z(h)``.
+    """
+    yn = devices.Y_N
+    if getattr(devices, "coupled", False):
+        yn = Cx(jnp.diagonal(yn.re, axis1=-2, axis2=-1),
+                jnp.diagonal(yn.im, axis1=-2, axis2=-1))
+    return yn
+
+
+def _fold_norton(Y: Cx, net: Network, yn: Cx) -> Cx:
+    """Subtract per-device Norton diagonals ``yn`` (n_nl, K) from the
+    nonlinear buses' diagonal of the (K, n, n) admittance tensor."""
+    buses = net.m + jnp.arange(yn.shape[0])
+    return Cx(Y.re.at[:, buses, buses].add(-yn.re.T),
+              Y.im.at[:, buses, buses].add(-yn.im.T))
 
 
 def impedance_scan(net: Network, settings: Settings,
@@ -69,13 +92,7 @@ def impedance_scan(net: Network, settings: Settings,
     if Y is None:
         Y = build_ybus(net, settings)
     if devices is not None and devices.n_devices:
-        yn = devices.Y_N
-        if getattr(devices, "coupled", False):
-            yn = Cx(jnp.diagonal(yn.re, axis1=-2, axis2=-1),
-                    jnp.diagonal(yn.im, axis1=-2, axis2=-1))
-        buses = net.m + jnp.arange(devices.n_devices)
-        Y = Cx(Y.re.at[:, buses, buses].add(-yn.re.T),
-               Y.im.at[:, buses, buses].add(-yn.im.T))
+        Y = _fold_norton(Y, net, _norton_diag(devices))
     H, n = Y.shape[0], Y.shape[1]
     rd = settings.real_dtype
     if ground_slack:
@@ -166,3 +183,69 @@ def install_shunt(Y: Cx, bus: int, y_shunt: Cx) -> Cx:
     """
     return Cx(Y.re.at[:, bus, bus].add(y_shunt.re),
               Y.im.at[:, bus, bus].add(y_shunt.im))
+
+
+def frequency_scan(net: Network, settings: Settings,
+                   h_grid: Sequence[float], devices=None,
+                   ground_slack: bool = True) -> jnp.ndarray:
+    """Driving-point ``|Z_kk|`` on a dense (float) order grid, (K, n).
+
+    The integer-order scan (:func:`driving_point_impedance`) can miss a
+    resonance sitting BETWEEN harmonic orders — the classic detuned
+    capacitor-bank case — because it samples ``|Z|`` only at the orders
+    the HPF solves.  This re-assembles the Ybus at arbitrary fractional
+    orders (the assembly scales ``X``/``B`` linearly in ``h``, ybus.py —
+    exactly the reference's per-harmonic construction,
+    hcne_generalized.py:154-176, evaluated off-grid) and returns the
+    magnitudes.  Grid values are static (one compile per grid).
+
+    ``devices``: as in :func:`impedance_scan` (operational scan); the
+    Norton h-diagonal, tabulated at ``settings.harmonics``, is linearly
+    interpolated onto ``h_grid`` — at integer grid points this equals
+    the operational integer scan exactly.
+    """
+    hs = tuple(float(h) for h in h_grid)
+    dense = settings.with_(harmonics=hs)
+    Y = build_ybus(net, dense)
+    if devices is not None and devices.n_devices:
+        yn = _norton_diag(devices)
+        h0 = jnp.asarray(settings.harmonics, settings.real_dtype)
+        hq = jnp.asarray(hs, settings.real_dtype)
+        yn = Cx(jax.vmap(lambda y: jnp.interp(hq, h0, y))(yn.re),
+                jax.vmap(lambda y: jnp.interp(hq, h0, y))(yn.im))
+        Y = _fold_norton(Y, net, yn)
+    Z = impedance_scan(net, dense, Y=Y, ground_slack=ground_slack)
+    re = jnp.diagonal(Z.re, axis1=-2, axis2=-1)
+    im = jnp.diagonal(Z.im, axis1=-2, axis2=-1)
+    return jnp.sqrt(re * re + im * im)
+
+
+def distortion_contributions(net: Network, devices, settings: Settings,
+                             Y: Optional[Cx] = None) -> Cx:
+    """Per-device harmonic voltage contributions, (H, n, n_nl).
+
+    ``contrib[h, j, d] = −Z_op(h)[j, bus_d] · I_N[d](h)`` — the voltage
+    distortion device ``d`` alone would cause at bus ``j``, through the
+    operational network (every OTHER device present as its Norton
+    admittance).  Because the uncoupled harmonic balance is linear in
+    the injections (``(Y − Y_N)·V(h) = −I_N(h)``, sign convention per
+    :func:`impedance_scan`), the contributions superpose EXACTLY: their
+    device-sum reproduces the solved HPF harmonic voltages to NR
+    tolerance (tests/test_impedance.py).  For coupled devices the same
+    first-order (h-diagonal) picture applies.
+
+    This is the emission-allocation question (IEC 61000-3-6 style):
+    which converter is responsible for the distortion at bus ``j``.
+    Uses ``ground_slack=False`` (the solver's own balance), so the
+    network must be tied to ground (shunts / X_sh), as in any HPF run.
+
+    ``Y``: optional Ybus override (e.g. with a filter installed).
+    """
+    Z = impedance_scan(net, settings, Y=Y, devices=devices,
+                       ground_slack=False)
+    buses = net.m + jnp.arange(devices.n_devices)
+    Zc = Z[:, :, buses]                            # (H, n, n_nl)
+    IN = devices.I_N                               # (n_nl, H)
+    re_d, im_d = IN.re.T[:, None, :], IN.im.T[:, None, :]
+    return Cx(-(Zc.re * re_d - Zc.im * im_d),
+              -(Zc.re * im_d + Zc.im * re_d))

@@ -227,3 +227,89 @@ def test_filter_suppresses_tuned_order_in_full_hpf(tmp_path):
     # but the realized suppression must track the operational-Z ratio
     # in both directions (measured supp/gain = 0.97-1.02 here)
     assert 0.7 * gain < supp < 1.5 * gain, (supp, gain)
+
+
+def test_frequency_scan_finds_detuned_resonance(tmp_path):
+    """An LC feeder tuned to h* = 7.4 — BETWEEN integer orders.  The
+    integer scan can only report h=7 and badly underestimates the peak
+    (R=0.001 makes it sharp); the dense frequency scan must localize the
+    true resonance to grid resolution and expose its real magnitude."""
+    X, h_star = 0.1, 7.4
+    B = 2.0 / (X * h_star ** 2)
+    (tmp_path / "b.csv").write_text(
+        "ID;type;component;S;P;Q;X_sh\n"
+        "1;slack;generator;0;0;0;0\n"
+        "2;PQ;nothing;0;0;0;0\n")
+    (tmp_path / "l.csv").write_text(
+        "ID;fromID;toID;R;X;G;B\n"
+        f"1;1;2;0.001;{X};0;{B}\n")
+    s = hpfx.settings_for_hmax(25, coupled=True)
+    net = hpfx.load_network(str(tmp_path / "b.csv"),
+                            str(tmp_path / "l.csv"), s)
+    zmag_int = driving_point_impedance(net, s)
+    _, worst_h, worst_z = resonance_peaks(zmag_int, s)
+    assert int(worst_h[1]) == 7          # best an integer scan can do
+    grid = np.round(np.arange(6.0, 9.0001, 0.05), 4)
+    zdense = hpfx.frequency_scan(net, s, grid)
+    assert zdense.shape == (len(grid), 2)
+    h_found = float(grid[int(np.argmax(np.asarray(zdense)[:, 1]))])
+    assert abs(h_found - h_star) <= 0.0501, h_found
+    # the detuned peak is far taller than anything the integer scan saw
+    assert float(np.max(np.asarray(zdense)[:, 1])) > 5 * float(worst_z[1])
+    # consistency: an integer grid reproduces the integer scan exactly
+    zint = hpfx.frequency_scan(net, s, [float(h) for h in s.harmonics])
+    np.testing.assert_allclose(np.asarray(zint), np.asarray(zmag_int),
+                               rtol=1e-12)
+
+
+def test_frequency_scan_operational_matches_at_nodes(tmp_path):
+    """With devices=, the dense scan interpolates the Norton diagonals —
+    at integer grid points it must equal the operational integer scan."""
+    s = hpfx.settings_for_hmax(25, coupled=True)
+    net, dev = _resonant_smps_feeder(tmp_path, s)
+    zo = driving_point_impedance(net, s, devices=dev)
+    zf = hpfx.frequency_scan(net, s, [float(h) for h in s.harmonics],
+                             devices=dev)
+    np.testing.assert_allclose(np.asarray(zf), np.asarray(zo), rtol=1e-12)
+    # off-grid evaluation stays finite and positive at the load bus
+    zq = hpfx.frequency_scan(net, s, np.arange(2.0, 25.0, 0.5),
+                             devices=dev)
+    assert np.isfinite(np.asarray(zq)).all() and (np.asarray(zq)[:, 1] > 0).all()
+
+
+def test_distortion_contributions_superpose(tmp_path):
+    """Two SMPS devices on a 3-bus feeder: the per-device contributions
+    (through the operational Z) must sum EXACTLY to the solved uncoupled
+    HPF harmonic voltages — the superposition the linear Norton balance
+    guarantees — and each device's share must differ (different transfer
+    impedances)."""
+    from hpfx.harmonic import hpf
+
+    (tmp_path / "b.csv").write_text(
+        "ID;type;component;S;P;Q;X_sh\n"
+        "1;slack;generator;0;0;0;0\n"
+        "2;nonlinear;SMPS;0;150;50;0\n"
+        "3;nonlinear;SMPS;0;250;100;0\n")
+    (tmp_path / "l.csv").write_text(
+        "ID;fromID;toID;R;X;G;B\n"
+        "1;1;2;0.02;0.1;0;4.0\n"
+        "2;2;3;0.05;0.2;0;2.0\n")
+    s = hpfx.settings_for_hmax(25, coupled=False)
+    net = hpfx.load_network(str(tmp_path / "b.csv"),
+                            str(tmp_path / "l.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+    assert dev.n_devices == 2
+
+    res = hpf(net, dev, s)
+    assert bool(res.converged)
+    V = np.asarray(res.V_m) * np.exp(1j * np.asarray(res.V_a))
+
+    contrib = hpfx.distortion_contributions(net, dev, s)
+    assert contrib.shape == (len(s.harmonics), net.n, 2)
+    C = _np_complex(contrib)
+    total = C.sum(axis=-1)                        # (H, n)
+    err = np.abs(total[1:] - V[1:]).max() / np.abs(V[1:]).max()
+    assert err < 1e-7, err                        # NR-tolerance exact
+    # the two devices see different transfer impedances: their shares at
+    # the remote bus must not coincide
+    assert np.abs(C[1:, 1, 0] - C[1:, 1, 1]).max() > 1e-6
