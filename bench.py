@@ -121,6 +121,13 @@ if CPU_FALLBACK:
     BATCH = min(BATCH, 1024)
     BATCH_NET1 = min(BATCH_NET1, 64)
     REPEATS = min(REPEATS, 2)
+    if CONTINUATION_STAGES == 0 and CONTDEV_STAGES == 0 and not ADAPTDEV:
+        # on CPU the sweep is compute-bound, so the warm-start
+        # continuation's 3-4x NR-trip saving is a real throughput win
+        # (interleaved A/B at this config: cont8 ~4.0k vs adaptive
+        # ~1.1k conv-solves/s at conv 1.000; on TPU the same schedule
+        # LOSES to dispatch cost, CLAUDE.md #28 — hence CPU-only)
+        CONTINUATION_STAGES = 8
 
 import jax.numpy as jnp  # noqa: E402
 
