@@ -18,6 +18,8 @@ Covers, in order:
   10. per-harmonic impedance scan with resonance detection
   11. emission allocation (per-device distortion contributions), dense
       operational frequency scan, and a single-tuned filter in service
+  12. gradient-based tap optimization (optax loop on the exact IFT
+      gradients) on the transformer feeder
 """
 import os
 import sys
@@ -197,6 +199,14 @@ def main():
           f"operational resonance at h={h_res:.2f} (dense scan); "
           f"single-tuned filter there: maxTHD {thd_base:.4f} -> "
           f"{thd_filt:.4f} (converged={bool(res_f.converged)})")
+
+    # -- 12. gradient-based tap optimization on the trafo feeder ----------
+    opt = hpfx.optimize_line_params(
+        net_t, dev_t, st, vary=("tau",), fixed_lines=[1],
+        steps=20, learning_rate=0.01)
+    print(f"[12] tap optimization (adam on IFT gradients, 20 steps): "
+          f"maxTHD {opt.value0:.4f} -> {opt.value:.4f} at tau="
+          f"{float(opt.params.tau[0]):.3f} ({opt.n_solves} HPF solves)")
 
 
 if __name__ == "__main__":

@@ -35,6 +35,8 @@ from .network import validate_network
 from .impedance import (distortion_contributions, driving_point_impedance,
                         frequency_scan, impedance_scan, install_shunt,
                         resonance_peaks, tuned_filter_admittance)
+from .optimize import (OptimizeResult, apply_line_params,
+                       optimize_line_params)
 from .sensitivity import (LineParams, ScenarioParams, Sensitivity,
                           injection_sensitivity, line_sensitivity,
                           mix_sensitivity, scenario_sensitivity,
@@ -73,6 +75,7 @@ __all__ = [
     "impedance_scan", "driving_point_impedance", "resonance_peaks",
     "tuned_filter_admittance", "install_shunt", "frequency_scan",
     "distortion_contributions",
+    "OptimizeResult", "optimize_line_params", "apply_line_params",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
     "ControlledDeviceSet", "ExtendedResult", "hpf_extended",

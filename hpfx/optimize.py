@@ -1,0 +1,205 @@
+"""Gradient-based network design optimization on top of the HPF solver.
+
+The reference stops at *analysis* (solve, THD); its only design aid is
+manual re-runs.  Because every hpfx solve is differentiable (the
+implicit-function-theorem machinery in :mod:`hpfx.sensitivity`), design
+questions become first-order optimization:
+
+  - **tap optimization**: set transformer taps / phase shifts to
+    minimize distortion (the classical use of
+    :func:`hpfx.sensitivity.line_sensitivity` gradients);
+  - **reinforcement screening**: how much series-impedance reduction on
+    which line buys how much THD.
+
+:func:`optimize_line_params` runs a host-driven first-order loop
+(optax optimizer, default adam): solve the full coupled HPF at the
+current parameters (warm-started from the previous solution), take the
+exact IFT gradient of the objective, update, project onto bounds.  The
+two jitted programs (solve, gradient) are traced once — network line
+arrays are pytree leaves, so parameter changes never retrace.
+
+This is an offline design tool: the loop is Python (tens of solves),
+each solve/gradient is a compiled TPU/CPU program.  For very many
+design variables the same gradients batch through
+:func:`hpfx.sensitivity.sweep_sensitivity` instead.
+"""
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Settings
+from .harmonic import hpf
+from .network import Network
+from .results import get_thd
+from .sensitivity import LineParams, line_sensitivity
+
+__all__ = ["OptimizeResult", "optimize_line_params", "apply_line_params"]
+
+#: default box bounds per LineParams leaf (projection after each step)
+DEFAULT_BOUNDS = {
+    "z_scale": (0.25, 4.0),     # relative to the network as loaded
+    "tau": (0.85, 1.15),        # off-nominal tap range
+    "shift_rad": (-np.pi / 3, np.pi / 3),
+}
+
+
+class OptimizeResult(NamedTuple):
+    """Outcome of :func:`optimize_line_params`.
+
+    ``params``: the best-found :class:`LineParams` (z_scale relative to
+    the INPUT network).  ``net``: the input network with those
+    parameters applied — solve it directly to reproduce ``value``.
+    ``value``/``value0``: objective at the optimum / at the start.
+    ``history``: objective after each accepted step (NaN = solver did
+    not converge there, step rejected).  ``n_solves``: HPF solves spent.
+    """
+    params: LineParams
+    net: Network
+    value: float
+    value0: float
+    history: np.ndarray
+    n_solves: int
+
+
+def apply_line_params(net: Network, params: LineParams) -> Network:
+    """The input network with ``params`` applied (z_scale multiplies the
+    series R and X; tau/shift replace the per-line transformer values)."""
+    z = jnp.asarray(params.z_scale)
+    return dataclasses.replace(
+        net,
+        line_R=net.line_R * z, line_X=net.line_X * z,
+        line_tau=jnp.asarray(params.tau),
+        line_shift=jnp.asarray(params.shift_rad))
+
+
+def _project(params: LineParams, bounds, masks) -> LineParams:
+    """Clip each leaf onto its box, but only where the entry is actually
+    optimized (varied leaf AND free line) — frozen values are never
+    moved, even if they sit outside the box."""
+    return LineParams(*(
+        jnp.where(masks[name] > 0, jnp.clip(leaf, *bounds[name]), leaf)
+        for name, leaf in zip(LineParams._fields, params)))
+
+
+def optimize_line_params(
+    net: Network, devices, settings: Settings, *,
+    vary: Sequence[str] = ("tau",),
+    steps: int = 25,
+    learning_rate: float = 0.02,
+    optimizer=None,
+    bounds: Optional[dict] = None,
+    functional: Callable = None,
+    fixed_lines: Optional[Sequence[int]] = None,
+) -> OptimizeResult:
+    """Minimize ``functional(V_m, V_a)`` over line/transformer parameters.
+
+    ``vary``: which :class:`LineParams` leaves to optimize — any of
+    ``"tau"``, ``"shift_rad"``, ``"z_scale"``; the others stay at the
+    network's values.  ``fixed_lines``: per-line freeze mask (indices
+    whose parameters must not move — e.g. plain lines when optimizing
+    taps).  ``bounds``: ``{leaf: (lo, hi)}`` overrides of
+    ``DEFAULT_BOUNDS``.  ``optimizer``: any optax gradient transform
+    (default ``optax.adam(learning_rate)``).
+
+    Steps whose warm-started solve does not converge retry cold; if the
+    cold solve also fails the step is rejected (parameters halved back
+    toward the previous iterate) — the returned optimum is always a
+    CONVERGED operating point.  Returns :class:`OptimizeResult`.
+    """
+    import optax
+
+    if functional is None:
+        def functional(V_m, V_a):
+            return jnp.max(get_thd(V_m).THD_F)
+    if optimizer is None:
+        optimizer = optax.adam(learning_rate)
+    b = dict(DEFAULT_BOUNDS)
+    b.update(bounds or {})
+    unknown = set(vary) - set(LineParams._fields)
+    if unknown:
+        raise ValueError(f"vary contains unknown leaves {sorted(unknown)}; "
+                         f"valid: {LineParams._fields}")
+    rd = settings.real_dtype
+    L = net.n_lines
+    free = jnp.ones((L,), rd)
+    if fixed_lines is not None:
+        free = free.at[jnp.asarray(fixed_lines)].set(0.0)
+    masks = {name: free * float(name in vary)
+             for name in LineParams._fields}
+
+    # parameters are ABSOLUTE (z relative to the input net): the solve
+    # and the gradient are both taken at the applied network, so the
+    # returned grad.z_scale is d/d(local scale) at the current point —
+    # chain-ruled below onto the absolute z
+    params = _project(LineParams(
+        z_scale=jnp.ones((L,), rd),
+        tau=jnp.asarray(net.line_tau, rd),
+        shift_rad=jnp.asarray(net.line_shift, rd)), b, masks)
+
+    lp_template = LineParams(z_scale=jnp.ones((L,), rd))  # per-line grads
+
+    @jax.jit
+    def solve(net_k, V0):
+        return hpf(net_k, devices, settings, V0=V0)
+
+    @jax.jit
+    def solve_cold(net_k):
+        return hpf(net_k, devices, settings)
+
+    @jax.jit
+    def grad_at(net_k, res):
+        sens = line_sensitivity(net_k, devices, settings, res,
+                                line_params=lp_template,
+                                functional=functional)
+        return sens.value, sens.grad
+
+    opt_state = optimizer.init(params)
+    res = solve_cold(apply_line_params(net, params))
+    if not bool(np.asarray(res.converged)):
+        raise RuntimeError("HPF does not converge at the initial "
+                           "parameters — nothing to optimize from")
+    n_solves = 1
+    value0, g = grad_at(apply_line_params(net, params), res)
+    value0 = float(np.asarray(value0))
+    best_params, best_value, best_res = params, value0, res
+    history = []
+
+    for _ in range(steps):
+        # local z grad -> absolute z grad (R_abs = R0 * z_abs, local
+        # scale multiplies R_abs: df/dz_abs = df/dz_local / z_abs)
+        g_abs = LineParams(
+            z_scale=(g.z_scale / params.z_scale) * masks["z_scale"],
+            tau=g.tau * masks["tau"],
+            shift_rad=g.shift_rad * masks["shift_rad"])
+        updates, opt_state = optimizer.update(g_abs, opt_state, params)
+        proposal = _project(
+            LineParams(*(p + u for p, u in zip(params, updates))), b, masks)
+
+        res_new = solve(apply_line_params(net, proposal),
+                        (best_res.V_m, best_res.V_a))
+        n_solves += 1
+        if not bool(np.asarray(res_new.converged)):
+            res_new = solve_cold(apply_line_params(net, proposal))
+            n_solves += 1
+        if not bool(np.asarray(res_new.converged)):
+            # reject: halve back toward the last accepted iterate
+            params = LineParams(*(0.5 * (p + q) for p, q
+                                  in zip(proposal, params)))
+            history.append(float("nan"))
+            continue
+        params = proposal
+        value, g = grad_at(apply_line_params(net, params), res_new)
+        value = float(np.asarray(value))
+        history.append(value)
+        if value < best_value:
+            best_params, best_value, best_res = params, value, res_new
+
+    return OptimizeResult(
+        params=best_params, net=apply_line_params(net, best_params),
+        value=best_value, value0=value0,
+        history=np.asarray(history, dtype=np.float64),
+        n_solves=n_solves)
