@@ -208,6 +208,16 @@ def main():
           f"maxTHD {opt.value0:.4f} -> {opt.value:.4f} at tau="
           f"{float(opt.params.tau[0]):.3f} ({opt.n_solves} HPF solves)")
 
+    # -- 13. gradient-tuned filter: stage 11's hand-sized design, optimized
+    fopt = hpfx.optimize_filter(net, dev, s, bus=wb, h_tune0=h_res,
+                                x_cap0=0.05, steps=15, learning_rate=0.05)
+    print(f"[13] filter optimization at bus {wb} (IFT gradients over "
+          f"h_tune/x_cap, 15 steps): maxTHD {fopt.value0:.4f} -> "
+          f"{fopt.value:.4f} at h_tune="
+          f"{float(np.asarray(fopt.params.h_tune)):.2f}, x_cap="
+          f"{float(np.asarray(fopt.params.x_cap)):.3f} "
+          f"({fopt.n_solves} HPF solves)")
+
 
 if __name__ == "__main__":
     main()

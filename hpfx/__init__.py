@@ -35,9 +35,10 @@ from .network import validate_network
 from .impedance import (distortion_contributions, driving_point_impedance,
                         frequency_scan, impedance_scan, install_shunt,
                         resonance_peaks, tuned_filter_admittance)
-from .optimize import (OptimizeResult, apply_line_params,
-                       optimize_line_params)
-from .sensitivity import (LineParams, ScenarioParams, Sensitivity,
+from .optimize import (FilterOptResult, OptimizeResult, apply_line_params,
+                       optimize_filter, optimize_line_params)
+from .sensitivity import (FilterParams, LineParams, ScenarioParams,
+                          Sensitivity, filter_sensitivity,
                           injection_sensitivity, line_sensitivity,
                           mix_sensitivity, scenario_sensitivity,
                           sweep_sensitivity)
@@ -69,13 +70,14 @@ __all__ = [
     "synthetic_feeder", "validate_network",
     "write_vlog", "read_vlog", "write_ilog", "read_ilog",
     "trajectory_injections",
-    "Sensitivity", "ScenarioParams", "LineParams", "injection_sensitivity",
-    "scenario_sensitivity", "mix_sensitivity", "line_sensitivity",
-    "sweep_sensitivity",
+    "Sensitivity", "ScenarioParams", "LineParams", "FilterParams",
+    "injection_sensitivity", "scenario_sensitivity", "mix_sensitivity",
+    "line_sensitivity", "sweep_sensitivity", "filter_sensitivity",
     "impedance_scan", "driving_point_impedance", "resonance_peaks",
     "tuned_filter_admittance", "install_shunt", "frequency_scan",
     "distortion_contributions",
     "OptimizeResult", "optimize_line_params", "apply_line_params",
+    "FilterOptResult", "optimize_filter",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
     "ControlledDeviceSet", "ExtendedResult", "hpf_extended",

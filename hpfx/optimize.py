@@ -36,8 +36,10 @@ from .harmonic import hpf
 from .network import Network
 from .results import get_thd
 from .sensitivity import LineParams, line_sensitivity
+from .ybus import build_ybus
 
-__all__ = ["OptimizeResult", "optimize_line_params", "apply_line_params"]
+__all__ = ["OptimizeResult", "optimize_line_params", "apply_line_params",
+           "FilterOptResult", "optimize_filter"]
 
 #: default box bounds per LineParams leaf (projection after each step)
 DEFAULT_BOUNDS = {
@@ -203,3 +205,130 @@ def optimize_line_params(
         value=best_value, value0=value0,
         history=np.asarray(history, dtype=np.float64),
         n_solves=n_solves)
+
+
+DEFAULT_FILTER_BOUNDS = {
+    "h_tune": (2.0, None),      # upper bound filled from the harmonic set
+    "x_cap": (1e-3, 10.0),
+}
+
+
+class FilterOptResult(NamedTuple):
+    """Outcome of :func:`optimize_filter`.  ``Y``: the network admittance
+    with the optimized filter installed — solve with ``hpf(..., Y=Y)`` to
+    reproduce ``value``."""
+    params: object            # FilterParams at the optimum
+    Y: object                 # Cx (H, n, n) with the filter installed
+    value: float
+    value0: float
+    history: np.ndarray
+    n_solves: int
+
+
+def optimize_filter(
+    net: Network, devices, settings: Settings, bus: int, *,
+    h_tune0: float = None, x_cap0: float = 1.0, quality: float = 30.0,
+    steps: int = 25, learning_rate: float = 0.05,
+    optimizer=None, bounds: Optional[dict] = None,
+    functional: Callable = None,
+) -> FilterOptResult:
+    """Tune a single-tuned shunt filter at ``bus`` by gradient descent on
+    the full coupled HPF: minimize ``functional(V_m, V_a)`` (default
+    worst-bus THD_F) over the filter's resonant order and capacitor size,
+    using the exact IFT gradients of
+    :func:`hpfx.sensitivity.filter_sensitivity`.
+
+    ``h_tune0`` defaults to the worst OPERATIONAL resonance order at
+    ``bus`` (:func:`hpfx.impedance.resonance_peaks` over the
+    device-inclusive scan — the converter's Norton admittance damps the
+    passive peak, so the passive worst order can be the wrong target;
+    see test_impedance.py's operational-vs-passive story).  The gradient
+    loop then detunes optimally from there (real designs tune slightly
+    BELOW the resonance; the gradient finds how much).  Same
+    acceptance rules as :func:`optimize_line_params` (warm retry, cold
+    retry, reject) — the result is always a converged operating point.
+    """
+    import optax
+
+    from .harmonic import hpf
+    from .impedance import (driving_point_impedance, install_shunt,
+                            resonance_peaks, tuned_filter_admittance)
+    from .sensitivity import FilterParams, filter_sensitivity
+
+    if functional is None:
+        def functional(V_m, V_a):
+            return jnp.max(get_thd(V_m).THD_F)
+    if optimizer is None:
+        optimizer = optax.adam(learning_rate)
+    b = dict(DEFAULT_FILTER_BOUNDS)
+    b.update(bounds or {})
+    if b["h_tune"][1] is None:
+        b["h_tune"] = (b["h_tune"][0], float(settings.harmonics[-1]))
+    rd = settings.real_dtype
+    if h_tune0 is None:
+        zmag = driving_point_impedance(net, settings, devices=devices)
+        _, worst_h, _ = resonance_peaks(zmag, settings)
+        h_tune0 = float(np.asarray(worst_h)[bus])
+
+    def project(p):
+        return FilterParams(h_tune=jnp.clip(p.h_tune, *b["h_tune"]),
+                            x_cap=jnp.clip(p.x_cap, *b["x_cap"]))
+
+    params = project(FilterParams(h_tune=jnp.asarray(h_tune0, rd),
+                                  x_cap=jnp.asarray(x_cap0, rd)))
+
+    def Y_of(p):
+        return install_shunt(
+            build_ybus(net, settings), bus,
+            tuned_filter_admittance(settings, p.h_tune, p.x_cap, quality))
+
+    @jax.jit
+    def solve(p, V0):
+        return hpf(net, devices, settings, Y=Y_of(p), V0=V0)
+
+    @jax.jit
+    def solve_cold(p):
+        return hpf(net, devices, settings, Y=Y_of(p))
+
+    @jax.jit
+    def grad_at(p, res):
+        sens = filter_sensitivity(net, devices, settings, res, bus, p,
+                                  quality=quality, functional=functional)
+        return sens.value, sens.grad
+
+    opt_state = optimizer.init(params)
+    res = solve_cold(params)
+    if not bool(np.asarray(res.converged)):
+        raise RuntimeError("HPF does not converge with the initial filter "
+                           "— start from different (h_tune0, x_cap0)")
+    n_solves = 1
+    value0, g = grad_at(params, res)
+    value0 = float(np.asarray(value0))
+    best_params, best_value, best_res = params, value0, res
+    history = []
+
+    for _ in range(steps):
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        proposal = project(
+            FilterParams(*(p + u for p, u in zip(params, updates))))
+        res_new = solve(proposal, (best_res.V_m, best_res.V_a))
+        n_solves += 1
+        if not bool(np.asarray(res_new.converged)):
+            res_new = solve_cold(proposal)
+            n_solves += 1
+        if not bool(np.asarray(res_new.converged)):
+            params = FilterParams(*(0.5 * (p + q) for p, q
+                                    in zip(proposal, params)))
+            history.append(float("nan"))
+            continue
+        params = proposal
+        value, g = grad_at(params, res_new)
+        value = float(np.asarray(value))
+        history.append(value)
+        if value < best_value:
+            best_params, best_value, best_res = params, value, res_new
+
+    return FilterOptResult(
+        params=best_params, Y=Y_of(best_params),
+        value=best_value, value0=value0,
+        history=np.asarray(history, dtype=np.float64), n_solves=n_solves)

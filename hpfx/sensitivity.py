@@ -400,3 +400,90 @@ def injection_sensitivity(
         grad = grad.reshape(())
         dx = dx[:, 0]
     return Sensitivity(value=sens.value, grad=grad, dx=dx)
+
+
+class FilterParams(NamedTuple):
+    """Differentiation point for :func:`filter_sensitivity`: the
+    single-tuned shunt filter's design parameters (see
+    :func:`hpfx.impedance.tuned_filter_admittance` — ``h_tune`` is the
+    series-resonant order, ``x_cap`` the fundamental capacitive
+    reactance).  The quality factor is carried statically."""
+    h_tune: object = 7.0
+    x_cap: object = 1.0
+
+
+@highest_precision
+def filter_sensitivity(
+    net: Network, devices, settings: Settings,
+    result: HPFResult, bus: int, filter_params: FilterParams,
+    quality: float = 30.0,
+    scenario_params: Optional[ScenarioParams] = None,
+    functional: Callable = None,
+) -> Sensitivity:
+    """Gradient of ``functional(V_m, V_a)`` wrt the tuned-filter design
+    parameters at a converged solution — the same implicit-function-
+    theorem machinery as :func:`scenario_sensitivity`, with ∂f/∂θ taken
+    by forward-mode autodiff *through the filter admittance and the Ybus
+    diagonal fold* (:func:`hpfx.impedance.tuned_filter_admittance` +
+    ``install_shunt`` are pure JAX in ``h_tune``/``x_cap``).
+
+    ``result`` must be solved WITH the filter in service, i.e. via the
+    ``Y=`` override::
+
+        Yf = install_shunt(build_ybus(net, s), bus,
+                           tuned_filter_admittance(s, h_tune, x_cap, q))
+        res = hpf(net, dev, s, Y=Yf)
+
+    (the ``Y=`` override disables the stable mismatch, matching the
+    plain ``harmonic_mismatch`` differentiated here).  Closes the
+    filter-design loop: scan -> detect -> size -> *optimize*
+    (:func:`hpfx.optimize.optimize_filter`).
+    """
+    from .impedance import install_shunt, tuned_filter_admittance
+
+    if functional is None:
+        def functional(V_m, V_a):
+            return jnp.max(get_thd(V_m).THD_F)
+    if scenario_params is None:
+        scenario_params = ScenarioParams()
+    rd = settings.real_dtype
+    sp = ScenarioParams(*(jnp.asarray(p, rd) for p in scenario_params))
+    fp = FilterParams(*(jnp.asarray(p, rd) for p in filter_params))
+
+    H, n, c, m = settings.n_harmonics, net.n, net.c, net.m
+    V_m, V_a = result.V_m, result.V_a
+    x_star = harmonic_state_vector(V_m, V_a, c)
+    S = Cx(net.bus_P * sp.p_scale, net.bus_Q * sp.q_scale)
+    dev_t = devices.scale(sp.injection_scale)
+    Y0 = build_ybus(net, settings)
+
+    def Y_of(p: FilterParams):
+        return install_shunt(
+            Y0, bus, tuned_filter_admittance(settings, p.h_tune,
+                                             p.x_cap, quality))
+
+    def f(x, p: FilterParams):
+        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+        return harmonic_mismatch(Vm2, Va2, Y_of(p), S, dev_t, m, n, c)[0]
+
+    df = jax.jacfwd(lambda p: f(x_star, p))(fp)
+    dim = x_star.shape[0]
+    cols = jnp.concatenate(
+        [leaf.reshape(dim, -1) for leaf in df], axis=1)    # (dim, 2)
+
+    # J at the solved point: the filter IS part of the operating point
+    dx_cols = -_solve_columns(V_m, V_a, Y_of(fp), dev_t, net, settings,
+                              cols)
+
+    def g_of_x(x):
+        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+        return functional(Vm2, Va2)
+
+    value, dg = jax.value_and_grad(g_of_x)(x_star)
+    grad_flat = dg @ dx_cols
+    out, off = [], 0
+    for leaf in fp:
+        k = max(1, leaf.size)
+        out.append(grad_flat[off:off + k].reshape(jnp.shape(leaf)))
+        off += k
+    return Sensitivity(value=value, grad=FilterParams(*out), dx=dx_cols)

@@ -130,3 +130,105 @@ def test_unknown_vary_leaf_raises():
     s, net, dev = trafo_feeder()
     with pytest.raises(ValueError, match="unknown"):
         hpfx.optimize_line_params(net, dev, s, vary=("taps",), steps=1)
+
+
+# ---------------------------------------------------------------------------
+# Tuned-filter design loop (filter_sensitivity + optimize_filter)
+# ---------------------------------------------------------------------------
+
+def resonant_feeder(h_max=25, target_h=7):
+    """slack—(R, X_L, line-charging B)—SMPS feeder whose passive parallel
+    resonance sits at target_h (same construction as test_impedance.py's
+    fixture, built programmatically)."""
+    s = hpfx.settings_for_hmax(h_max, coupled=True)
+    X = 0.1
+    B = 2.0 / (X * target_h ** 2)
+    net = hpfx.network_from_arrays(
+        bus_types=(SLACK, NONLINEAR),
+        components=("generator", "SMPS"),
+        P=[0, 250], Q=[0, 100],
+        line_from=[0], line_to=[1], R=[0.02], X=[X], B=[B],
+        settings=s, per_unit=False)
+    return s, net, hpfx.load_device_set(net, s)
+
+
+def _filtered_solve(net, dev, s, h_tune, x_cap, quality=30.0):
+    Yf = hpfx.install_shunt(
+        hpfx.build_ybus(net, s), 1,
+        hpfx.tuned_filter_admittance(s, h_tune, x_cap, quality))
+    res = hpfx.hpf(net, dev, s, Y=Yf)
+    assert bool(res.converged), (h_tune, x_cap)
+    return res
+
+
+def test_filter_sensitivity_fd_oracle():
+    """IFT gradients wrt (h_tune, x_cap) match central finite differences
+    of the full re-solved HPF (2e-4 relative — the FD oracle's floor is
+    the NR tolerance, same as the other sensitivity oracles)."""
+    from hpfx.sensitivity import FilterParams, filter_sensitivity
+
+    s, net, dev = resonant_feeder()
+    fp = FilterParams(h_tune=6.7, x_cap=0.05)
+    res = _filtered_solve(net, dev, s, fp.h_tune, fp.x_cap)
+    sens = filter_sensitivity(net, dev, s, res, 1, fp)
+
+    def thd_at(h_tune, x_cap):
+        r = _filtered_solve(net, dev, s, h_tune, x_cap)
+        return float(jnp.max(hpfx.get_thd(r.V_m).THD_F))
+
+    assert float(sens.value) == pytest.approx(
+        thd_at(fp.h_tune, fp.x_cap), rel=1e-9)
+    eps = 1e-5
+    fd_h = (thd_at(fp.h_tune + eps, fp.x_cap)
+            - thd_at(fp.h_tune - eps, fp.x_cap)) / (2 * eps)
+    fd_c = (thd_at(fp.h_tune, fp.x_cap + eps)
+            - thd_at(fp.h_tune, fp.x_cap - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(sens.grad.h_tune), fd_h, rtol=2e-4)
+    np.testing.assert_allclose(float(sens.grad.x_cap), fd_c, rtol=2e-4)
+
+
+def test_optimize_filter_beats_tune_grid():
+    """The gradient loop's optimum must match the best of a brute-force
+    h_tune scan (x_cap free in the loop, so <=; grid holds x_cap at the
+    optimizer's own answer for a fair 1-D global check), improve on the
+    default start, and reproduce from the returned Y."""
+    s, net, dev = resonant_feeder()
+    out = hpfx.optimize_filter(net, dev, s, bus=1, x_cap0=0.05,
+                               steps=120, learning_rate=0.05)
+    assert out.value < out.value0
+
+    def thd_at(h_tune, x_cap):
+        r = _filtered_solve(net, dev, s, h_tune, x_cap)
+        return float(jnp.max(hpfx.get_thd(r.V_m).THD_F))
+
+    x_star = float(np.asarray(out.params.x_cap))
+    grid = np.linspace(5.0, 9.0, 41)
+    vals = np.array([thd_at(h, x_star) for h in grid])
+    # same convergence yardstick as the tap-optimization global check:
+    # the first-order loop must land in the grid minimum's neighborhood
+    # (adam's asymptotic tail keeps shaving ~5e-6/step at this point)
+    assert out.value <= vals.min() + 5e-4, (out.value, vals.min())
+    assert abs(float(out.params.h_tune) - grid[vals.argmin()]) < 0.2
+
+    # the returned Y reproduces the reported optimum from cold
+    res = hpfx.hpf(net, dev, s, Y=out.Y)
+    assert bool(res.converged)
+    assert float(jnp.max(hpfx.get_thd(res.V_m).THD_F)) == pytest.approx(
+        out.value, abs=1e-7)
+
+
+def test_optimize_filter_default_start_is_operational_resonance():
+    """h_tune0 defaults to the worst OPERATIONAL resonance order (the
+    device-inclusive scan — the converter's Norton admittance damps the
+    passive h=7 peak, so the two scans disagree on this feeder)."""
+    s, net, dev = resonant_feeder()
+    out = hpfx.optimize_filter(net, dev, s, bus=1, x_cap0=0.05, steps=0)
+    zop = hpfx.driving_point_impedance(net, s, devices=dev)
+    _, worst_h, _ = hpfx.resonance_peaks(zop, s)
+    assert float(np.asarray(out.params.h_tune)) == pytest.approx(
+        float(worst_h[1]))
+    zp = hpfx.driving_point_impedance(net, s)
+    _, worst_hp, _ = hpfx.resonance_peaks(zp, s)
+    assert int(worst_hp[1]) == 7          # fixture's passive peak
+    assert int(worst_h[1]) != 7           # ... which the device damps away
+    assert out.value == out.value0
