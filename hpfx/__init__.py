@@ -41,7 +41,7 @@ from .sensitivity import (FilterParams, LineParams, ScenarioParams,
                           Sensitivity, filter_sensitivity,
                           injection_sensitivity, line_sensitivity,
                           mix_sensitivity, scenario_sensitivity,
-                          sweep_sensitivity)
+                          sweep_filter_sensitivity, sweep_sensitivity)
 from .trajlog import (read_ilog, read_vlog, trajectory_injections,
                       write_ilog, write_vlog)
 from .ybus import build_ybus
@@ -73,6 +73,7 @@ __all__ = [
     "Sensitivity", "ScenarioParams", "LineParams", "FilterParams",
     "injection_sensitivity", "scenario_sensitivity", "mix_sensitivity",
     "line_sensitivity", "sweep_sensitivity", "filter_sensitivity",
+    "sweep_filter_sensitivity",
     "impedance_scan", "driving_point_impedance", "resonance_peaks",
     "tuned_filter_admittance", "install_shunt", "frequency_scan",
     "distortion_contributions",

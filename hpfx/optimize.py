@@ -231,6 +231,7 @@ def optimize_filter(
     steps: int = 25, learning_rate: float = 0.05,
     optimizer=None, bounds: Optional[dict] = None,
     functional: Callable = None,
+    scenarios=None, reduce: str = "mean",
 ) -> FilterOptResult:
     """Tune a single-tuned shunt filter at ``bus`` by gradient descent on
     the full coupled HPF: minimize ``functional(V_m, V_a)`` (default
@@ -247,14 +248,28 @@ def optimize_filter(
     BELOW the resonance; the gradient finds how much).  Same
     acceptance rules as :func:`optimize_line_params` (warm retry, cold
     retry, reject) — the result is always a converged operating point.
+
+    **Robust design**: pass ``scenarios`` (a :class:`hpfx.solve.Scenarios`
+    batch) to tune ONE filter against every scenario at once — each step
+    re-solves the whole sweep (``hpf_sweep`` with the filter's ``Y=``
+    override, warm-started) and descends the aggregate of the
+    per-scenario IFT gradients from
+    :func:`hpfx.sensitivity.sweep_filter_sensitivity`:
+    ``reduce="mean"`` for the expected value, ``reduce="max"`` for the
+    worst case (the argmax scenario's gradient — a valid subgradient).
+    A proposal is accepted only if EVERY scenario converges; ``value``
+    is the aggregate objective.
     """
     import optax
 
     from .harmonic import hpf
     from .impedance import (driving_point_impedance, install_shunt,
                             resonance_peaks, tuned_filter_admittance)
-    from .sensitivity import FilterParams, filter_sensitivity
+    from .sensitivity import (FilterParams, filter_sensitivity,
+                              sweep_filter_sensitivity)
 
+    if reduce not in ("mean", "max"):
+        raise ValueError(f"unknown reduce {reduce!r}: use 'mean' or 'max'")
     if functional is None:
         def functional(V_m, V_a):
             return jnp.max(get_thd(V_m).THD_F)
@@ -282,23 +297,50 @@ def optimize_filter(
             build_ybus(net, settings), bus,
             tuned_filter_admittance(settings, p.h_tune, p.x_cap, quality))
 
-    @jax.jit
-    def solve(p, V0):
-        return hpf(net, devices, settings, Y=Y_of(p), V0=V0)
+    if scenarios is None:
+        @jax.jit
+        def solve(p, V0):
+            return hpf(net, devices, settings, Y=Y_of(p), V0=V0)
 
-    @jax.jit
-    def solve_cold(p):
-        return hpf(net, devices, settings, Y=Y_of(p))
+        @jax.jit
+        def solve_cold(p):
+            return hpf(net, devices, settings, Y=Y_of(p))
 
-    @jax.jit
-    def grad_at(p, res):
-        sens = filter_sensitivity(net, devices, settings, res, bus, p,
-                                  quality=quality, functional=functional)
-        return sens.value, sens.grad
+        @jax.jit
+        def grad_at(p, res):
+            sens = filter_sensitivity(net, devices, settings, res, bus, p,
+                                      quality=quality,
+                                      functional=functional)
+            return sens.value, sens.grad
+    else:
+        from .solve import hpf_sweep
+
+        def solve(p, V0):
+            return hpf_sweep(net, devices, settings, scenarios,
+                             V0=V0, Y=Y_of(p))
+
+        def solve_cold(p):
+            return hpf_sweep(net, devices, settings, scenarios, Y=Y_of(p))
+
+        @jax.jit
+        def grad_at(p, res):
+            sens = sweep_filter_sensitivity(
+                net, devices, settings, res, scenarios, bus, p,
+                quality=quality, functional=functional)
+            if reduce == "mean":
+                return (jnp.mean(sens.value),
+                        FilterParams(*(jnp.mean(g, axis=0)
+                                       for g in sens.grad)))
+            worst = jnp.argmax(sens.value)
+            return (sens.value[worst],
+                    FilterParams(*(g[worst] for g in sens.grad)))
+
+    def _converged(res) -> bool:
+        return bool(np.asarray(res.converged).all())
 
     opt_state = optimizer.init(params)
     res = solve_cold(params)
-    if not bool(np.asarray(res.converged)):
+    if not _converged(res):
         raise RuntimeError("HPF does not converge with the initial filter "
                            "— start from different (h_tune0, x_cap0)")
     n_solves = 1
@@ -313,10 +355,10 @@ def optimize_filter(
             FilterParams(*(p + u for p, u in zip(params, updates))))
         res_new = solve(proposal, (best_res.V_m, best_res.V_a))
         n_solves += 1
-        if not bool(np.asarray(res_new.converged)):
+        if not _converged(res_new):
             res_new = solve_cold(proposal)
             n_solves += 1
-        if not bool(np.asarray(res_new.converged)):
+        if not _converged(res_new):
             params = FilterParams(*(0.5 * (p + q) for p, q
                                     in zip(proposal, params)))
             history.append(float("nan"))

@@ -487,3 +487,87 @@ def filter_sensitivity(
         out.append(grad_flat[off:off + k].reshape(jnp.shape(leaf)))
         off += k
     return Sensitivity(value=value, grad=FilterParams(*out), dx=dx_cols)
+
+
+@highest_precision
+def sweep_filter_sensitivity(
+    net: Network, devices, settings: Settings,
+    sweep_result, scenarios, bus: int, filter_params: FilterParams,
+    quality: float = 30.0,
+    functional: Callable = None,
+) -> Sensitivity:
+    """Per-scenario gradients of ``functional`` wrt ONE shared tuned
+    filter's design parameters, over a whole sweep in one vmapped
+    program — the robust-design counterpart of :func:`filter_sensitivity`
+    (same IFT machinery, batched like :func:`sweep_sensitivity`).
+
+    ``sweep_result`` must come from ``hpf_sweep(..., Y=Yf)`` with the
+    filter installed via :func:`hpfx.impedance.install_shunt` at the SAME
+    ``filter_params`` (the ``Y=`` override routes every scenario through
+    the plain dense mismatch differentiated here).  The filter is a
+    single design shared by all B scenarios; aggregate the returned (B,)
+    leaves (mean for expected-value designs, the argmax row for worst-
+    case) — that is exactly what :func:`hpfx.optimize.optimize_filter`
+    does when given ``scenarios``.
+
+    Returns value (B,), grad FilterParams with (B,)-leading leaves,
+    dx (B, dim, 2).  Gradients at non-converged scenarios are
+    meaningless; mask with ``sweep_result.converged``.
+    """
+    from .impedance import install_shunt, tuned_filter_admittance
+
+    if functional is None:
+        def functional(V_m, V_a):
+            return jnp.max(get_thd(V_m).THD_F)
+    rd = settings.real_dtype
+    fp = FilterParams(*(jnp.asarray(p, rd) for p in filter_params))
+    B = scenarios.batch
+    p = jnp.asarray(scenarios.p_scale, rd)
+    # None defaults mirror hpf_sweep's: q follows p, injections one
+    q = p if scenarios.q_scale is None else jnp.asarray(scenarios.q_scale, rd)
+    inj = (jnp.ones((B,), rd) if scenarios.injection_scale is None
+           else jnp.asarray(scenarios.injection_scale, rd))
+    mix = scenarios.device_mix
+    H, n, c, m = settings.n_harmonics, net.n, net.c, net.m
+    Y0 = build_ybus(net, settings)
+
+    def Y_of(p_: FilterParams):
+        return install_shunt(
+            Y0, bus, tuned_filter_admittance(settings, p_.h_tune,
+                                             p_.x_cap, quality))
+
+    def one(V_m, V_a, p_s, q_s, i_s, w):
+        base = devices.mixed(w) if w is not None else devices
+        x_star = harmonic_state_vector(V_m, V_a, c)
+        S = Cx(net.bus_P * p_s, net.bus_Q * q_s)
+        dev_t = base.scale(i_s)
+
+        def f(x, fp2: FilterParams):
+            Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+            return harmonic_mismatch(Vm2, Va2, Y_of(fp2), S, dev_t,
+                                     m, n, c)[0]
+
+        df = jax.jacfwd(lambda fp2: f(x_star, fp2))(fp)
+        dim = x_star.shape[0]
+        cols = jnp.concatenate(
+            [leaf.reshape(dim, -1) for leaf in df], axis=1)    # (dim, 2)
+        dx_cols = -_solve_columns(V_m, V_a, Y_of(fp), dev_t, net,
+                                  settings, cols)
+
+        def g_of_x(x):
+            Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+            return functional(Vm2, Va2)
+
+        value, dg = jax.value_and_grad(g_of_x)(x_star)
+        grad_flat = dg @ dx_cols
+        out, off = [], 0
+        for leaf in fp:
+            k = max(1, leaf.size)
+            out.append(grad_flat[off:off + k].reshape(jnp.shape(leaf)))
+            off += k
+        return value, FilterParams(*out), dx_cols
+
+    in_axes = (0, 0, 0, 0, 0, None if mix is None else 0)
+    value, grad, dx = jax.vmap(one, in_axes=in_axes)(
+        sweep_result.V_m, sweep_result.V_a, p, q, inj, mix)
+    return Sensitivity(value=value, grad=grad, dx=dx)

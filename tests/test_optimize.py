@@ -232,3 +232,76 @@ def test_optimize_filter_default_start_is_operational_resonance():
     assert int(worst_hp[1]) == 7          # fixture's passive peak
     assert int(worst_h[1]) != 7           # ... which the device damps away
     assert out.value == out.value0
+
+
+def test_sweep_filter_sensitivity_matches_per_scenario_loop():
+    """The vmapped sweep gradients must equal a loop of single-scenario
+    filter_sensitivity calls at the matching operating points."""
+    from hpfx.sensitivity import (FilterParams, ScenarioParams,
+                                  filter_sensitivity,
+                                  sweep_filter_sensitivity)
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    s, net, dev = resonant_feeder()
+    fp = FilterParams(h_tune=6.7, x_cap=0.05)
+    Yf = hpfx.install_shunt(
+        hpfx.build_ybus(net, s), 1,
+        hpfx.tuned_filter_admittance(s, fp.h_tune, fp.x_cap, 30.0))
+    B = 4
+    scen = Scenarios(p_scale=jnp.asarray([0.8, 1.0, 1.1, 1.2]),
+                     q_scale=jnp.asarray([1.0, 1.0, 0.9, 1.1]),
+                     injection_scale=jnp.asarray([0.7, 1.0, 1.0, 1.3]))
+    sweep = hpf_sweep(net, dev, s, scen, Y=Yf)
+    assert bool(np.asarray(sweep.converged).all())
+
+    sens = sweep_filter_sensitivity(net, dev, s, sweep, scen, 1, fp)
+    assert sens.value.shape == (B,)
+    for b in range(B):
+        from hpfx.harmonic import HPFResult
+        res_b = HPFResult(V_m=sweep.V_m[b], V_a=sweep.V_a[b],
+                          err=sweep.err[b], n_iter=sweep.n_iter[b],
+                          err_hist=sweep.err_hist[b],
+                          converged=sweep.converged[b])
+        sp = ScenarioParams(p_scale=scen.p_scale[b],
+                            q_scale=scen.q_scale[b],
+                            injection_scale=scen.injection_scale[b])
+        one = filter_sensitivity(net, dev, s, res_b, 1, fp,
+                                 scenario_params=sp)
+        np.testing.assert_allclose(float(sens.value[b]), float(one.value),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(float(sens.grad.h_tune[b]),
+                                   float(one.grad.h_tune), rtol=1e-9)
+        np.testing.assert_allclose(float(sens.grad.x_cap[b]),
+                                   float(one.grad.x_cap), rtol=1e-9)
+
+
+def test_optimize_filter_robust_over_scenarios():
+    """Robust mode: one filter tuned against a scenario spread must
+    improve the aggregate objective, return all-converged scenarios, and
+    reduce='max' must report the worst scenario's objective."""
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    s, net, dev = resonant_feeder()
+    scen = Scenarios(p_scale=jnp.asarray([0.8, 1.0, 1.2]),
+                     injection_scale=jnp.asarray([0.7, 1.0, 1.3]))
+    out = hpfx.optimize_filter(net, dev, s, bus=1, x_cap0=0.05,
+                               steps=40, learning_rate=0.05,
+                               scenarios=scen, reduce="mean")
+    assert out.value < out.value0
+
+    # cold sweep at the returned Y reproduces the aggregate to NR noise
+    sweep = hpf_sweep(net, dev, s, scen, Y=out.Y)
+    assert bool(np.asarray(sweep.converged).all())
+    per_scen = np.asarray(
+        [float(jnp.max(hpfx.get_thd(sweep.V_m[b]).THD_F))
+         for b in range(scen.batch)])
+    assert abs(per_scen.mean() - out.value) < 1e-6
+
+    out_max = hpfx.optimize_filter(net, dev, s, bus=1, x_cap0=0.05,
+                                   steps=8, learning_rate=0.05,
+                                   scenarios=scen, reduce="max")
+    sweep_m = hpf_sweep(net, dev, s, scen, Y=out_max.Y)
+    per_m = np.asarray(
+        [float(jnp.max(hpfx.get_thd(sweep_m.V_m[b]).THD_F))
+         for b in range(scen.batch)])
+    assert abs(per_m.max() - out_max.value) < 1e-6
