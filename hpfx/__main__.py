@@ -1,0 +1,207 @@
+"""Command-line interface: ``python -m hpfx <command>``.
+
+The reference's user workflow is "edit the driver script, run it, read
+the printed frame" (hcne_generalized.py:575-620's __main__ block).  This
+CLI covers those workflows without editing code:
+
+    python -m hpfx solve  --buses b.csv --lines l.csv --hmax 25 --coupled
+    python -m hpfx scan   --buses b.csv --lines l.csv --operational
+    python -m hpfx sweep  --buses b.csv --lines l.csv --batch 256
+    python -m hpfx filter --buses b.csv --lines l.csv --bus 2
+
+Backend: CPU by default (the demo-script backend guard — this
+environment's shared TPU must be opted into with HPFX_DEMO_TPU=1; see
+hpfx/utils/backend.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _settings(args):
+    import hpfx
+    kw = dict(coupled=args.coupled)
+    if getattr(args, "solver", None):
+        kw["solver"] = args.solver
+    return hpfx.settings_for_hmax(args.hmax, **kw)
+
+
+def _load(args):
+    import hpfx
+    s = _settings(args)
+    net = hpfx.load_network(args.buses, args.lines, s)
+    dev = hpfx.load_device_set(net, s, search_dirs=tuple(args.ne_dir))
+    return s, net, dev
+
+
+def _add_common(p):
+    p.add_argument("--buses", required=True, help="bus CSV (either schema)")
+    p.add_argument("--lines", required=True, help="line CSV")
+    p.add_argument("--hmax", type=int, default=25,
+                   help="highest harmonic order (default 25)")
+    p.add_argument("--coupled", action="store_true", default=True,
+                   help="coupled Norton model (default)")
+    p.add_argument("--uncoupled", dest="coupled", action="store_false")
+    p.add_argument("--ne-dir", action="append",
+                   default=None, help="extra NE-table search dir "
+                   "(repeatable; the packaged tables are always searched)")
+
+
+def cmd_solve(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+    import hpfx
+
+    s, net, dev = _load(args)
+    t0 = time.perf_counter()
+    res = hpfx.hpf(net, dev, s, record_trajectory=bool(args.vlog))
+    dt = time.perf_counter() - t0
+    conv = bool(np.asarray(res.converged))
+    thd = hpfx.get_thd(res.V_m)
+    print(f"converged={conv} n_iter={int(res.n_iter)} "
+          f"err={float(res.err):.3e}  ({dt:.2f}s incl. compile)")
+    print(f"{'bus':>4} {'|V1| [pu]':>10} {'ang1 [deg]':>10} "
+          f"{'THD_F':>8} {'THD_R':>8}")
+    for i in range(net.n):
+        print(f"{i:>4} {float(res.V_m[0, i]):>10.5f} "
+              f"{float(res.V_a[0, i]) * 180 / np.pi:>10.2f} "
+              f"{float(thd.THD_F[i]):>8.4f} {float(thd.THD_R[i]):>8.4f}")
+    if args.vlog:
+        n = hpfx.write_vlog(args.vlog, res.trajectory, s.harmonics,
+                            n_iter=int(res.n_iter))
+        print(f"wrote {n} iterations to {args.vlog}")
+    if args.json:
+        out = {"converged": conv, "n_iter": int(res.n_iter),
+               "err": float(res.err),
+               "V_m": np.asarray(res.V_m).tolist(),
+               "V_a": np.asarray(res.V_a).tolist(),
+               "THD_F": np.asarray(thd.THD_F).tolist(),
+               "THD_R": np.asarray(thd.THD_R).tolist()}
+        with open(args.json, "w") as f:
+            json.dump(out, f)
+        print(f"wrote solution to {args.json}")
+    return 0 if conv else 2
+
+
+def cmd_scan(args) -> int:
+    import numpy as np
+    import hpfx
+
+    s, net, dev = _load(args)
+    zmag = hpfx.driving_point_impedance(
+        net, s, devices=dev if args.operational else None)
+    is_peak, worst_h, worst_z = hpfx.resonance_peaks(zmag, s)
+    kind = "operational" if args.operational else "passive"
+    print(f"{kind} driving-point impedance scan, h in {list(s.harmonics)}")
+    print(f"{'bus':>4} {'worst h':>8} {'|Z| [pu]':>10} {'peaks':>6}")
+    for i in range(net.n):
+        n_peaks = int(np.asarray(is_peak)[:, i].sum())
+        print(f"{i:>4} {int(worst_h[i]):>8} {float(worst_z[i]):>10.4f} "
+              f"{n_peaks:>6}")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+    import hpfx
+    from hpfx.solve import Scenarios, hpf_sweep_adaptive
+
+    s, net, dev = _load(args)
+    rng = np.random.default_rng(args.seed)
+    rd = s.real_dtype
+    scen = Scenarios(
+        p_scale=jnp.asarray(rng.uniform(*args.p_range, args.batch), rd),
+        injection_scale=jnp.asarray(
+            rng.uniform(*args.inj_range, args.batch), rd))
+    t0 = time.perf_counter()
+    res = hpf_sweep_adaptive(net, dev, s, scen)
+    conv = np.asarray(res.converged)
+    dt = time.perf_counter() - t0
+    thd = np.asarray(
+        jnp.max(hpfx.get_thd(
+            jnp.moveaxis(res.V_m, 0, -1)).THD_F, axis=0))
+    ok = thd[conv]
+    print(f"B={args.batch} conv={conv.mean():.4f} "
+          f"({int(conv.sum())}/{args.batch})  {dt:.2f}s incl. compile")
+    if ok.size:
+        q = np.quantile(ok, [0.05, 0.5, 0.95])
+        print(f"worst-bus THD_F over converged scenarios: "
+              f"p5={q[0]:.4f} median={q[1]:.4f} p95={q[2]:.4f} "
+              f"max={ok.max():.4f}")
+    return 0 if conv.all() else 2
+
+
+def cmd_filter(args) -> int:
+    import numpy as np
+    import hpfx
+
+    s, net, dev = _load(args)
+    out = hpfx.optimize_filter(net, dev, s, bus=args.bus,
+                               x_cap0=args.x_cap0, steps=args.steps,
+                               learning_rate=args.lr)
+    print(f"filter at bus {args.bus}: maxTHD {out.value0:.4f} -> "
+          f"{out.value:.4f} at h_tune="
+          f"{float(np.asarray(out.params.h_tune)):.2f}, x_cap="
+          f"{float(np.asarray(out.params.x_cap)):.4f} "
+          f"({out.n_solves} HPF solves)")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m hpfx",
+        description="TPU-native harmonic power flow (CPU backend by "
+                    "default; set HPFX_DEMO_TPU=1 for the TPU)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ps = sub.add_parser("solve", help="single coupled-NR HPF solve")
+    _add_common(ps)
+    ps.add_argument("--solver", choices=["dense", "arrow"], default=None)
+    ps.add_argument("--vlog", help="write V_log.json-format trajectory")
+    ps.add_argument("--json", help="write the full solution as JSON")
+    ps.set_defaults(fn=cmd_solve)
+
+    pc = sub.add_parser("scan", help="impedance scan + resonance peaks")
+    _add_common(pc)
+    pc.add_argument("--operational", action="store_true",
+                    help="fold device Norton admittances into the scan")
+    pc.set_defaults(fn=cmd_scan)
+
+    pw = sub.add_parser("sweep", help="batched scenario sweep summary")
+    _add_common(pw)
+    pw.add_argument("--solver", choices=["dense", "arrow"], default=None)
+    pw.add_argument("--batch", type=int, default=256)
+    pw.add_argument("--p-range", type=float, nargs=2, default=(0.8, 1.2))
+    pw.add_argument("--inj-range", type=float, nargs=2, default=(0.5, 1.5))
+    pw.add_argument("--seed", type=int, default=0)
+    pw.set_defaults(fn=cmd_sweep)
+
+    pf = sub.add_parser("filter",
+                        help="gradient-tuned shunt filter design")
+    _add_common(pf)
+    pf.add_argument("--bus", type=int, required=True)
+    pf.add_argument("--steps", type=int, default=25)
+    pf.add_argument("--lr", type=float, default=0.05)
+    pf.add_argument("--x-cap0", dest="x_cap0", type=float, default=0.05)
+    pf.set_defaults(fn=cmd_filter)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.ne_dir is None:
+        args.ne_dir = []
+    from .devices import DATA_DIR
+    args.ne_dir = list(args.ne_dir) + [DATA_DIR]
+
+    from .utils.backend import backend_guard
+    backend_guard()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

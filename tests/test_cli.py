@@ -1,0 +1,84 @@
+"""python -m hpfx CLI (hpfx/__main__.py).
+
+In-process main() calls (argparse -> command functions); the underlying
+solvers are parity-gated elsewhere, so these gate the argument plumbing,
+exit codes, table output, and file artifacts.
+"""
+import json
+
+import numpy as np
+import pytest
+
+from hpfx.__main__ import main
+
+NET2 = ("--buses", "hpfx/data/net2_buses.csv",
+        "--lines", "hpfx/data/net2_lines.csv")
+
+
+def test_solve_prints_thd_table_and_exit_code(capsys):
+    rc = main(["solve", *NET2, "--hmax", "25"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "converged=True" in out
+    assert "THD_F" in out
+    # 4 bus rows
+    assert sum(line.strip().startswith(("0 ", "1 ", "2 ", "3 "))
+               for line in out.splitlines()) == 4
+
+
+def test_solve_artifacts_roundtrip(tmp_path, capsys):
+    vlog = tmp_path / "v.json"
+    sol = tmp_path / "s.json"
+    rc = main(["solve", *NET2, "--vlog", str(vlog), "--json", str(sol)])
+    capsys.readouterr()
+    assert rc == 0
+    # vlog is strict JSON in the interchange schema; solution JSON has
+    # the (H, n) tensors
+    import hpfx
+    V_m, V_a, harms = hpfx.read_vlog(str(vlog))
+    d = json.loads(sol.read_text())
+    assert d["converged"] is True
+    assert np.asarray(d["V_m"]).shape == V_m.shape[1:]
+    # the logged final iterate's THD matches the solution's to cleanup
+    # (write_vlog stores raw pre-cleanup iterates; just gate shape/finite)
+    assert np.isfinite(np.asarray(d["THD_F"])).all()
+
+
+def test_solve_arrow_matches_dense(capsys):
+    rc = main(["solve", *NET2, "--solver", "arrow"])
+    out_arrow = capsys.readouterr().out
+    rc2 = main(["solve", *NET2])
+    out_dense = capsys.readouterr().out
+    assert rc == rc2 == 0
+    # identical printed tables (fp-noise differences are below the 4/5
+    # printed decimals)
+    tail = lambda s: "\n".join(s.splitlines()[1:])
+    assert tail(out_arrow) == tail(out_dense)
+
+
+def test_scan_operational_flag(capsys):
+    rc = main(["scan", *NET2, "--operational"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "operational" in out and "worst h" in out
+    rc = main(["scan", *NET2])
+    out = capsys.readouterr().out
+    assert rc == 0 and "passive" in out
+
+
+def test_sweep_summary(capsys):
+    rc = main(["sweep", *NET2, "--batch", "16", "--seed", "3"])
+    out = capsys.readouterr().out
+    assert rc in (0, 2)
+    assert "B=16" in out and "conv=" in out
+
+
+def test_filter_design(capsys):
+    rc = main(["filter", *NET2, "--bus", "2", "--steps", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "maxTHD" in out and "h_tune" in out
+
+
+def test_unknown_command_errors():
+    with pytest.raises(SystemExit):
+        main(["frobnicate"])
