@@ -34,7 +34,8 @@ from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
 from .impedance import (distortion_contributions, driving_point_impedance,
                         frequency_scan, impedance_scan, install_shunt,
-                        resonance_peaks, tuned_filter_admittance)
+                        install_shunts, resonance_peaks,
+                        tuned_filter_admittance)
 from .optimize import (FilterOptResult, OptimizeResult, apply_line_params,
                        optimize_filter, optimize_line_params)
 from .sensitivity import (FilterParams, LineParams, ScenarioParams,
@@ -75,7 +76,8 @@ __all__ = [
     "line_sensitivity", "sweep_sensitivity", "filter_sensitivity",
     "sweep_filter_sensitivity",
     "impedance_scan", "driving_point_impedance", "resonance_peaks",
-    "tuned_filter_admittance", "install_shunt", "frequency_scan",
+    "tuned_filter_admittance", "install_shunt", "install_shunts",
+    "frequency_scan",
     "distortion_contributions",
     "OptimizeResult", "optimize_line_params", "apply_line_params",
     "FilterOptResult", "optimize_filter",

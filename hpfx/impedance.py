@@ -161,14 +161,21 @@ def tuned_filter_admittance(settings: Settings, h_tune: float,
 
     Use with :func:`install_shunt` and the solvers' ``Y=`` override to
     re-run the scan or the full HPF with the filter in service.
+
+    Vectorizes over leading parameter shape: ``h_tune``/``x_cap`` of
+    shape (K,) give a (K, H) bank (one branch per row) for
+    :func:`install_shunts`.
     """
     rd = settings.real_dtype
     h = jnp.asarray(settings.harmonics, rd)
+    h_tune = jnp.asarray(h_tune, rd)
+    x_cap = jnp.asarray(x_cap, rd)
     x_l = x_cap / (h_tune * h_tune)
-    r = jnp.sqrt(x_l * x_cap) / quality
-    x = x_l * h - x_cap / h
+    r = (jnp.sqrt(x_l * x_cap) / quality)[..., None]
+    x = x_l[..., None] * h - x_cap[..., None] / h
     d = r * r + x * x
-    return Cx(r / d, -x / d)
+    return Cx((r / d).reshape(*h_tune.shape, h.shape[0]),
+              (-x / d).reshape(*h_tune.shape, h.shape[0]))
 
 
 def install_shunt(Y: Cx, bus: int, y_shunt: Cx) -> Cx:
@@ -183,6 +190,15 @@ def install_shunt(Y: Cx, bus: int, y_shunt: Cx) -> Cx:
     """
     return Cx(Y.re.at[:, bus, bus].add(y_shunt.re),
               Y.im.at[:, bus, bus].add(y_shunt.im))
+
+
+def install_shunts(Y: Cx, buses, y_shunts: Cx) -> Cx:
+    """:func:`install_shunt` for a bank: ``y_shunts`` (K, H) rows are
+    added at ``buses`` (length-K static index sequence; repeated buses
+    accumulate).  One scatter-add on the diagonal."""
+    b = jnp.asarray(buses)
+    return Cx(Y.re.at[:, b, b].add(y_shunts.re.T),
+              Y.im.at[:, b, b].add(y_shunts.im.T))
 
 
 def frequency_scan(net: Network, settings: Settings,

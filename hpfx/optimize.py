@@ -232,6 +232,8 @@ def optimize_filter(
     optimizer=None, bounds: Optional[dict] = None,
     functional: Callable = None,
     scenarios=None, reduce: str = "mean",
+    v_limits: Optional[Tuple[float, float]] = (0.5, 2.0),
+    v_penalty: float = 100.0,
 ) -> FilterOptResult:
     """Tune a single-tuned shunt filter at ``bus`` by gradient descent on
     the full coupled HPF: minimize ``functional(V_m, V_a)`` (default
@@ -245,9 +247,11 @@ def optimize_filter(
     passive peak, so the passive worst order can be the wrong target;
     see test_impedance.py's operational-vs-passive story).  The gradient
     loop then detunes optimally from there (real designs tune slightly
-    BELOW the resonance; the gradient finds how much).  Same
-    acceptance rules as :func:`optimize_line_params` (warm retry, cold
-    retry, reject) — the result is always a converged operating point.
+    BELOW the resonance; the gradient finds how much).  Unlike
+    :func:`optimize_line_params`, every evaluation is a COLD solve
+    (rejected steps halve back): the returned design is always an
+    operating point a cold energization reaches, not a warm-tracked
+    solution branch (see the loop comment).
 
     **Robust design**: pass ``scenarios`` (a :class:`hpfx.solve.Scenarios`
     batch) to tune ONE filter against every scenario at once — each step
@@ -259,12 +263,34 @@ def optimize_filter(
     worst case (the argmax scenario's gradient — a valid subgradient).
     A proposal is accepted only if EVERY scenario converges; ``value``
     is the aggregate objective.
+
+    **Filter banks**: pass a length-K ``bus`` sequence to co-optimize K
+    branches jointly (one per bus entry; repeat a bus for a multi-branch
+    bank there).  ``h_tune0``/``x_cap0`` may be scalars (broadcast) or
+    length-K; the default start tunes each branch to its own bus's worst
+    operational resonance.  Composes with ``scenarios``.
+
+    ``v_limits`` / ``v_penalty``: fundamental-voltage window enforced
+    two ways — a smooth quadratic barrier ``v_penalty * sum(relu(v1 -
+    vmax)^2 + relu(vmin - v1)^2)`` ADDED to the optimized objective
+    (differentiated through the same IFT, so the gradient can slide
+    along the constraint instead of banging into a reject wall), and a
+    hard acceptance guard (same rejection path as non-convergence) as
+    backstop.  This is load-bearing, not cosmetic: pure-THD objectives
+    have a degenerate minimum where ``x_cap -> 0`` turns the filter into
+    a bus short (|V| collapses, THD becomes 0/0 noise, and NR happily
+    "converges" to the collapsed point) — a measured failure on net2
+    banks, not a hypothetical; capacitive voltage boost is also a real
+    (bounded) THD-denominator effect the limits keep honest.  The wide
+    default only excludes collapse/runaway; tighten to your planning
+    limits (e.g. (0.9, 1.1)) for real designs.  ``None`` disables both.
+    ``value``/``history`` are the penalized objective — identical to
+    ``functional`` whenever the limits are respected.
     """
     import optax
 
     from .harmonic import hpf
-    from .impedance import (driving_point_impedance, install_shunt,
-                            resonance_peaks, tuned_filter_admittance)
+    from .impedance import driving_point_impedance, resonance_peaks
     from .sensitivity import (FilterParams, filter_sensitivity,
                               sweep_filter_sensitivity)
 
@@ -273,6 +299,15 @@ def optimize_filter(
     if functional is None:
         def functional(V_m, V_a):
             return jnp.max(get_thd(V_m).THD_F)
+    if v_limits is None or v_penalty == 0.0:
+        objective = functional
+    else:
+        def objective(V_m, V_a):
+            v1 = V_m[0]
+            over = jnp.maximum(v1 - v_limits[1], 0.0)
+            under = jnp.maximum(v_limits[0] - v1, 0.0)
+            return functional(V_m, V_a) + v_penalty * jnp.sum(
+                over * over + under * under)
     if optimizer is None:
         optimizer = optax.adam(learning_rate)
     b = dict(DEFAULT_FILTER_BOUNDS)
@@ -280,10 +315,17 @@ def optimize_filter(
     if b["h_tune"][1] is None:
         b["h_tune"] = (b["h_tune"][0], float(settings.harmonics[-1]))
     rd = settings.real_dtype
+    multi = isinstance(bus, (list, tuple, np.ndarray))
+    if multi:
+        bus = tuple(int(x) for x in bus)
     if h_tune0 is None:
         zmag = driving_point_impedance(net, settings, devices=devices)
         _, worst_h, _ = resonance_peaks(zmag, settings)
-        h_tune0 = float(np.asarray(worst_h)[bus])
+        h_tune0 = (np.asarray(worst_h, float)[list(bus)] if multi
+                   else float(np.asarray(worst_h)[bus]))
+    if multi:
+        h_tune0 = jnp.broadcast_to(jnp.asarray(h_tune0, rd), (len(bus),))
+        x_cap0 = jnp.broadcast_to(jnp.asarray(x_cap0, rd), (len(bus),))
 
     def project(p):
         return FilterParams(h_tune=jnp.clip(p.h_tune, *b["h_tune"]),
@@ -291,17 +333,13 @@ def optimize_filter(
 
     params = project(FilterParams(h_tune=jnp.asarray(h_tune0, rd),
                                   x_cap=jnp.asarray(x_cap0, rd)))
+    Y0 = build_ybus(net, settings)
 
     def Y_of(p):
-        return install_shunt(
-            build_ybus(net, settings), bus,
-            tuned_filter_admittance(settings, p.h_tune, p.x_cap, quality))
+        from .sensitivity import _filter_Y
+        return _filter_Y(Y0, settings, bus, p, quality)
 
     if scenarios is None:
-        @jax.jit
-        def solve(p, V0):
-            return hpf(net, devices, settings, Y=Y_of(p), V0=V0)
-
         @jax.jit
         def solve_cold(p):
             return hpf(net, devices, settings, Y=Y_of(p))
@@ -310,14 +348,10 @@ def optimize_filter(
         def grad_at(p, res):
             sens = filter_sensitivity(net, devices, settings, res, bus, p,
                                       quality=quality,
-                                      functional=functional)
+                                      functional=objective)
             return sens.value, sens.grad
     else:
         from .solve import hpf_sweep
-
-        def solve(p, V0):
-            return hpf_sweep(net, devices, settings, scenarios,
-                             V0=V0, Y=Y_of(p))
 
         def solve_cold(p):
             return hpf_sweep(net, devices, settings, scenarios, Y=Y_of(p))
@@ -326,7 +360,7 @@ def optimize_filter(
         def grad_at(p, res):
             sens = sweep_filter_sensitivity(
                 net, devices, settings, res, scenarios, bus, p,
-                quality=quality, functional=functional)
+                quality=quality, functional=objective)
             if reduce == "mean":
                 return (jnp.mean(sens.value),
                         FilterParams(*(jnp.mean(g, axis=0)
@@ -335,34 +369,55 @@ def optimize_filter(
             return (sens.value[worst],
                     FilterParams(*(g[worst] for g in sens.grad)))
 
-    def _converged(res) -> bool:
-        return bool(np.asarray(res.converged).all())
+    def _acceptable(res) -> bool:
+        if not bool(np.asarray(res.converged).all()):
+            return False
+        if v_limits is None:
+            return True
+        v1 = np.asarray(res.V_m)[..., 0, :]     # fundamental, every bus
+        return bool((v1 >= v_limits[0]).all() and (v1 <= v_limits[1]).all())
 
     opt_state = optimizer.init(params)
     res = solve_cold(params)
-    if not _converged(res):
-        raise RuntimeError("HPF does not converge with the initial filter "
-                           "— start from different (h_tune0, x_cap0)")
+    if not _acceptable(res):
+        raise RuntimeError(
+            "HPF does not converge (or violates v_limits) with the initial "
+            "filter — start from different (h_tune0, x_cap0)")
     n_solves = 1
     value0, g = grad_at(params, res)
     value0 = float(np.asarray(value0))
     best_params, best_value, best_res = params, value0, res
     history = []
 
+    dead_iters = 0
     for _ in range(steps):
         updates, opt_state = optimizer.update(g, opt_state, params)
-        proposal = project(
-            FilterParams(*(p + u for p, u in zip(params, updates))))
-        res_new = solve(proposal, (best_res.V_m, best_res.V_a))
-        n_solves += 1
-        if not _converged(res_new):
-            res_new = solve_cold(proposal)
+        # COLD solves only — filter design changes the network, and
+        # warm-tracking can follow a solution branch a cold energization
+        # never reaches (measured on net2 banks: warm chain converged,
+        # cold re-solve of the returned design diverged).  Every accepted
+        # point is therefore cold-reproducible by construction.  An
+        # unacceptable proposal backtracks the STEP (not the parameters:
+        # the optimizer state would keep pushing a frozen update into the
+        # infeasible region forever) so a feasible descent step near the
+        # current point is always found if one exists.
+        scale, res_new = 1.0, None
+        for _try in range(6):
+            proposal = project(FilterParams(
+                *(p + scale * u for p, u in zip(params, updates))))
+            cand = solve_cold(proposal)
             n_solves += 1
-        if not _converged(res_new):
-            params = FilterParams(*(0.5 * (p + q) for p, q
-                                    in zip(proposal, params)))
+            if _acceptable(cand):
+                res_new = cand
+                break
+            scale *= 0.5
+        if res_new is None:
             history.append(float("nan"))
-            continue
+            dead_iters += 1
+            if dead_iters >= 3:
+                break               # the gradient keeps pointing into an
+            continue                # infeasible region; stop burning solves
+        dead_iters = 0
         params = proposal
         value, g = grad_at(params, res_new)
         value = float(np.asarray(value))

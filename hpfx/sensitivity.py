@@ -407,9 +407,22 @@ class FilterParams(NamedTuple):
     single-tuned shunt filter's design parameters (see
     :func:`hpfx.impedance.tuned_filter_admittance` — ``h_tune`` is the
     series-resonant order, ``x_cap`` the fundamental capacitive
-    reactance).  The quality factor is carried statically."""
+    reactance).  The quality factor is carried statically.  Scalar
+    leaves describe one filter; (K,) leaves a K-branch bank (paired with
+    a length-K ``bus`` sequence)."""
     h_tune: object = 7.0
     x_cap: object = 1.0
+
+
+def _filter_Y(Y0, settings, bus, p: "FilterParams", quality):
+    """``Y0`` with the filter (scalar leaves, ``bus`` int) or bank
+    ((K,) leaves, ``bus`` length-K sequence) installed."""
+    from .impedance import (install_shunt, install_shunts,
+                            tuned_filter_admittance)
+    yf = tuned_filter_admittance(settings, p.h_tune, p.x_cap, quality)
+    if jnp.ndim(p.h_tune) == 0:
+        return install_shunt(Y0, bus, yf)
+    return install_shunts(Y0, bus, yf)
 
 
 @highest_precision
@@ -438,9 +451,12 @@ def filter_sensitivity(
     plain ``harmonic_mismatch`` differentiated here).  Closes the
     filter-design loop: scan -> detect -> size -> *optimize*
     (:func:`hpfx.optimize.optimize_filter`).
-    """
-    from .impedance import install_shunt, tuned_filter_admittance
 
+    **Filter banks**: pass (K,)-shaped ``filter_params`` leaves and a
+    length-K ``bus`` sequence to differentiate K branches jointly (e.g.
+    a 5th/7th/11th bank at one bus, or filters at several buses) —
+    ``grad`` leaves come back (K,)-shaped.
+    """
     if functional is None:
         def functional(V_m, V_a):
             return jnp.max(get_thd(V_m).THD_F)
@@ -458,9 +474,7 @@ def filter_sensitivity(
     Y0 = build_ybus(net, settings)
 
     def Y_of(p: FilterParams):
-        return install_shunt(
-            Y0, bus, tuned_filter_admittance(settings, p.h_tune,
-                                             p.x_cap, quality))
+        return _filter_Y(Y0, settings, bus, p, quality)
 
     def f(x, p: FilterParams):
         Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
@@ -514,7 +528,6 @@ def sweep_filter_sensitivity(
     dx (B, dim, 2).  Gradients at non-converged scenarios are
     meaningless; mask with ``sweep_result.converged``.
     """
-    from .impedance import install_shunt, tuned_filter_admittance
 
     if functional is None:
         def functional(V_m, V_a):
@@ -532,9 +545,7 @@ def sweep_filter_sensitivity(
     Y0 = build_ybus(net, settings)
 
     def Y_of(p_: FilterParams):
-        return install_shunt(
-            Y0, bus, tuned_filter_admittance(settings, p_.h_tune,
-                                             p_.x_cap, quality))
+        return _filter_Y(Y0, settings, bus, p_, quality)
 
     def one(V_m, V_a, p_s, q_s, i_s, w):
         base = devices.mixed(w) if w is not None else devices
