@@ -32,6 +32,7 @@ from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
 from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
+from .flows import (IEEE519Report, LineFlows, check_ieee519, line_flows)
 from .impedance import (distortion_contributions, driving_point_impedance,
                         frequency_scan, impedance_scan, install_shunt,
                         install_shunts, resonance_peaks,
@@ -78,6 +79,7 @@ __all__ = [
     "impedance_scan", "driving_point_impedance", "resonance_peaks",
     "tuned_filter_admittance", "install_shunt", "install_shunts",
     "frequency_scan",
+    "LineFlows", "line_flows", "IEEE519Report", "check_ieee519",
     "distortion_contributions",
     "OptimizeResult", "optimize_line_params", "apply_line_params",
     "FilterOptResult", "optimize_filter",

@@ -135,6 +135,39 @@ def cmd_sweep(args) -> int:
     return 0 if conv.all() else 2
 
 
+def cmd_report(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+    import hpfx
+
+    s, net, dev = _load(args)
+    res = hpfx.hpf(net, dev, s)
+    if not bool(np.asarray(res.converged)):
+        print("HPF did not converge — no report")
+        return 2
+    fl = hpfx.line_flows(net, s, res.V_m, res.V_a)
+    loss = np.asarray(fl.loss)
+    print(f"line flows ({net.n_lines} lines x {s.n_harmonics} harmonics), "
+          f"total loss {float(fl.total_loss):.5f} pu")
+    print(f"{'line':>4} {'from':>4} {'to':>4} {'P_fund':>9} {'loss_fund':>10} "
+          f"{'loss_harm':>10}")
+    for k in range(net.n_lines):
+        print(f"{k:>4} {int(net.line_from[k]):>4} {int(net.line_to[k]):>4} "
+              f"{float(fl.P_f[0, k]):>9.5f} {loss[0, k]:>10.6f} "
+              f"{loss[1:, k].sum():>10.6f}")
+    rep = hpfx.check_ieee519(res, s, v_kv=args.v_kv)
+    print(f"IEEE-519 (individual<={rep.limit_individual}%, "
+          f"THD<={rep.limit_thd}%):")
+    print(f"{'bus':>4} {'THD %':>8} {'worst h':>8} {'V_h/V_1 %':>10} "
+          f"{'compliant':>10}")
+    for i in range(net.n):
+        print(f"{i:>4} {float(rep.thd[i]):>8.3f} "
+              f"{int(rep.worst_order[i]):>8} "
+              f"{float(rep.worst_ratio[i]):>10.3f} "
+              f"{str(bool(rep.compliant[i])):>10}")
+    return 0 if bool(np.asarray(rep.compliant).all()) else 3
+
+
 def cmd_filter(args) -> int:
     import numpy as np
     import hpfx
@@ -179,6 +212,13 @@ def build_parser() -> argparse.ArgumentParser:
     pw.add_argument("--inj-range", type=float, nargs=2, default=(0.5, 1.5))
     pw.add_argument("--seed", type=int, default=0)
     pw.set_defaults(fn=cmd_sweep)
+
+    pr = sub.add_parser("report",
+                        help="line flows/losses + IEEE-519 compliance")
+    _add_common(pr)
+    pr.add_argument("--v-kv", dest="v_kv", type=float, default=None,
+                    help="PCC voltage class in kV (default: the pu base)")
+    pr.set_defaults(fn=cmd_report)
 
     pf = sub.add_parser("filter",
                         help="gradient-tuned shunt filter design")

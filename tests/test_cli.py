@@ -82,3 +82,15 @@ def test_filter_design(capsys):
 def test_unknown_command_errors():
     with pytest.raises(SystemExit):
         main(["frobnicate"])
+
+
+def test_report_flows_and_ieee519(capsys):
+    rc = main(["report", *NET2])
+    out = capsys.readouterr().out
+    assert rc == 3                        # net2 is non-compliant
+    assert "total loss" in out and "IEEE-519" in out
+    assert "False" in out and "True" in out
+    # tighter class flips nothing to compliant
+    rc2 = main(["report", *NET2, "--v-kv", "500"])
+    out2 = capsys.readouterr().out
+    assert rc2 == 3 and "individual<=1.0%" in out2

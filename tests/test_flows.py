@@ -1,0 +1,142 @@
+"""Per-line harmonic flows/losses + IEEE-519 checks (hpfx/flows.py).
+
+The load-bearing oracle is energy balance: per harmonic, the real power
+the buses inject into the network (V ∘ conj(Y·V), the same Y the solver
+used) must equal the total per-line loss — line_flows reconstructs
+branch currents from the branch algebra, NOT from dense Y, so agreement
+gates both the reconstruction and the sign conventions.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import hpfx
+from hpfx.network import NONLINEAR, PQ, SLACK
+
+
+def _solved(net_name="net2", h_max=25):
+    s = hpfx.settings_for_hmax(h_max, coupled=True)
+    net = hpfx.load_network(f"hpfx/data/{net_name}_buses.csv",
+                            f"hpfx/data/{net_name}_lines.csv", s)
+    dev = hpfx.load_device_set(net, s)
+    res = hpfx.hpf(net, dev, s)
+    assert bool(res.converged)
+    return s, net, dev, res
+
+
+def _bus_injections(net, s, V_m, V_a):
+    """Per-harmonic real power injected at the buses: Re(V ∘ conj(YV))."""
+    Y = hpfx.build_ybus(net, s)
+    V = np.asarray(V_m) * np.exp(1j * np.asarray(V_a))
+    Yc = np.asarray(Y.re) + 1j * np.asarray(Y.im)
+    I = np.einsum("hij,hj->hi", Yc, V)
+    return (V * I.conj()).real                     # (H, n)
+
+
+@pytest.mark.parametrize("net_name", ["net2", "net3", "net1"])
+def test_energy_balance_per_harmonic(net_name):
+    s, net, dev, res = _solved(net_name)
+    fl = hpfx.line_flows(net, s, res.V_m, res.V_a)
+    inj = _bus_injections(net, s, res.V_m, res.V_a).sum(axis=1)  # (H,)
+    line_loss = np.asarray(fl.loss).sum(axis=1)                  # (H,)
+    # bus-shunt Xsh is lossless; everything real must land on the lines
+    np.testing.assert_allclose(inj, line_loss, rtol=1e-9, atol=1e-12)
+    assert float(fl.total_loss) == pytest.approx(inj.sum(), rel=1e-9)
+
+
+def test_losses_positive_and_terminal_currents_balance():
+    s, net, dev, res = _solved("net2")
+    fl = hpfx.line_flows(net, s, res.V_m, res.V_a)
+    # passive branches: per-line per-harmonic loss >= 0
+    assert (np.asarray(fl.loss) >= -1e-15).all()
+    # with no pi shunt and no tap, I_f = -I_t exactly; net2's lines have
+    # B=0, G=0, tau=1 (check the data premise first)
+    assert float(np.abs(np.asarray(net.line_B)).max()) == 0.0
+    assert float(np.abs(np.asarray(net.line_G)).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(fl.I_f.re),
+                               -np.asarray(fl.I_t.re), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fl.I_f.im),
+                               -np.asarray(fl.I_t.im), atol=1e-12)
+
+
+def test_trafo_branch_flow_conservation():
+    """Tap/shift branch: energy balance must hold through the ideal
+    transformer (lossless tap: P_f + P_t = series-R loss only)."""
+    s = hpfx.settings_for_hmax(9, coupled=True)
+    net = hpfx.network_from_arrays(
+        bus_types=(SLACK, PQ, NONLINEAR),
+        components=("generator", "lin_load", "SMPS"),
+        P=[0, 100, 250], Q=[0, 50, 100], X_sh=[0.005, 0, 0],
+        line_from=[0, 1], line_to=[1, 2],
+        R=[0.5, 1.0], X=[2.0, 4.0],
+        tau=[1.05, 1.0], phase_shift=[30.0, 0.0],
+        settings=s, per_unit=False)
+    dev = hpfx.load_device_set(net, s)
+    res = hpfx.hpf(net, dev, s)
+    assert bool(res.converged)
+    fl = hpfx.line_flows(net, s, res.V_m, res.V_a)
+    inj = _bus_injections(net, s, res.V_m, res.V_a).sum(axis=1)
+    np.testing.assert_allclose(inj, np.asarray(fl.loss).sum(axis=1),
+                               rtol=1e-9, atol=1e-12)
+    # the loss the flow decomposition reports per line is R|I_series|^2
+    # (series current = current into the to-side here, B=G=0)
+    r_i2 = np.asarray(net.line_R) * np.asarray(fl.I_t.abs2())
+    np.testing.assert_allclose(np.asarray(fl.loss), r_i2,
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_ieee519_classes_and_compliance():
+    s, net, dev, res = _solved("net2")
+    rep = hpfx.check_ieee519(res, s)              # 400 V -> <=1 kV class
+    assert rep.limit_individual == 5.0 and rep.limit_thd == 8.0
+    # net2's solved distortion is huge (maxTHD ~ 0.59): must flag
+    assert not bool(np.asarray(rep.compliant).all())
+    # slack bus is stiff and clean here
+    assert bool(np.asarray(rep.compliant)[0])
+    # ratio/worst bookkeeping is self-consistent
+    thd_direct = 100 * np.asarray(hpfx.get_thd(res.V_m).THD_F)
+    np.testing.assert_allclose(np.asarray(rep.thd), thd_direct, rtol=1e-12)
+    k = int(np.argmax(np.asarray(rep.ratio)[:, 3]))
+    assert int(rep.worst_order[3]) == s.harmonics[1:][k]
+    # higher voltage class applies tighter limits
+    rep69 = hpfx.check_ieee519(res, s, v_kv=30.0)
+    assert rep69.limit_individual == 3.0 and rep69.limit_thd == 5.0
+    rep500 = hpfx.check_ieee519(res, s, v_kv=500.0)
+    assert rep500.limit_individual == 1.0 and rep500.limit_thd == 1.5
+    # compliance is monotone in the class limits
+    assert int(np.asarray(rep.compliant).sum()) >= \
+        int(np.asarray(rep500.compliant).sum())
+
+
+def test_filtered_network_flow_accounting():
+    """End-to-end story the flows module exists to surface: the tuned
+    filter cuts THD, but it does so by DIVERTING harmonic current
+    through the feeder into itself — harmonic line losses go UP
+    (measured ~3.4x here), a tradeoff invisible from bus THD alone.
+    The energy-balance oracle must hold on the modified network too
+    (bus injections computed with the filtered Y)."""
+    s, net, dev, res = _solved("net2")
+    fl0 = hpfx.line_flows(net, s, res.V_m, res.V_a)
+    out = hpfx.optimize_filter(net, dev, s, bus=2, x_cap0=0.05, steps=8)
+    res_f = hpfx.hpf(net, dev, s, Y=out.Y)
+    assert bool(res_f.converged)
+    assert out.value < float(
+        np.max(np.asarray(hpfx.get_thd(res.V_m).THD_F)))  # THD improved
+    fl1 = hpfx.line_flows(net, s, res_f.V_m, res_f.V_a)
+    harm0 = float(np.asarray(fl0.loss)[1:].sum())
+    harm1 = float(np.asarray(fl1.loss)[1:].sum())
+    assert harm1 > harm0, (harm1, harm0)   # the diversion cost is real
+
+    # balance on the filtered network: bus injections (filtered Y) =
+    # line losses + power into the filter branch (= its own real draw)
+    V = np.asarray(res_f.V_m) * np.exp(1j * np.asarray(res_f.V_a))
+    Yc = np.asarray(out.Y.re) + 1j * np.asarray(out.Y.im)
+    inj = (V * np.einsum("hij,hj->hi", Yc, V).conj()).real.sum(axis=1)
+    yf = hpfx.tuned_filter_admittance(
+        s, float(out.params.h_tune), float(out.params.x_cap))
+    yfc = np.asarray(yf.re) + 1j * np.asarray(yf.im)
+    p_filter = (np.abs(V[:, 2]) ** 2 * yfc.conj()).real
+    np.testing.assert_allclose(
+        inj, np.asarray(fl1.loss).sum(axis=1) + p_filter,
+        rtol=1e-9, atol=1e-12)
