@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from . import cx
@@ -28,7 +29,7 @@ from .network import Network
 from .results import get_thd
 
 __all__ = ["LineFlows", "line_flows", "IEEE519Report", "check_ieee519",
-           "IEEE519_LIMITS"]
+           "IEEE519_LIMITS", "IEEE519Summary", "ieee519_screen"]
 
 
 class LineFlows(NamedTuple):
@@ -146,3 +147,44 @@ def check_ieee519(result, settings: Settings,
         ratio=ratio, worst_ratio=worst_ratio, worst_order=orders[worst],
         thd=thd, limit_individual=ind, limit_thd=thd_lim,
         compliant=compliant)
+
+
+class IEEE519Summary(NamedTuple):
+    """Batched IEEE-519 screen over a sweep (leaves (B,) unless noted).
+
+    The hosting-capacity aggregate with the STANDARD's criterion instead
+    of a bare THD threshold: real studies bind on whichever of the
+    individual-harmonic or THD limits trips first.  ``frac_violating``
+    counts converged scenarios that violate either limit.
+    """
+    worst_ratio: jnp.ndarray     # worst V_h/V_1 in % over buses+orders
+    thd: jnp.ndarray             # worst-bus THD_F in %
+    compliant: jnp.ndarray       # bool, every bus passes both limits
+    frac_violating: jnp.ndarray  # scalar, among converged scenarios
+
+
+def ieee519_screen(result, settings: Settings,
+                   v_kv: float = None) -> IEEE519Summary:
+    """Apply :func:`check_ieee519`'s limits to a whole batched sweep
+    result in one vmapped program — the IEEE-519 counterpart of
+    ``hpfx.solve.summarize_thd``, composable with any sweep
+    (``hpf_sweep``/``hpf_sweep_adaptive``/the sharded wrappers)."""
+    if v_kv is None:
+        v_kv = settings.base_voltage / 1e3
+    for vmax, ind, thd_lim in IEEE519_LIMITS:
+        if v_kv <= vmax:
+            break
+
+    def one(V_m):
+        ratio = 100.0 * V_m[1:] / V_m[0]
+        worst = jnp.max(ratio)
+        thd = 100.0 * jnp.max(get_thd(V_m).THD_F)
+        return worst, thd, (worst <= ind) & (thd <= thd_lim)
+
+    worst, thd, ok = jax.vmap(one)(result.V_m)
+    conv = result.converged
+    viol = (~ok) & conv
+    denom = jnp.maximum(jnp.sum(conv.astype(worst.dtype)), 1.0)
+    return IEEE519Summary(
+        worst_ratio=worst, thd=thd, compliant=ok,
+        frac_violating=jnp.sum(viol.astype(worst.dtype)) / denom)

@@ -140,3 +140,41 @@ def test_filtered_network_flow_accounting():
     np.testing.assert_allclose(
         inj, np.asarray(fl1.loss).sum(axis=1) + p_filter,
         rtol=1e-9, atol=1e-12)
+
+
+def test_ieee519_screen_matches_per_scenario_loop():
+    """The vmapped sweep screen must agree with check_ieee519 applied
+    scenario by scenario, and its violation fraction must count only
+    converged scenarios."""
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    s = hpfx.settings_for_hmax(25, coupled=True)
+    net = hpfx.load_network("hpfx/data/net2_buses.csv",
+                            "hpfx/data/net2_lines.csv", s)
+    dev = hpfx.load_device_set(net, s)
+    # injection spread straddling the compliance knee (measured: net2
+    # crosses the <=1 kV limits between injection 0.01 and 0.02)
+    scen = Scenarios(p_scale=jnp.ones(8),
+                     injection_scale=jnp.asarray(
+                         [1e-4, 1e-3, 5e-3, 0.01, 0.02, 0.05, 0.5, 1.5]))
+    sweep = hpf_sweep(net, dev, s, scen)
+    assert bool(np.asarray(sweep.converged).all())
+
+    summ = hpfx.ieee519_screen(sweep, s)
+    assert summ.compliant.shape == (8,)
+    from hpfx.harmonic import HPFResult
+    for b in range(8):
+        rb = HPFResult(V_m=sweep.V_m[b], V_a=sweep.V_a[b],
+                       err=sweep.err[b], n_iter=sweep.n_iter[b],
+                       err_hist=sweep.err_hist[b],
+                       converged=sweep.converged[b])
+        rep = hpfx.check_ieee519(rb, s)
+        assert bool(summ.compliant[b]) == bool(
+            np.asarray(rep.compliant).all())
+        np.testing.assert_allclose(float(summ.thd[b]),
+                                   float(np.max(np.asarray(rep.thd))),
+                                   rtol=1e-12)
+    # low injections comply, high ones do not (the screen discriminates)
+    ok = np.asarray(summ.compliant)
+    assert ok[0] and not ok[-1]
+    assert float(summ.frac_violating) == pytest.approx((~ok).mean())
