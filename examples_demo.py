@@ -218,6 +218,21 @@ def main():
           f"{float(np.asarray(fopt.params.x_cap)):.3f} "
           f"({fopt.n_solves} HPF solves)")
 
+    # -- 14. line flows + IEEE-519: what the filter trade actually costs
+    fl0 = hpfx.line_flows(net, s, res.V_m, res.V_a)
+    res_opt = hpfx.hpf(net, dev, s, Y=fopt.Y)
+    fl1 = hpfx.line_flows(net, s, res_opt.V_m, res_opt.V_a)
+    rep519 = hpfx.check_ieee519(res_opt, s)
+    h0 = float(np.asarray(fl0.loss)[1:].sum())
+    h1 = float(np.asarray(fl1.loss)[1:].sum())
+    print(f"[14] flows: harmonic line losses {h0:.4f} -> {h1:.4f} pu "
+          f"(the filter absorbs harmonics THROUGH the feeder); "
+          f"IEEE-519 (<=1 kV): "
+          f"{int(np.asarray(rep519.compliant).sum())}/{net.n} buses "
+          f"compliant, worst individual "
+          f"{float(np.max(rep519.worst_ratio)):.1f}% "
+          f"(limit {rep519.limit_individual}%)")
+
 
 if __name__ == "__main__":
     main()
