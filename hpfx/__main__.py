@@ -7,6 +7,7 @@ CLI covers those workflows without editing code:
     python -m hpfx solve  --buses b.csv --lines l.csv --hmax 25 --coupled
     python -m hpfx scan   --buses b.csv --lines l.csv --operational
     python -m hpfx sweep  --buses b.csv --lines l.csv --batch 256
+    python -m hpfx report --buses b.csv --lines l.csv --v-kv 10
     python -m hpfx filter --buses b.csv --lines l.csv --bus 2
 
 Backend: CPU by default (the demo-script backend guard — this
@@ -52,7 +53,6 @@ def _add_common(p):
 
 def cmd_solve(args) -> int:
     import numpy as np
-    import jax.numpy as jnp
     import hpfx
 
     s, net, dev = _load(args)
@@ -137,7 +137,6 @@ def cmd_sweep(args) -> int:
 
 def cmd_report(args) -> int:
     import numpy as np
-    import jax.numpy as jnp
     import hpfx
 
     s, net, dev = _load(args)

@@ -101,6 +101,22 @@ IEEE519_LIMITS = (
 )
 
 
+def _limits_for(v_kv: float, settings: Settings):
+    """(individual %, THD %) for the PCC voltage class; ``v_kv=None``
+    defaults to the per-unit system's base voltage."""
+    if v_kv is None:
+        v_kv = settings.base_voltage / 1e3
+    for vmax, ind, thd_lim in IEEE519_LIMITS:
+        if v_kv <= vmax:
+            return ind, thd_lim
+    raise AssertionError("unreachable: IEEE519_LIMITS ends with inf")
+
+
+def _distortion_pct(V_m):
+    """(individual ratios (H-1, n) in %, THD_F (n,) in %) for one case."""
+    return 100.0 * V_m[1:] / V_m[0], 100.0 * get_thd(V_m).THD_F
+
+
 class IEEE519Report(NamedTuple):
     """Per-bus IEEE-519 voltage-distortion check (all (n,) unless noted).
 
@@ -130,16 +146,10 @@ def check_ieee519(result, settings: Settings,
     can be checked by slicing ``ratio``/``thd`` against other rows of
     :data:`IEEE519_LIMITS`).
     """
-    if v_kv is None:
-        v_kv = settings.base_voltage / 1e3
-    for vmax, ind, thd_lim in IEEE519_LIMITS:
-        if v_kv <= vmax:
-            break
-    V_m = result.V_m
-    ratio = 100.0 * V_m[1:] / V_m[0]                          # (H-1, n)
+    ind, thd_lim = _limits_for(v_kv, settings)
+    ratio, thd = _distortion_pct(result.V_m)                  # (H-1, n)
     worst = jnp.argmax(ratio, axis=0)
     orders = jnp.asarray(settings.harmonics[1:])
-    thd = 100.0 * get_thd(V_m).THD_F
     worst_ratio = jnp.max(ratio, axis=0)
     compliant = (worst_ratio <= ind) & (thd <= thd_lim)
     return IEEE519Report(
@@ -154,12 +164,16 @@ class IEEE519Summary(NamedTuple):
 
     The hosting-capacity aggregate with the STANDARD's criterion instead
     of a bare THD threshold: real studies bind on whichever of the
-    individual-harmonic or THD limits trips first.  ``frac_violating``
+    individual-harmonic or THD limits trips first.  ``compliant`` is
+    masked by convergence (a non-converged scenario is never claimed
+    compliant); ``worst_ratio``/``thd`` are raw per-scenario values and
+    are meaningless on non-converged rows — mask with
+    ``result.converged`` before aggregating them.  ``frac_violating``
     counts converged scenarios that violate either limit.
     """
     worst_ratio: jnp.ndarray     # worst V_h/V_1 in % over buses+orders
     thd: jnp.ndarray             # worst-bus THD_F in %
-    compliant: jnp.ndarray       # bool, every bus passes both limits
+    compliant: jnp.ndarray       # bool, converged AND both limits pass
     frac_violating: jnp.ndarray  # scalar, among converged scenarios
 
 
@@ -169,20 +183,17 @@ def ieee519_screen(result, settings: Settings,
     result in one vmapped program — the IEEE-519 counterpart of
     ``hpfx.solve.summarize_thd``, composable with any sweep
     (``hpf_sweep``/``hpf_sweep_adaptive``/the sharded wrappers)."""
-    if v_kv is None:
-        v_kv = settings.base_voltage / 1e3
-    for vmax, ind, thd_lim in IEEE519_LIMITS:
-        if v_kv <= vmax:
-            break
+    ind, thd_lim = _limits_for(v_kv, settings)
 
     def one(V_m):
-        ratio = 100.0 * V_m[1:] / V_m[0]
+        ratio, thd_bus = _distortion_pct(V_m)
         worst = jnp.max(ratio)
-        thd = 100.0 * jnp.max(get_thd(V_m).THD_F)
+        thd = jnp.max(thd_bus)
         return worst, thd, (worst <= ind) & (thd <= thd_lim)
 
     worst, thd, ok = jax.vmap(one)(result.V_m)
     conv = result.converged
+    ok = ok & conv
     viol = (~ok) & conv
     denom = jnp.maximum(jnp.sum(conv.astype(worst.dtype)), 1.0)
     return IEEE519Summary(

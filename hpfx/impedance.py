@@ -27,8 +27,8 @@ from .network import Network
 from .ybus import build_ybus
 
 __all__ = ["impedance_scan", "driving_point_impedance", "resonance_peaks",
-           "tuned_filter_admittance", "install_shunt", "frequency_scan",
-           "distortion_contributions"]
+           "tuned_filter_admittance", "install_shunt", "install_shunts",
+           "frequency_scan", "distortion_contributions"]
 
 
 def _norton_diag(devices) -> Cx:
@@ -170,12 +170,13 @@ def tuned_filter_admittance(settings: Settings, h_tune: float,
     h = jnp.asarray(settings.harmonics, rd)
     h_tune = jnp.asarray(h_tune, rd)
     x_cap = jnp.asarray(x_cap, rd)
+    lead = jnp.broadcast_shapes(h_tune.shape, x_cap.shape)
     x_l = x_cap / (h_tune * h_tune)
     r = (jnp.sqrt(x_l * x_cap) / quality)[..., None]
     x = x_l[..., None] * h - x_cap[..., None] / h
     d = r * r + x * x
-    return Cx((r / d).reshape(*h_tune.shape, h.shape[0]),
-              (-x / d).reshape(*h_tune.shape, h.shape[0]))
+    return Cx(jnp.broadcast_to(r / d, (*lead, h.shape[0])),
+              jnp.broadcast_to(-x / d, (*lead, h.shape[0])))
 
 
 def install_shunt(Y: Cx, bus: int, y_shunt: Cx) -> Cx:

@@ -255,8 +255,8 @@ def optimize_filter(
 
     **Robust design**: pass ``scenarios`` (a :class:`hpfx.solve.Scenarios`
     batch) to tune ONE filter against every scenario at once — each step
-    re-solves the whole sweep (``hpf_sweep`` with the filter's ``Y=``
-    override, warm-started) and descends the aggregate of the
+    re-solves the whole sweep cold (``hpf_sweep`` with the filter's
+    ``Y=`` override) and descends the aggregate of the
     per-scenario IFT gradients from
     :func:`hpfx.sensitivity.sweep_filter_sensitivity`:
     ``reduce="mean"`` for the expected value, ``reduce="max"`` for the
@@ -386,7 +386,7 @@ def optimize_filter(
     n_solves = 1
     value0, g = grad_at(params, res)
     value0 = float(np.asarray(value0))
-    best_params, best_value, best_res = params, value0, res
+    best_params, best_value = params, value0
     history = []
 
     dead_iters = 0
@@ -423,7 +423,7 @@ def optimize_filter(
         value = float(np.asarray(value))
         history.append(value)
         if value < best_value:
-            best_params, best_value, best_res = params, value, res_new
+            best_params, best_value = params, value
 
     return FilterOptResult(
         params=best_params, Y=Y_of(best_params),

@@ -93,6 +93,39 @@ def _solve_columns(V_m, V_a, Y, dev_t, net: Network, settings: Settings,
     return jnp.linalg.solve(J, rhs_cols)
 
 
+def _ift_grad(f_theta, x_star, params, V_m, V_a, Y, dev_t,
+              net: Network, settings: Settings, functional, H, n, c):
+    """The IFT gradient core shared by every sensitivity entry point:
+    forward-mode ∂f/∂θ over the ``params`` pytree, one batched column
+    solve against J(x*), and the chain rule onto ``functional`` — with
+    the gradient unflattened back into the ``params`` structure.
+
+    Returns ``(value, grad_pytree, dx_cols)``.  ``f_theta(params)`` must
+    evaluate the mismatch at ``x_star`` as a function of ``params``
+    alone; ``Y``/``dev_t`` are the operating-point values J is built at.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    df = jax.jacfwd(f_theta)(params)
+    dim = x_star.shape[0]
+    cols = jnp.concatenate(
+        [leaf.reshape(dim, -1) for leaf in jax.tree_util.tree_leaves(df)],
+        axis=1)                                            # (dim, P)
+    dx_cols = -_solve_columns(V_m, V_a, Y, dev_t, net, settings, cols)
+
+    def g_of_x(x):
+        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+        return functional(Vm2, Va2)
+
+    value, dg = jax.value_and_grad(g_of_x)(x_star)
+    grad_flat = dg @ dx_cols                               # (P,)
+    out, off = [], 0
+    for leaf in leaves:
+        k = max(1, leaf.size)
+        out.append(grad_flat[off:off + k].reshape(jnp.shape(leaf)))
+        off += k
+    return value, jax.tree_util.tree_unflatten(treedef, out), dx_cols
+
+
 @highest_precision
 def scenario_sensitivity(
     net: Network, devices, settings: Settings,
@@ -122,28 +155,11 @@ def scenario_sensitivity(
     x_star = harmonic_state_vector(V_m, V_a, c)
     f = _scaled_mismatch(net, devices, settings, Y, V_m, V_a)
 
-    # ∂f/∂params, one jacfwd over the whole pytree; leaves (dim, *p.shape)
-    df = jax.jacfwd(lambda p: f(x_star, p))(params)
-    dim = x_star.shape[0]
-    cols = jnp.concatenate(
-        [leaf.reshape(dim, -1) for leaf in df], axis=1)    # (dim, P)
-
     dev_t = devices.scale(params.injection_scale)
-    dx_cols = -_solve_columns(V_m, V_a, Y, dev_t, net, settings, cols)
-
-    def g_of_x(x):
-        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
-        return functional(Vm2, Va2)
-
-    value, dg = jax.value_and_grad(g_of_x)(x_star)
-    grad_flat = dg @ dx_cols                               # (P,)
-    # unflatten back into the params structure
-    out, off = [], 0
-    for leaf in params:
-        k = max(1, leaf.size)
-        out.append(grad_flat[off:off + k].reshape(leaf.shape))
-        off += k
-    return Sensitivity(value=value, grad=ScenarioParams(*out), dx=dx_cols)
+    value, grad, dx_cols = _ift_grad(
+        lambda p: f(x_star, p), x_star, params, V_m, V_a, Y, dev_t,
+        net, settings, functional, H, n, c)
+    return Sensitivity(value=value, grad=grad, dx=dx_cols)
 
 
 @highest_precision
@@ -187,19 +203,11 @@ def mix_sensitivity(
         dev_ = library.mixed(w_).scale(params.injection_scale)
         return harmonic_mismatch(Vm2, Va2, Y, S, dev_, m, n, c)[0]
 
-    df = jax.jacfwd(lambda w_: f(x_star, w_))(w)       # (dim, n_nl, T)
-    dim = x_star.shape[0]
-    cols = df.reshape(dim, -1)
     dev_t = library.mixed(w).scale(params.injection_scale)
-    dx_cols = -_solve_columns(V_m, V_a, Y, dev_t, net, settings, cols)
-
-    def g_of_x(x):
-        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
-        return functional(Vm2, Va2)
-
-    value, dg = jax.value_and_grad(g_of_x)(x_star)
-    return Sensitivity(value=value, grad=(dg @ dx_cols).reshape(w.shape),
-                       dx=dx_cols)
+    value, grad, dx_cols = _ift_grad(
+        lambda w_: f(x_star, w_), x_star, w, V_m, V_a, Y, dev_t,
+        net, settings, functional, H, n, c)
+    return Sensitivity(value=value, grad=grad, dx=dx_cols)
 
 
 @highest_precision
@@ -254,25 +262,10 @@ def sweep_sensitivity(
                                      base.scale(pr.injection_scale),
                                      m, n, c)[0]
 
-        df = jax.jacfwd(lambda pr: f(x_star, pr))(params)
-        dim = x_star.shape[0]
-        cols = jnp.concatenate(
-            [leaf.reshape(dim, -1) for leaf in df], axis=1)
-        dx_cols = -_solve_columns(V_m, V_a, Y, base.scale(i_s), net,
-                                  settings, cols)
-
-        def g_of_x(x):
-            Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
-            return functional(Vm2, Va2)
-
-        value, dg = jax.value_and_grad(g_of_x)(x_star)
-        grad_flat = dg @ dx_cols
-        out, off = [], 0
-        for leaf in params:
-            k = max(1, leaf.size)
-            out.append(grad_flat[off:off + k].reshape(leaf.shape))
-            off += k
-        return value, ScenarioParams(*out), dx_cols
+        value, grad, dx_cols = _ift_grad(
+            lambda pr: f(x_star, pr), x_star, params, V_m, V_a, Y,
+            base.scale(i_s), net, settings, functional, H, n, c)
+        return value, grad, dx_cols
 
     in_axes = (0, 0, 0, 0, 0, None if mix is None else 0)
     value, grad, dx = jax.vmap(one, in_axes=in_axes)(
@@ -347,27 +340,12 @@ def line_sensitivity(
         Yp = build_ybus(net_p, settings)
         return harmonic_mismatch(Vm2, Va2, Yp, S, dev_t, m, n, c)[0]
 
-    df = jax.jacfwd(lambda p: f(x_star, p))(lp)
-    dim = x_star.shape[0]
-    cols = jnp.concatenate(
-        [leaf.reshape(dim, -1) for leaf in df], axis=1)    # (dim, P)
-
     # J at the solved point: the default lp reproduces net's Ybus exactly
     Y = build_ybus(net, settings)
-    dx_cols = -_solve_columns(V_m, V_a, Y, dev_t, net, settings, cols)
-
-    def g_of_x(x):
-        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
-        return functional(Vm2, Va2)
-
-    value, dg = jax.value_and_grad(g_of_x)(x_star)
-    grad_flat = dg @ dx_cols                               # (P,)
-    out, off = [], 0
-    for leaf in lp:
-        k = max(1, leaf.size)
-        out.append(grad_flat[off:off + k].reshape(leaf.shape))
-        off += k
-    return Sensitivity(value=value, grad=LineParams(*out), dx=dx_cols)
+    value, grad, dx_cols = _ift_grad(
+        lambda p: f(x_star, p), x_star, lp, V_m, V_a, Y, dev_t,
+        net, settings, functional, H, n, c)
+    return Sensitivity(value=value, grad=grad, dx=dx_cols)
 
 
 @highest_precision
@@ -420,7 +398,7 @@ def _filter_Y(Y0, settings, bus, p: "FilterParams", quality):
     from .impedance import (install_shunt, install_shunts,
                             tuned_filter_admittance)
     yf = tuned_filter_admittance(settings, p.h_tune, p.x_cap, quality)
-    if jnp.ndim(p.h_tune) == 0:
+    if jnp.ndim(p.h_tune) == 0 and jnp.ndim(p.x_cap) == 0:
         return install_shunt(Y0, bus, yf)
     return install_shunts(Y0, bus, yf)
 
@@ -480,27 +458,11 @@ def filter_sensitivity(
         Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
         return harmonic_mismatch(Vm2, Va2, Y_of(p), S, dev_t, m, n, c)[0]
 
-    df = jax.jacfwd(lambda p: f(x_star, p))(fp)
-    dim = x_star.shape[0]
-    cols = jnp.concatenate(
-        [leaf.reshape(dim, -1) for leaf in df], axis=1)    # (dim, 2)
-
     # J at the solved point: the filter IS part of the operating point
-    dx_cols = -_solve_columns(V_m, V_a, Y_of(fp), dev_t, net, settings,
-                              cols)
-
-    def g_of_x(x):
-        Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
-        return functional(Vm2, Va2)
-
-    value, dg = jax.value_and_grad(g_of_x)(x_star)
-    grad_flat = dg @ dx_cols
-    out, off = [], 0
-    for leaf in fp:
-        k = max(1, leaf.size)
-        out.append(grad_flat[off:off + k].reshape(jnp.shape(leaf)))
-        off += k
-    return Sensitivity(value=value, grad=FilterParams(*out), dx=dx_cols)
+    value, grad, dx_cols = _ift_grad(
+        lambda p: f(x_star, p), x_star, fp, V_m, V_a, Y_of(fp), dev_t,
+        net, settings, functional, H, n, c)
+    return Sensitivity(value=value, grad=grad, dx=dx_cols)
 
 
 @highest_precision
@@ -558,25 +520,10 @@ def sweep_filter_sensitivity(
             return harmonic_mismatch(Vm2, Va2, Y_of(fp2), S, dev_t,
                                      m, n, c)[0]
 
-        df = jax.jacfwd(lambda fp2: f(x_star, fp2))(fp)
-        dim = x_star.shape[0]
-        cols = jnp.concatenate(
-            [leaf.reshape(dim, -1) for leaf in df], axis=1)    # (dim, 2)
-        dx_cols = -_solve_columns(V_m, V_a, Y_of(fp), dev_t, net,
-                                  settings, cols)
-
-        def g_of_x(x):
-            Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
-            return functional(Vm2, Va2)
-
-        value, dg = jax.value_and_grad(g_of_x)(x_star)
-        grad_flat = dg @ dx_cols
-        out, off = [], 0
-        for leaf in fp:
-            k = max(1, leaf.size)
-            out.append(grad_flat[off:off + k].reshape(jnp.shape(leaf)))
-            off += k
-        return value, FilterParams(*out), dx_cols
+        value, grad, dx_cols = _ift_grad(
+            lambda fp2: f(x_star, fp2), x_star, fp, V_m, V_a, Y_of(fp),
+            dev_t, net, settings, functional, H, n, c)
+        return value, grad, dx_cols
 
     in_axes = (0, 0, 0, 0, 0, None if mix is None else 0)
     value, grad, dx = jax.vmap(one, in_axes=in_axes)(

@@ -9,10 +9,13 @@ import json
 import numpy as np
 import pytest
 
+from conftest import DATA
+import os
+
 from hpfx.__main__ import main
 
-NET2 = ("--buses", "hpfx/data/net2_buses.csv",
-        "--lines", "hpfx/data/net2_lines.csv")
+NET2 = ("--buses", os.path.join(DATA, "net2_buses.csv"),
+        "--lines", os.path.join(DATA, "net2_lines.csv"))
 
 
 def test_solve_prints_thd_table_and_exit_code(capsys):

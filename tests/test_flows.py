@@ -12,14 +12,12 @@ import pytest
 import jax.numpy as jnp
 
 import hpfx
+from conftest import make_setup
 from hpfx.network import NONLINEAR, PQ, SLACK
 
 
 def _solved(net_name="net2", h_max=25):
-    s = hpfx.settings_for_hmax(h_max, coupled=True)
-    net = hpfx.load_network(f"hpfx/data/{net_name}_buses.csv",
-                            f"hpfx/data/{net_name}_lines.csv", s)
-    dev = hpfx.load_device_set(net, s)
+    s, net, dev = make_setup((net_name, h_max, True))
     res = hpfx.hpf(net, dev, s)
     assert bool(res.converged)
     return s, net, dev, res
@@ -148,10 +146,7 @@ def test_ieee519_screen_matches_per_scenario_loop():
     converged scenarios."""
     from hpfx.solve import Scenarios, hpf_sweep
 
-    s = hpfx.settings_for_hmax(25, coupled=True)
-    net = hpfx.load_network("hpfx/data/net2_buses.csv",
-                            "hpfx/data/net2_lines.csv", s)
-    dev = hpfx.load_device_set(net, s)
+    s, net, dev = make_setup(("net2", 25, True))
     # injection spread straddling the compliance knee (measured: net2
     # crosses the <=1 kV limits between injection 0.01 and 0.02)
     scen = Scenarios(p_scale=jnp.ones(8),

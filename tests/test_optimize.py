@@ -310,10 +310,8 @@ def test_optimize_filter_robust_over_scenarios():
 
 
 def _net2():
-    s = hpfx.settings_for_hmax(25, coupled=True)
-    net = hpfx.load_network("hpfx/data/net2_buses.csv",
-                            "hpfx/data/net2_lines.csv", s)
-    return s, net, hpfx.load_device_set(net, s)
+    from conftest import make_setup
+    return make_setup(("net2", 25, True))
 
 
 def test_filter_bank_fd_oracle():
@@ -392,3 +390,27 @@ def test_install_shunts_matches_sequential_single():
     np.testing.assert_allclose(
         np.asarray(Yc.re[:, 1, 1]),
         np.asarray(Y0.re[:, 1, 1] + yf.re[0] + yf.re[1]), rtol=1e-15)
+
+
+def test_tuned_filter_admittance_broadcasts_mixed_rank():
+    """Scalar h_tune + vector x_cap (and vice versa) must broadcast to a
+    (K, H) bank — regression: the reshape used only h_tune's shape and
+    crashed on this input."""
+    s = hpfx.settings_for_hmax(9, coupled=True)
+    H = s.n_harmonics
+    mixed = hpfx.tuned_filter_admittance(s, 7.0, jnp.asarray([0.1, 0.3]))
+    assert mixed.re.shape == (2, H)
+    mixed2 = hpfx.tuned_filter_admittance(s, jnp.asarray([5.0, 7.0]), 0.1)
+    assert mixed2.re.shape == (2, H)
+    # rows equal the scalar-by-scalar calls
+    for k, xc in enumerate([0.1, 0.3]):
+        one = hpfx.tuned_filter_admittance(s, 7.0, xc)
+        np.testing.assert_allclose(np.asarray(mixed.re[k]),
+                                   np.asarray(one.re), rtol=1e-15)
+    # _filter_Y takes the bank branch for mixed-rank params too
+    from hpfx.sensitivity import FilterParams, _filter_Y
+    net = resonant_feeder()[1]
+    Y0 = hpfx.build_ybus(net, s)
+    Yb = _filter_Y(Y0, s, (0, 1), FilterParams(7.0, jnp.asarray([0.1, 0.3])),
+                   30.0)
+    assert Yb.re.shape == Y0.re.shape
