@@ -172,13 +172,16 @@ def cmd_filter(args) -> int:
     import hpfx
 
     s, net, dev = _load(args)
-    out = hpfx.optimize_filter(net, dev, s, bus=args.bus,
+    bus = args.bus[0] if len(args.bus) == 1 else list(args.bus)
+    out = hpfx.optimize_filter(net, dev, s, bus=bus,
                                x_cap0=args.x_cap0, steps=args.steps,
                                learning_rate=args.lr)
-    print(f"filter at bus {args.bus}: maxTHD {out.value0:.4f} -> "
-          f"{out.value:.4f} at h_tune="
-          f"{float(np.asarray(out.params.h_tune)):.2f}, x_cap="
-          f"{float(np.asarray(out.params.x_cap)):.4f} "
+    h_t = np.atleast_1d(np.asarray(out.params.h_tune))
+    x_c = np.atleast_1d(np.asarray(out.params.x_cap))
+    branches = ", ".join(f"bus {b}: h_tune={h:.2f} x_cap={x:.4f}"
+                         for b, h, x in zip(np.atleast_1d(bus), h_t, x_c))
+    print(f"filter bank ({len(h_t)} branch(es)): maxTHD "
+          f"{out.value0:.4f} -> {out.value:.4f} [{branches}] "
           f"({out.n_solves} HPF solves)")
     return 0
 
@@ -222,7 +225,9 @@ def build_parser() -> argparse.ArgumentParser:
     pf = sub.add_parser("filter",
                         help="gradient-tuned shunt filter design")
     _add_common(pf)
-    pf.add_argument("--bus", type=int, required=True)
+    pf.add_argument("--bus", type=int, required=True, nargs="+",
+                    help="installation bus (repeat for a co-optimized "
+                         "multi-bus bank)")
     pf.add_argument("--steps", type=int, default=25)
     pf.add_argument("--lr", type=float, default=0.05)
     pf.add_argument("--x-cap0", dest="x_cap0", type=float, default=0.05)

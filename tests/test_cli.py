@@ -97,3 +97,10 @@ def test_report_flows_and_ieee519(capsys):
     rc2 = main(["report", *NET2, "--v-kv", "500"])
     out2 = capsys.readouterr().out
     assert rc2 == 3 and "individual<=1.0%" in out2
+
+
+def test_filter_bank_cli(capsys):
+    rc = main(["filter", *NET2, "--bus", "2", "3", "--steps", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "2 branch(es)" in out and "bus 3:" in out
