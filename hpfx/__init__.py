@@ -32,8 +32,9 @@ from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
 from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
-from .flows import (IEEE519Report, IEEE519Summary, LineFlows,
-                    check_ieee519, ieee519_screen, line_flows)
+from .flows import (IEEE519CurrentReport, IEEE519Report, IEEE519Summary,
+                    LineFlows, check_ieee519, check_ieee519_current,
+                    ieee519_screen, k_factor, line_flows)
 from .impedance import (distortion_contributions, driving_point_impedance,
                         frequency_scan, impedance_scan, install_shunt,
                         install_shunts, resonance_peaks,
@@ -81,7 +82,8 @@ __all__ = [
     "tuned_filter_admittance", "install_shunt", "install_shunts",
     "frequency_scan",
     "LineFlows", "line_flows", "IEEE519Report", "check_ieee519",
-    "IEEE519Summary", "ieee519_screen",
+    "IEEE519Summary", "ieee519_screen", "k_factor",
+    "IEEE519CurrentReport", "check_ieee519_current",
     "distortion_contributions",
     "OptimizeResult", "optimize_line_params", "apply_line_params",
     "FilterOptResult", "optimize_filter",

@@ -13,7 +13,11 @@ closes that reporting gap:
   real power every bus injects equals the total line loss.
 - :func:`check_ieee519`: IEEE Std 519-2014 Table 1 voltage distortion
   limits (individual harmonic % and THD % by voltage class) applied to
-  a solved case.
+  a solved case; :func:`ieee519_screen` is the batched sweep version.
+- :func:`check_ieee519_current`: the standard's current side (Table 2:
+  per-order and TDD limits by short-circuit ratio) on a branch current
+  from :func:`line_flows`; :func:`k_factor` gives the IEEE C57.110
+  transformer-derating K-factor of the same currents.
 """
 from __future__ import annotations
 
@@ -29,7 +33,9 @@ from .network import Network
 from .results import get_thd
 
 __all__ = ["LineFlows", "line_flows", "IEEE519Report", "check_ieee519",
-           "IEEE519_LIMITS", "IEEE519Summary", "ieee519_screen"]
+           "IEEE519_LIMITS", "IEEE519Summary", "ieee519_screen",
+           "k_factor", "IEEE519_CURRENT_LIMITS", "IEEE519CurrentReport",
+           "check_ieee519_current"]
 
 
 class LineFlows(NamedTuple):
@@ -199,3 +205,85 @@ def ieee519_screen(result, settings: Settings,
     return IEEE519Summary(
         worst_ratio=worst, thd=thd, compliant=ok,
         frac_violating=jnp.sum(viol.astype(worst.dtype)) / denom)
+
+
+def k_factor(I_m: jnp.ndarray, harmonics) -> jnp.ndarray:
+    """IEEE C57.110 transformer K-factor from harmonic current
+    magnitudes: ``K = sum_h (I_h/I_rms)^2 h^2 / sum_h (I_h/I_rms)^2``
+    — the eddy-loss multiplier used to derate transformers feeding
+    nonlinear load.  ``I_m``: (H, ...) per-harmonic magnitudes (e.g.
+    ``line_flows(...).I_f.abs()``); returns the trailing shape.
+
+    K = 1 for a purely fundamental current; a typical office-building
+    feeder runs K 4-9; K-13/K-20 rated transformers cover the range.
+    """
+    h = jnp.asarray(harmonics, I_m.dtype).reshape(
+        (-1,) + (1,) * (I_m.ndim - 1))
+    w = I_m * I_m
+    return jnp.sum(w * h * h, axis=0) / jnp.maximum(
+        jnp.sum(w, axis=0), jnp.finfo(I_m.dtype).tiny)
+
+
+#: IEEE Std 519-2014 Table 2 — current distortion limits at the PCC
+#: (120 V..69 kV) by short-circuit ratio Isc/IL: rows are
+#: (max Isc/IL, limits % for odd-harmonic ranges h<11, 11<=h<17,
+#:  17<=h<23, 23<=h<35, 35<=h<=50, TDD %).  Even harmonics are limited
+#: to 25% of the odd limit in the standard; the checker applies that.
+IEEE519_CURRENT_LIMITS = (
+    (20.0, 4.0, 2.0, 1.5, 0.6, 0.3, 5.0),
+    (50.0, 7.0, 3.5, 2.5, 1.0, 0.5, 8.0),
+    (100.0, 10.0, 4.5, 4.0, 1.5, 0.7, 12.0),
+    (1000.0, 12.0, 5.5, 5.0, 2.0, 1.0, 15.0),
+    (float("inf"), 15.0, 7.0, 6.0, 2.5, 1.4, 20.0),
+)
+
+
+class IEEE519CurrentReport(NamedTuple):
+    """IEEE-519 Table 2 current-distortion check for ONE measured branch
+    current (the PCC feeder).
+
+    ``ratio``: (H-1,) per-harmonic I_h/I_L in % (orders
+    ``harmonics``).  ``limits``: (H-1,) the applicable per-order limit
+    (odd-range limits; evens at 25% of the range value).  ``tdd``: total
+    demand distortion in %.  ``compliant``: every order within its limit
+    AND TDD within the class limit.
+    """
+    harmonics: tuple
+    ratio: jnp.ndarray
+    limits: jnp.ndarray
+    tdd: jnp.ndarray
+    limit_tdd: float
+    compliant: jnp.ndarray
+
+
+def check_ieee519_current(I_m: jnp.ndarray, harmonics, isc_over_il: float,
+                          i_load: float = None) -> IEEE519CurrentReport:
+    """Check one branch current spectrum against IEEE Std 519-2014
+    Table 2 (PCC current distortion, 120 V..69 kV systems).
+
+    ``I_m``: (H,) per-harmonic current magnitudes for the monitored
+    branch (e.g. one column of ``line_flows(...).I_f.abs()``).
+    ``isc_over_il``: the PCC short-circuit ratio selecting the limit
+    row.  ``i_load``: the maximum demand load current I_L the ratios
+    are normalized by — defaults to the fundamental of ``I_m`` (i.e.
+    treats the studied case as the maximum-demand case).
+    """
+    for row in IEEE519_CURRENT_LIMITS:
+        if isc_over_il <= row[0]:
+            break
+    _, l11, l17, l23, l35, l50, tdd_lim = row
+    hs = tuple(int(x) for x in harmonics)
+    i_l = jnp.asarray(I_m)[0] if i_load is None else i_load
+
+    def order_limit(h):
+        base = (l11 if h < 11 else l17 if h < 17 else l23 if h < 23
+                else l35 if h < 35 else l50)
+        return base if h % 2 == 1 else 0.25 * base
+
+    limits = jnp.asarray([order_limit(h) for h in hs[1:]], jnp.asarray(I_m).dtype)
+    ratio = 100.0 * I_m[1:] / i_l
+    tdd = 100.0 * jnp.sqrt(jnp.sum(I_m[1:] ** 2)) / i_l
+    compliant = jnp.all(ratio <= limits) & (tdd <= tdd_lim)
+    return IEEE519CurrentReport(
+        harmonics=hs[1:], ratio=ratio, limits=limits, tdd=tdd,
+        limit_tdd=tdd_lim, compliant=compliant)

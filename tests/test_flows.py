@@ -173,3 +173,67 @@ def test_ieee519_screen_matches_per_scenario_loop():
     ok = np.asarray(summ.compliant)
     assert ok[0] and not ok[-1]
     assert float(summ.frac_violating) == pytest.approx((~ok).mean())
+
+
+def test_k_factor_analytic_cases():
+    """K=1 for pure fundamental; analytic two-harmonic case; batched
+    shapes pass through."""
+    harms = (1, 3, 5)
+    I = jnp.asarray([1.0, 0.0, 0.0])
+    np.testing.assert_allclose(float(hpfx.k_factor(I, harms)), 1.0)
+    # I1=1, I3=0.5: K = (1*1 + 0.25*9)/(1 + 0.25) = 3.25/1.25 = 2.6
+    I = jnp.asarray([1.0, 0.5, 0.0])
+    np.testing.assert_allclose(float(hpfx.k_factor(I, harms)), 2.6,
+                               rtol=1e-12)
+    # batched (H, L): per-column results
+    I2 = jnp.stack([jnp.asarray([1.0, 0.0, 0.0]),
+                    jnp.asarray([1.0, 0.5, 0.0])], axis=1)
+    np.testing.assert_allclose(np.asarray(hpfx.k_factor(I2, harms)),
+                               [1.0, 2.6], rtol=1e-12)
+
+
+def test_k_factor_on_solved_feeder_exceeds_one():
+    s, net, dev, res = _solved("net2")
+    fl = hpfx.line_flows(net, s, res.V_m, res.V_a)
+    K = np.asarray(hpfx.k_factor(fl.I_f.abs(), s.harmonics))
+    assert K.shape == (net.n_lines,)
+    assert (K > 1.0).all()          # distorted currents on every line
+
+
+def test_ieee519_current_limits_and_classes():
+    harms = (1, 3, 5, 7, 11, 13, 17, 25, 35, 49)
+    I = np.zeros(len(harms)); I[0] = 1.0
+    rep = hpfx.check_ieee519_current(jnp.asarray(I), harms, 15.0)
+    assert bool(rep.compliant) and float(rep.tdd) == 0.0
+    assert rep.limit_tdd == 5.0                   # Isc/IL < 20 class
+    # odd-range limits land correctly per order
+    lim = dict(zip(rep.harmonics, np.asarray(rep.limits)))
+    assert lim[3] == 4.0 and lim[5] == 4.0 and lim[7] == 4.0
+    assert lim[11] == 2.0 and lim[13] == 2.0
+    assert lim[17] == 1.5 and lim[25] == 0.6
+    assert lim[35] == 0.3 and lim[49] == 0.3
+    # a 5% 5th harmonic violates the <20 class but passes the <100 class
+    I[2] = 0.05
+    bad = hpfx.check_ieee519_current(jnp.asarray(I), harms, 15.0)
+    ok = hpfx.check_ieee519_current(jnp.asarray(I), harms, 80.0)
+    assert not bool(bad.compliant) and bool(ok.compliant)
+    # even harmonics carry 25% of the range limit
+    harms_e = (1, 2, 4)
+    repe = hpfx.check_ieee519_current(
+        jnp.asarray([1.0, 0.0, 0.0]), harms_e, 15.0)
+    np.testing.assert_allclose(np.asarray(repe.limits), [1.0, 1.0])
+
+
+def test_ieee519_current_on_solved_feeder():
+    """The slack feeder current of net2 at full distortion must violate
+    Table 2 at a stiff PCC; the same current normalized against a much
+    larger demand current passes (TDD is demand-relative)."""
+    s, net, dev, res = _solved("net2")
+    fl = hpfx.line_flows(net, s, res.V_m, res.V_a)
+    I_slack = fl.I_f.abs()[:, 0]                  # line 0 leaves bus 0
+    rep = hpfx.check_ieee519_current(I_slack, s.harmonics, 15.0)
+    assert not bool(rep.compliant)
+    big_load = 100.0 * float(I_slack[0])
+    rep2 = hpfx.check_ieee519_current(I_slack, s.harmonics, 15.0,
+                                      i_load=big_load)
+    assert bool(rep2.compliant)
