@@ -146,14 +146,19 @@ def cmd_report(args) -> int:
         return 2
     fl = hpfx.line_flows(net, s, res.V_m, res.V_a)
     loss = np.asarray(fl.loss)
+    I = fl.I_f.abs()
+    K = np.asarray(hpfx.k_factor(I, s.harmonics))
     print(f"line flows ({net.n_lines} lines x {s.n_harmonics} harmonics), "
           f"total loss {float(fl.total_loss):.5f} pu")
     print(f"{'line':>4} {'from':>4} {'to':>4} {'P_fund':>9} {'loss_fund':>10} "
-          f"{'loss_harm':>10}")
+          f"{'loss_harm':>10} {'K-factor':>9} {'I TDD %':>8}")
     for k in range(net.n_lines):
+        repc = hpfx.check_ieee519_current(I[:, k], s.harmonics,
+                                          args.isc_il)
         print(f"{k:>4} {int(net.line_from[k]):>4} {int(net.line_to[k]):>4} "
               f"{float(fl.P_f[0, k]):>9.5f} {loss[0, k]:>10.6f} "
-              f"{loss[1:, k].sum():>10.6f}")
+              f"{loss[1:, k].sum():>10.6f} {K[k]:>9.2f} "
+              f"{float(repc.tdd):>8.2f}")
     rep = hpfx.check_ieee519(res, s, v_kv=args.v_kv)
     print(f"IEEE-519 (individual<={rep.limit_individual}%, "
           f"THD<={rep.limit_thd}%):")
@@ -220,6 +225,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(pr)
     pr.add_argument("--v-kv", dest="v_kv", type=float, default=None,
                     help="PCC voltage class in kV (default: the pu base)")
+    pr.add_argument("--isc-il", dest="isc_il", type=float, default=20.0,
+                    help="PCC short-circuit ratio Isc/IL for the "
+                         "Table-2 current-limit class (default 20)")
     pr.set_defaults(fn=cmd_report)
 
     pf = sub.add_parser("filter",

@@ -92,6 +92,7 @@ def test_report_flows_and_ieee519(capsys):
     out = capsys.readouterr().out
     assert rc == 3                        # net2 is non-compliant
     assert "total loss" in out and "IEEE-519" in out
+    assert "K-factor" in out and "I TDD %" in out
     assert "False" in out and "True" in out
     # tighter class flips nothing to compliant
     rc2 = main(["report", *NET2, "--v-kv", "500"])
