@@ -414,3 +414,37 @@ def test_tuned_filter_admittance_broadcasts_mixed_rank():
     Yb = _filter_Y(Y0, s, (0, 1), FilterParams(7.0, jnp.asarray([0.1, 0.3])),
                    30.0)
     assert Yb.re.shape == Y0.re.shape
+
+
+def test_filter_sensitivity_fd_oracle_pv_bus():
+    """net3 carries a PV bus (c=2 cropping): the IFT machinery's state
+    cropping must stay consistent through the filter-parameter columns
+    — FD oracle on the full re-solved HPF."""
+    from conftest import make_setup
+    from hpfx.sensitivity import FilterParams, filter_sensitivity
+
+    s, net, dev = make_setup(("net3", 25, True))
+    bus = net.n - 1
+    fp = FilterParams(h_tune=6.5, x_cap=0.08)
+
+    def solve_at(h_tune, x_cap):
+        Yf = hpfx.install_shunt(
+            hpfx.build_ybus(net, s), bus,
+            hpfx.tuned_filter_admittance(s, h_tune, x_cap))
+        r = hpfx.hpf(net, dev, s, Y=Yf)
+        assert bool(r.converged)
+        return r
+
+    def thd_at(h_tune, x_cap):
+        r = solve_at(h_tune, x_cap)
+        return float(jnp.max(hpfx.get_thd(r.V_m).THD_F))
+
+    res = solve_at(fp.h_tune, fp.x_cap)
+    sens = filter_sensitivity(net, dev, s, res, bus, fp)
+    eps = 1e-5
+    fd_h = (thd_at(fp.h_tune + eps, fp.x_cap)
+            - thd_at(fp.h_tune - eps, fp.x_cap)) / (2 * eps)
+    fd_c = (thd_at(fp.h_tune, fp.x_cap + eps)
+            - thd_at(fp.h_tune, fp.x_cap - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(sens.grad.h_tune), fd_h, rtol=2e-4)
+    np.testing.assert_allclose(float(sens.grad.x_cap), fd_c, rtol=2e-4)
