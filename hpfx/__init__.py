@@ -27,6 +27,7 @@ from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
                     hpf_single, hpf_sweep, hpf_sweep_adaptive,
                     hpf_sweep_continuation, summarize_thd)
 from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
+from .estimate import EstimateResult, estimate_injections
 from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
                        solve_harmonic_extended)
 from .generators import synthetic_feeder
@@ -87,6 +88,7 @@ __all__ = [
     "distortion_contributions",
     "OptimizeResult", "optimize_line_params", "apply_line_params",
     "FilterOptResult", "optimize_filter",
+    "EstimateResult", "estimate_injections",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
     "ControlledDeviceSet", "ExtendedResult", "hpf_extended",

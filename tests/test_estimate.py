@@ -1,0 +1,100 @@
+"""Harmonic source estimation (hpfx/estimate.py).
+
+Inverse-crime tests: synthesize measurements from known per-device
+scales, start the fit elsewhere, and require recovery — including from
+PARTIAL observability (metering only buses that host no device).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import hpfx
+from conftest import make_setup
+from hpfx.network import NONLINEAR, PQ, SLACK
+
+
+def two_smps_feeder(h_max=9):
+    """slack — PQ — SMPS — SMPS chain: two separable harmonic sources
+    plus a device-free bus to meter.  thresh_h tightened: the recovery
+    floor is the NR tolerance of the forward solves (the fit cannot be
+    more accurate than the simulator generating its measurements)."""
+    s = hpfx.settings_for_hmax(h_max, coupled=True, thresh_h=1e-8)
+    net = hpfx.network_from_arrays(
+        bus_types=(SLACK, PQ, NONLINEAR, NONLINEAR),
+        components=("generator", "lin_load", "SMPS", "SMPS"),
+        P=[0, 100, 250, 150], Q=[0, 50, 100, 60],
+        line_from=[0, 1, 2], line_to=[1, 2, 3],
+        R=[0.4, 0.8, 1.2], X=[1.5, 3.0, 4.5],
+        settings=s, per_unit=False)
+    return s, net, hpfx.load_device_set(net, s)
+
+
+def _truth(s, net, dev, scales):
+    res = hpfx.hpf(net, dev.scale(jnp.asarray(scales, s.real_dtype)), s)
+    assert bool(res.converged)
+    return res
+
+
+def test_recovers_scales_full_observation():
+    s, net, dev = two_smps_feeder()
+    true = [0.7, 1.3]
+    res = _truth(s, net, dev, true)
+    out = hpfx.estimate_injections(net, dev, s, res.V_m,
+                                   scales0=1.0)
+    np.testing.assert_allclose(np.asarray(out.scales), true, atol=1e-5)
+    assert out.misfit < 1e-8 < out.misfit0
+
+
+def test_localizes_from_remote_bus_only():
+    """Meter ONLY bus 1 (hosts no device): the two sources at buses 2
+    and 3 must still be separated — the network's transfer impedances
+    make the inverse problem identifiable from a remote measurement."""
+    s, net, dev = two_smps_feeder()
+    true = [1.2, 0.6]
+    res = _truth(s, net, dev, true)
+    V_partial = jnp.zeros_like(res.V_m).at[:, 1].set(res.V_m[:, 1])
+    out = hpfx.estimate_injections(net, dev, s, V_partial, buses=[1],
+                                   scales0=1.0)
+    np.testing.assert_allclose(np.asarray(out.scales), true, atol=1e-4)
+    assert out.misfit < 1e-9
+
+
+def test_seven_sources_net1():
+    """The reference-scale case: recover all 7 device levels of net1
+    from full voltage-magnitude observation."""
+    s, net, dev = make_setup(("net1", 9, True))
+    rng = np.random.default_rng(7)
+    true = rng.uniform(0.6, 1.4, net.n_nonlinear)
+    res = _truth(s, net, dev, true)
+    out = hpfx.estimate_injections(net, dev, s, res.V_m,
+                                   scales0=1.0)
+    np.testing.assert_allclose(np.asarray(out.scales), true, atol=1e-5)
+    assert out.misfit < 1e-7
+
+
+def test_known_load_level_enters_both_sides():
+    """Measurements taken at a 1.15x load level: passing p_scale/q_scale
+    must reproduce the operating point (a silent mismatch between the
+    solve and gradient sides would stall the fit away from truth)."""
+    s, net, dev = two_smps_feeder()
+    import dataclasses
+    net_l = dataclasses.replace(net, bus_P=net.bus_P * 1.15,
+                                bus_Q=net.bus_Q * 1.15)
+    true = [0.9, 1.1]
+    res = hpfx.hpf(net_l, dev.scale(jnp.asarray(true, s.real_dtype)), s)
+    assert bool(res.converged)
+    out = hpfx.estimate_injections(net, dev, s, res.V_m,
+                                   p_scale=1.15, q_scale=1.15,
+                                   scales0=1.0)
+    np.testing.assert_allclose(np.asarray(out.scales), true, atol=1e-5)
+
+
+def test_bounds_and_start_projection():
+    s, net, dev = two_smps_feeder()
+    res = _truth(s, net, dev, [1.0, 1.0])
+    out = hpfx.estimate_injections(net, dev, s, res.V_m,
+                                   scales0=5.0, bounds=(0.2, 1.5),
+                                   steps=3)
+    sc = np.asarray(out.scales)
+    assert (sc >= 0.2 - 1e-12).all() and (sc <= 1.5 + 1e-12).all()
