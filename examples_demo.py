@@ -233,6 +233,17 @@ def main():
           f"{float(np.max(rep519.worst_ratio)):.1f}% "
           f"(limit {rep519.limit_individual}%)")
 
+    # -- 15. inverse problem: localize the sources from meter readings --
+    true_sc = np.array([0.85])                   # net2 has one device
+    res_m = hpfx.hpf(net, dev.scale(jnp.asarray(true_sc, s.real_dtype)), s)
+    est = hpfx.estimate_injections(net, dev, s, res_m.V_m,
+                                   buses=[1], scales0=1.0)
+    print(f"[15] source estimation from bus-1 meter only: true scale "
+          f"{true_sc[0]:.2f}, fitted "
+          f"{float(np.asarray(est.scales)[0]):.4f} "
+          f"(misfit {est.misfit0:.1e} -> {est.misfit:.1e}, "
+          f"{est.n_solves} solves)")
+
 
 if __name__ == "__main__":
     main()

@@ -8,6 +8,8 @@ CLI covers those workflows without editing code:
     python -m hpfx scan   --buses b.csv --lines l.csv --operational
     python -m hpfx sweep  --buses b.csv --lines l.csv --batch 256
     python -m hpfx report --buses b.csv --lines l.csv --v-kv 10
+    python -m hpfx estimate --buses b.csv --lines l.csv \\
+                            --measurements solution.json --meter 1
     python -m hpfx filter --buses b.csv --lines l.csv --bus 2
 
 Backend: CPU by default (the demo-script backend guard — this
@@ -172,6 +174,31 @@ def cmd_report(args) -> int:
     return 0 if bool(np.asarray(rep.compliant).all()) else 3
 
 
+def cmd_estimate(args) -> int:
+    import json as _json
+
+    import numpy as np
+    import jax.numpy as jnp
+    import hpfx
+
+    s, net, dev = _load(args)
+    d = _json.load(open(args.measurements))
+    V_meas = jnp.asarray(np.asarray(d["V_m"], float), s.real_dtype)
+    if V_meas.shape != (s.n_harmonics, net.n):
+        raise SystemExit(
+            f"measurements V_m shape {tuple(V_meas.shape)} does not match "
+            f"(H, n) = ({s.n_harmonics}, {net.n}) — same --hmax as the "
+            f"solve that wrote the file?")
+    out = hpfx.estimate_injections(net, dev, s, V_meas,
+                                   buses=args.meter, scales0=args.scales0)
+    where = "all buses" if args.meter is None else f"buses {args.meter}"
+    print(f"fitted {net.n_nonlinear} device scale(s) from {where}: "
+          + " ".join(f"{float(x):.4f}" for x in np.asarray(out.scales)))
+    print(f"misfit {out.misfit0:.3e} -> {out.misfit:.3e} "
+          f"({out.n_solves} HPF solves)")
+    return 0
+
+
 def cmd_filter(args) -> int:
     import numpy as np
     import hpfx
@@ -229,6 +256,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="PCC short-circuit ratio Isc/IL for the "
                          "Table-2 current-limit class (default 20)")
     pr.set_defaults(fn=cmd_report)
+
+    pe = sub.add_parser("estimate",
+                        help="fit device injection levels to measured "
+                             "|V(h)| (the JSON a solve --json writes)")
+    _add_common(pe)
+    pe.add_argument("--measurements", required=True,
+                    help="JSON with a V_m field, e.g. from solve --json")
+    pe.add_argument("--meter", type=int, nargs="+", default=None,
+                    help="metered bus subset (default: all buses)")
+    pe.add_argument("--scales0", type=float, default=1.0)
+    pe.set_defaults(fn=cmd_estimate)
 
     pf = sub.add_parser("filter",
                         help="gradient-tuned shunt filter design")

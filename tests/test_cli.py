@@ -105,3 +105,18 @@ def test_filter_bank_cli(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "2 branch(es)" in out and "bus 3:" in out
+
+
+def test_estimate_roundtrip(tmp_path, capsys):
+    sol = tmp_path / "meas.json"
+    rc = main(["solve", *NET2, "--json", str(sol)])
+    capsys.readouterr()
+    assert rc == 0
+    rc = main(["estimate", *NET2, "--measurements", str(sol),
+               "--meter", "1", "--scales0", "0.5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "fitted 1 device scale(s)" in out
+    # the fitted scale must come back to 1.0 (the solve's level)
+    fitted = float(out.split(":")[1].split()[0])
+    assert abs(fitted - 1.0) < 1e-3
