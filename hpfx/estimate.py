@@ -59,7 +59,7 @@ class EstimateResult(NamedTuple):
 
 @highest_precision
 def _residuals_and_jac(net, devices, settings, V_m, V_a, V_meas, obs,
-                       theta):
+                       theta, w):
     """(r, J): per-measurement residuals and their exact Jacobian wrt
     the per-device scales, at the converged operating point (V_m, V_a).
 
@@ -83,7 +83,7 @@ def _residuals_and_jac(net, devices, settings, V_m, V_a, V_meas, obs,
 
     def r_of_x(x):
         Vm2, _ = update_harmonic_voltages(V_m, V_a, x, H, n, c)
-        return (Vm2[:, obs] - V_meas).ravel()
+        return (w * (Vm2[:, obs] - V_meas)).ravel()
 
     r = r_of_x(x_star)
     J = jax.jacfwd(r_of_x)(x_star) @ dx_cols              # (R, n_nl)
@@ -94,7 +94,7 @@ def estimate_injections(
     net: Network, devices, settings: Settings, V_meas_m, *,
     buses: Optional[Sequence[int]] = None,
     scales0=1.0, steps: int = 25, bounds=(0.0, 3.0),
-    p_scale=1.0, q_scale=1.0,
+    p_scale=1.0, q_scale=1.0, weights=None,
     lm_lambda0: float = 1e-3, tol: float = 1e-9,
 ) -> EstimateResult:
     """Fit per-device injection scales to measured |V(h)| spectra by
@@ -102,7 +102,12 @@ def estimate_injections(
 
     ``V_meas_m``: (H, n) measured voltage magnitudes on the settings'
     harmonic grid; only rows of ``buses`` (default: all buses) enter the
-    misfit — unobserved buses may hold anything (zeros).  ``scales0``:
+    misfit — unobserved buses may hold anything (zeros).  ``weights``:
+    ``None`` (absolute residuals), ``"relative"`` (each residual scaled
+    by 1/|V_meas| — the right statistic for multiplicative meter noise,
+    where absolute least squares lets the large-but-noisy fundamental
+    rows bias the fit), or an explicit (H, n_observed) array.
+    ``scales0``:
     scalar or (n_nl,) starting guess.  ``p_scale``/``q_scale``: the
     (known) load level the measurements were taken at.  ``steps``: max
     LM iterations; the loop stops early when a step improves the misfit
@@ -121,6 +126,12 @@ def estimate_injections(
     obs = (jnp.arange(net.n) if buses is None
            else jnp.asarray(list(buses), jnp.int32))
     V_meas = jnp.asarray(V_meas_m, rd)[:, obs]
+    if weights is None:
+        w = jnp.ones_like(V_meas)
+    elif isinstance(weights, str) and weights == "relative":
+        w = 1.0 / jnp.maximum(V_meas, 1e-6)
+    else:
+        w = jnp.asarray(weights, rd)
 
     def project(th):
         return jnp.clip(th, *bounds)
@@ -139,7 +150,7 @@ def estimate_injections(
     @jax.jit
     def rj_at(th, res):
         return _residuals_and_jac(net, devices, settings,
-                                  res.V_m, res.V_a, V_meas, obs, th)
+                                  res.V_m, res.V_a, V_meas, obs, th, w)
 
     res = solve_cold(theta)
     if not bool(np.asarray(res.converged)):
