@@ -13,11 +13,16 @@ function theorem gives dx*/dtheta (the same column-solve machinery as
 
     r(theta)[h, b] = |V(h, b; theta)| - |V_meas(h, b)|,  b in observed
 
-so each LM iteration costs ONE HPF solve + one (dim, n_nl) column solve
-and the fit typically lands at the measurement-noise floor in well under
-ten solves.  Magnitude-only (no phase measurements needed), partial
-observability supported (``buses`` selects the metered subset —
+so each LM iteration costs ONE HPF solve + one (dim, n_theta) column
+solve and the fit typically lands at the measurement-noise floor in
+well under ten solves.  Magnitude-only (no phase measurements needed),
+partial observability supported (``buses`` selects the metered subset —
 localization works from buses that host no device at all).
+
+Passing a :class:`hpfx.devices.DeviceLibrary` instead of a DeviceSet
+fits the full (n_nl, T) device-MIX weights — not just how hard each
+source runs but WHICH device type sits at each bus (the Norton
+parameters are linear in the mix, so the same LM machinery applies).
 """
 from __future__ import annotations
 
@@ -38,6 +43,15 @@ from .utils.precision import highest_precision
 from .ybus import build_ybus
 
 __all__ = ["EstimateResult", "estimate_injections"]
+
+
+def _apply(devices, theta):
+    """DeviceSet at the fit parameters: per-device scales for a
+    DeviceSet, (n_nl, T) mix weights for a DeviceLibrary."""
+    from .devices import DeviceLibrary
+    if isinstance(devices, DeviceLibrary):
+        return devices.mixed(theta)
+    return devices.scale(theta)
 
 
 class EstimateResult(NamedTuple):
@@ -74,11 +88,11 @@ def _residuals_and_jac(net, devices, settings, V_m, V_a, V_meas, obs,
     dim = x_star.shape[0]
 
     def f(th):
-        return harmonic_mismatch(V_m, V_a, Y, S, devices.scale(th),
+        return harmonic_mismatch(V_m, V_a, Y, S, _apply(devices, th),
                                  m, n, c)[0]
 
-    cols = jax.jacfwd(f)(theta).reshape(dim, -1)          # (dim, n_nl)
-    dx_cols = -_solve_columns(V_m, V_a, Y, devices.scale(theta), net,
+    cols = jax.jacfwd(f)(theta).reshape(dim, -1)          # (dim, n_theta)
+    dx_cols = -_solve_columns(V_m, V_a, Y, _apply(devices, theta), net,
                               settings, cols)
 
     def r_of_x(x):
@@ -116,8 +130,12 @@ def estimate_injections(
     must converge (warm-started solve, cold retry) — rejected proposals
     raise the damping and retry, the classical LM schedule.
     """
+    from .devices import DeviceLibrary
+
     rd = settings.real_dtype
     n_nl = net.n_nonlinear
+    shape = ((n_nl, devices.n_types)
+             if isinstance(devices, DeviceLibrary) else (n_nl,))
     # the (known) load level applies to the solves AND the mismatch the
     # Jacobian differentiates (both see the same scaled net)
     net = dataclasses.replace(
@@ -137,15 +155,15 @@ def estimate_injections(
         return jnp.clip(th, *bounds)
 
     theta = project(jnp.broadcast_to(
-        jnp.asarray(scales0, rd), (n_nl,)).astype(rd))
+        jnp.asarray(scales0, rd), shape).astype(rd))
 
     @jax.jit
     def solve(th, V0):
-        return hpf(net, devices.scale(th), settings, V0=V0)
+        return hpf(net, _apply(devices, th), settings, V0=V0)
 
     @jax.jit
     def solve_cold(th):
-        return hpf(net, devices.scale(th), settings)
+        return hpf(net, _apply(devices, th), settings)
 
     @jax.jit
     def rj_at(th, res):
@@ -169,7 +187,8 @@ def estimate_injections(
             step = np.linalg.solve(
                 JtJ + lam * np.diag(np.maximum(np.diag(JtJ), 1e-12)),
                 -Jtr)
-            proposal = project(theta + jnp.asarray(step, rd))
+            proposal = project(
+                theta + jnp.asarray(step, rd).reshape(theta.shape))
             cand = solve(proposal, (res.V_m, res.V_a))
             n_solves += 1
             if not bool(np.asarray(cand.converged)):

@@ -132,3 +132,19 @@ def test_noise_robustness():
     assert pred_err < 0.02 * sig, (pred_err, sig)
     # the parameter error itself is bounded by cond x noise
     np.testing.assert_allclose(np.asarray(out.scales), true, atol=0.5)
+
+
+def test_mix_estimation_identifies_device_types():
+    """DeviceLibrary input: fit the full (n_nl, T) mix — WHICH device
+    type sits at each bus.  Truth: bus 2 runs 1.0x SMPS, bus 3 runs a
+    0.4 SMPS + 0.8 ev_1 blend; the differing spectra identify it."""
+    s, net, dev = two_smps_feeder()
+    lib = hpfx.load_device_library(("SMPS", "ev_1"), s)
+    true_w = jnp.asarray([[1.0, 0.0], [0.4, 0.8]], s.real_dtype)
+    res = hpfx.hpf(net, lib.mixed(true_w), s)
+    assert bool(res.converged)
+    out = hpfx.estimate_injections(net, lib, s, res.V_m, scales0=0.5)
+    assert out.scales.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(out.scales),
+                               np.asarray(true_w), atol=1e-4)
+    assert out.misfit < 1e-10
