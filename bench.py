@@ -44,11 +44,16 @@ CONTINUATION_STAGES = int(os.environ.get("HPFX_BENCH_CONTINUATION", "0"))
 # (hpfx.lanes.hpf_sweep_continuation_lanes, jitted whole-schedule scan)
 # with that many stages; takes precedence over HPFX_BENCH_CONTINUATION
 CONTDEV_STAGES = int(os.environ.get("HPFX_BENCH_CONTDEV", "0"))
-# 1 switches the sweeps to the single-program DEVICE-SIDE adaptive sweep
+# Which stages ride the single-program DEVICE-SIDE adaptive sweep
 # (hpfx.lanes.hpf_sweep_adaptive_lanes: phase-capped trip + gathered
 # warm rescue + cold knife-edge restart, no host round-trip between
-# phases); A/B knob for the host-driven default
-ADAPTDEV = os.environ.get("HPFX_BENCH_ADAPTDEV", "0") == "1"
+# phases).  "net2" (default) = the headline net2 stage only — measured
+# +25% over the host-driven schedule interleaved at B=16384 with
+# identical convergence (BENCH_NOTES round 4); net1-class configs stay
+# host-driven because the static rescue_width=max(128, B//16) gather
+# overflows there (conv 0.87 vs 1.000 at B=2048).  "1" = everywhere
+# (A/B), "0" = host-driven everywhere.
+ADAPTDEV_MODE = os.environ.get("HPFX_BENCH_ADAPTDEV", "net2")
 # seconds granted to the TPU-availability preflight probe (see
 # _tpu_preflight); 0 disables the probe and the CPU fallback entirely
 PREFLIGHT_S = int(os.environ.get("HPFX_BENCH_PREFLIGHT", "300"))
@@ -121,7 +126,9 @@ if CPU_FALLBACK:
     BATCH = min(BATCH, 1024)
     BATCH_NET1 = min(BATCH_NET1, 64)
     REPEATS = min(REPEATS, 2)
-    if CONTINUATION_STAGES == 0 and CONTDEV_STAGES == 0 and not ADAPTDEV:
+    if (CONTINUATION_STAGES == 0 and CONTDEV_STAGES == 0
+            and ADAPTDEV_MODE != "1"):
+        ADAPTDEV_MODE = "0"   # CPU fallback: host continuation everywhere
         # on CPU the sweep is compute-bound, so the warm-start
         # continuation's 3-4x NR-trip saving is a real throughput win
         # (interleaved A/B at this config: cont8 ~4.0k vs adaptive
@@ -147,7 +154,7 @@ DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def bench_config(net_name: str, h_max: int, solver: str, batch: int,
                  repeats: int, phase2_solver: str = "dense",
-                 phase_iters: int = 24):
+                 phase_iters: int = 24, adaptdev: bool = False):
     """Time one fixture-net sweep config."""
     # stable_mismatch: cancellation-free residual evaluation — required for
     # reference-threshold f32 convergence on stiff grids (see BENCH_NOTES)
@@ -156,7 +163,8 @@ def bench_config(net_name: str, h_max: int, solver: str, batch: int,
     net = hpfx.load_network(os.path.join(DATA, f"{net_name}_buses.csv"),
                             os.path.join(DATA, f"{net_name}_lines.csv"), s)
     dev = hpfx.load_device_set(net, s)
-    return bench_net(net, dev, s, batch, repeats, phase2_solver, phase_iters)
+    return bench_net(net, dev, s, batch, repeats, phase2_solver, phase_iters,
+                     adaptdev=adaptdev)
 
 
 def bench_synthetic(n: int, n_nl: int, h_max: int, batch: int,
@@ -179,7 +187,7 @@ def bench_synthetic(n: int, n_nl: int, h_max: int, batch: int,
 
 def bench_net(net, dev, s, batch: int, repeats: int,
               phase2_solver: str = "dense", phase_iters: int = 24,
-              spread=(0.8, 1.2, 0.6, 1.4)):
+              spread=(0.8, 1.2, 0.6, 1.4), adaptdev: bool = False):
     """Time one sweep config; returns raw/converged solves/sec + stats.
     ``spread`` = (p_lo, p_hi, inj_lo, inj_hi) scenario ranges."""
     import numpy as np
@@ -230,16 +238,21 @@ def bench_net(net, dev, s, batch: int, repeats: int,
         run = lambda sc: hpf_sweep_continuation(
             net, dev, s, sc, n_stages=CONTINUATION_STAGES,
             phase_iters=phase_iters, phase2_settings=s2)
-    elif ADAPTDEV:
-        # single-program device-side adaptive sweep (HPFX_BENCH_ADAPTDEV=1):
+    elif ADAPTDEV_MODE == "1" or (adaptdev and ADAPTDEV_MODE != "0"):
+        # single-program device-side adaptive sweep (HPFX_BENCH_ADAPTDEV):
         # no host round-trip between phase 1, the gathered warm rescue,
-        # and the cold knife-edge restart
+        # and the cold knife-edge restart; the host-side _rescue_sweep
+        # kicks in only when lanes remain unconverged, restoring the
+        # deterministic-conv contract at fast-path cost of one mask read
         from functools import partial as _partial
 
         from hpfx.lanes import hpf_sweep_adaptive_lanes
+        from hpfx.solve import hpf_sweep_device
         _ja = jax.jit(_partial(hpf_sweep_adaptive_lanes, settings=s,
                                phase_iters=phase_iters))
-        run = lambda sc: _ja(net, dev, scenarios=sc)
+        run = lambda sc: hpf_sweep_device(net, dev, s, sc,
+                                          phase_iters=phase_iters,
+                                          jitted=_ja)
     else:
         run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc,
                                             phase_iters=phase_iters,
@@ -267,7 +280,7 @@ def main():
     per_chip_target = TARGET_V5E8 / 8.0 * n_dev
 
     net2 = bench_config("net2", 25, SOLVER_NET2, BATCH, REPEATS,
-                        phase2_solver="dense")
+                        phase2_solver="dense", adaptdev=True)
     extras = {
         "net2_raw_solves_per_sec": round(net2["raw"], 1),
         "net2_convergence": round(net2["conv"], 4),

@@ -291,6 +291,44 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
     return merged
 
 
+def hpf_sweep_device(net: Network, devices, settings: Settings,
+                     scenarios: Scenarios, phase_iters: int = 16,
+                     jitted=None, rescue: bool = True) -> HPFResult:
+    """Single-program device-side adaptive sweep with a host-side
+    deterministic straggler rescue.
+
+    Runs :func:`hpfx.lanes.hpf_sweep_adaptive_lanes` — phase-capped trip,
+    gathered warm straggler re-solve, cold knife-edge restart, all inside
+    ONE compiled program (no host round-trip between phases; measured
+    +25% over the host-driven :func:`hpf_sweep_adaptive` interleaved at
+    net2 B=16384, BENCH_NOTES round 4) — then applies the same two-pass
+    :func:`_rescue_sweep` the host schedule uses, but ONLY when lanes
+    remain unconverged (static ``rescue_width`` gather overflow, or the
+    knife-edge f32 class of CLAUDE.md #24).  The rescue costs one small
+    mask transfer per sweep and no dispatch at all when everything
+    converged, so the fast path keeps the single-program speed while the
+    result contract (deterministic conv) matches the host schedule.
+
+    ``jitted``: optional pre-jitted adaptive-lanes program (so callers
+    timing repeated sweeps share one cache entry); must accept
+    ``(net, devices, scenarios=...)``.
+    """
+    import numpy as np
+
+    if jitted is None:
+        from .lanes import hpf_sweep_adaptive_lanes
+        jitted = jax.jit(partial(hpf_sweep_adaptive_lanes,
+                                 settings=settings,
+                                 phase_iters=phase_iters))
+    out = jitted(net, devices, scenarios=scenarios)
+    if rescue and not bool(np.asarray(out.converged).all()):
+        out = _rescue_sweep(
+            settings, scenarios, out,
+            lambda sub, V0_: hpf_sweep(net, devices, settings, sub,
+                                       V0=V0_))
+    return out
+
+
 def hpf_sweep_continuation(net: Network, devices, settings: Settings,
                            scenarios: Scenarios, n_stages: int = 4,
                            key=None, phase_iters: Optional[int] = None,

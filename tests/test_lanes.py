@@ -386,3 +386,44 @@ def test_adaptive_lanes_divergent_and_rescue_width():
     take = lambda rr: rr._replace(V_m=rr.V_m[ok], V_a=rr.V_a[ok])
     assert _phasor_dist(take(r), take(plain)) < 1e-5
     assert np.all(np.isfinite(np.asarray(r.V_m)[ok]))
+
+
+def test_hpf_sweep_device_rescue_overflow():
+    """hpf_sweep_device = the single-program adaptive sweep + the host
+    _rescue_sweep engaged only when lanes remain unconverged.  With a
+    deliberately overflowed static rescue_width (1 lane for several
+    stragglers — the net1-B2048 A/B failure mode, conv 0.87 vs 1.000,
+    BENCH_NOTES round 4) the device program must leave honest
+    unconverged lanes and the wrapper's host rescue must recover ALL of
+    them to the host-adaptive fixed points; with the default width the
+    rescue is a no-op and the wrapper returns the device result as-is."""
+    from functools import partial
+
+    import jax
+    from hpfx.lanes import hpf_sweep_adaptive_lanes
+    from hpfx.solve import hpf_sweep_device
+
+    s, net, dev = _setup("net2", 5, True, True, dtype="float64")
+    s = s.with_(layout="lanes")
+    B = 12
+    scen = Scenarios(
+        p_scale=jnp.linspace(0.8, 1.2, B, dtype=jnp.float64),
+        q_scale=jnp.linspace(0.8, 1.2, B, dtype=jnp.float64),
+        injection_scale=jnp.linspace(0.6, 1.4, B, dtype=jnp.float64))
+
+    # overflowed gather: phase_iters=2 leaves most lanes unconverged and
+    # a 1-wide rescue can finish at most one of them inside the program
+    f_narrow = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
+                               phase_iters=2, rescue_width=1))
+    r_raw = f_narrow(net, dev, scenarios=scen)
+    assert not np.asarray(r_raw.converged).all(), \
+        "premise: the narrow device program must overflow"
+    r_fix = hpf_sweep_device(net, dev, s, scen, jitted=f_narrow)
+    assert np.asarray(r_fix.converged).all()
+    r_host = hpf_sweep_adaptive(net, dev, s, scen, phase_iters=2)
+    assert _phasor_dist(r_fix, r_host) < 1e-10
+
+    # default width: everything converges on device; wrapper must not
+    # touch the result (rescue path not entered)
+    r_dev = hpf_sweep_device(net, dev, s, scen, phase_iters=16)
+    assert np.asarray(r_dev.converged).all()
