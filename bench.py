@@ -185,6 +185,53 @@ def bench_synthetic(n: int, n_nl: int, h_max: int, batch: int,
                      spread=spread)
 
 
+def bench_grads(batch: int, repeats: int = 3):
+    """grads/sec for the batched IFT gradient program (sweep_sensitivity,
+    net2 H<=25) — the differentiability capability the reference lacks,
+    timed with the same discipline as the solver stages (fresh scenario
+    sets per rep, host-materialized sync)."""
+    import numpy as np
+
+    from hpfx.sensitivity import sweep_sensitivity
+    from hpfx.solve import hpf_sweep
+
+    s = hpfx.settings_for_hmax(25, coupled=True).with_(
+        solver="arrow", stable_mismatch=True, big_solve=BIG_SOLVE)
+    net = hpfx.load_network(os.path.join(DATA, "net2_buses.csv"),
+                            os.path.join(DATA, "net2_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+
+    def scen(k):
+        return Scenarios(
+            p_scale=jnp.asarray(np.linspace(0.8, 1.2, batch) + 1e-4 * k,
+                                jnp.float32),
+            q_scale=jnp.asarray(np.linspace(0.8, 1.2, batch), jnp.float32),
+            injection_scale=jnp.asarray(np.linspace(0.6, 1.4, batch),
+                                        jnp.float32))
+
+    from functools import partial as _partial
+    sweep = jax.jit(_partial(hpf_sweep, net, dev, settings=s))
+    grads = jax.jit(lambda sr, sc: sweep_sensitivity(net, dev, s, sr, sc))
+
+    sc0 = scen(-1)
+    sr0 = sweep(scenarios=sc0)
+    np.asarray(sr0.V_m)
+    g0 = grads(sr0, sc0)                      # warmup
+    finite = float(np.mean([np.isfinite(np.asarray(leaf)).mean()
+                            for leaf in jax.tree_util.tree_leaves(g0.grad)]))
+    times = []
+    for k in range(repeats):
+        sc = scen(k)
+        sr = sweep(scenarios=sc)
+        np.asarray(sr.V_m)
+        t0 = time.perf_counter()
+        g = grads(sr, sc)
+        jax.tree.map(lambda x: np.asarray(x), g.grad)
+        times.append(time.perf_counter() - t0)
+    return dict(grads_per_sec=batch / min(times), finite_frac=finite,
+                batch=batch)
+
+
 def bench_net(net, dev, s, batch: int, repeats: int,
               phase2_solver: str = "dense", phase_iters: int = 24,
               spread=(0.8, 1.2, 0.6, 1.4), adaptdev: bool = False):
@@ -422,6 +469,34 @@ def main():
         extras["net1_h99_skipped"] = (
             "tpu_unavailable" if CPU_FALLBACK
             else "insufficient_time" if os.path.exists(h99_marker)
+            else "first_dispatch_unprimed")
+        MAIN_RESULT = result()
+
+    # differentiability throughput: the batched IFT gradient program
+    # (sweep_sensitivity) on net2 — a capability the reference has no
+    # counterpart for.  Marker-gated like n128/h99: the jacfwd programs'
+    # first-dispatch windows are paid by a completed
+    # `python validation/bench_sensitivity.py` run (round-4 TPU timings:
+    # 8.2-9.9k grads/s at B=1024).
+    sens_marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache", "sens_primed")
+    remaining = signal.alarm(0)
+    if not CPU_FALLBACK and remaining > 240 \
+            and os.path.exists(sens_marker):
+        signal.alarm(remaining)
+        gr = bench_grads(1024, repeats=3)
+        extras.update({
+            "sweep_sensitivity_grads_per_sec": round(gr["grads_per_sec"],
+                                                     1),
+            "sweep_sensitivity_finite_frac": round(gr["finite_frac"], 4),
+            "sweep_sensitivity_batch": gr["batch"],
+        })
+        MAIN_RESULT = result()
+    else:
+        signal.alarm(max(remaining, 1))
+        extras["sweep_sensitivity_skipped"] = (
+            "tpu_unavailable" if CPU_FALLBACK
+            else "insufficient_time" if os.path.exists(sens_marker)
             else "first_dispatch_unprimed")
         MAIN_RESULT = result()
 
