@@ -26,7 +26,7 @@ from .results import THD, HPFReport, get_thd, report, voltage_phasors
 from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
                     hpf_single, hpf_sweep, hpf_sweep_adaptive,
                     hpf_sweep_continuation, hpf_sweep_device,
-                    summarize_thd)
+                    hpf_sweep_stream, summarize_thd)
 from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
 from .estimate import EstimateResult, estimate_injections
 from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
@@ -69,6 +69,7 @@ __all__ = [
     "Scenarios", "SweepSummary", "hpf_single", "hpf_sweep",
     "hpf_sweep_adaptive", "hpf_sweep_continuation",
     "hpf_sweep_device",
+    "hpf_sweep_stream",
     "hosting_capacity_sweep", "summarize_thd",
     "MeasurementSet", "NortonFit", "load_measurements_mat",
     "fit_norton_from_measurements", "device_set_from_fit",

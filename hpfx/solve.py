@@ -329,6 +329,73 @@ def hpf_sweep_device(net: Network, devices, settings: Settings,
     return out
 
 
+def hpf_sweep_stream(net: Network, devices, settings: Settings,
+                     scenario_batches, phase_iters: int = 16,
+                     depth: int = 2, rescue: bool = True, jitted=None):
+    """Pipelined sweep executor: generator over scenario batches that
+    keeps ``depth`` sweeps in flight on the device queue.
+
+    The single-sweep drivers pay their host-side cost — scenario
+    construction/upload, program dispatch, result download, straggler
+    rescue — *serially* with device compute: profiling the device-side
+    adaptive sweep showed 0.495 s of device time inside a 0.65-0.88 s
+    wall per sweep (74-76% occupancy; BENCH_NOTES round-4 ceiling note).
+    For a sustained scenario stream (hosting-capacity Monte-Carlo, grid
+    screening services) that gap is avoidable: JAX dispatch is
+    asynchronous, so enqueueing sweep ``k+1`` (and pulling batch ``k+2``
+    from the iterator, which is where the caller builds/uploads its
+    scenario arrays) *before* materializing sweep ``k``'s result hides
+    the host work under the previous batch's device compute — classic
+    double buffering, no new compiled programs.
+
+    - ``scenario_batches``: iterable of :class:`Scenarios`; all batches
+      must share shapes/dtypes (one compiled program).  Generators are
+      ideal — their per-batch host work lands inside the pipeline.
+    - ``depth``: sweeps in flight (1 = no overlap; 2 = double buffering,
+      default).  Memory holds ``depth + 1`` result pytrees.
+    - Yields per-batch :class:`HPFResult` in input order, each with the
+      same deterministic-convergence contract as
+      :func:`hpf_sweep_device` (the host rescue runs, when lanes remain
+      unconverged, at dequeue time — its extra dispatches simply join
+      the device queue behind the already-enqueued sweeps).
+
+    The reference is strictly single-case (SURVEY §2.6); this is the
+    serving-throughput counterpart of its timed driver loop
+    (hcne_generalized.py:609-620).
+    """
+    import collections
+
+    import numpy as np
+
+    if jitted is None:
+        from .lanes import hpf_sweep_adaptive_lanes
+        jitted = jax.jit(partial(hpf_sweep_adaptive_lanes,
+                                 settings=settings,
+                                 phase_iters=phase_iters))
+    depth = max(1, int(depth))
+
+    def _finish(sc, out):
+        if rescue and not bool(np.asarray(out.converged).all()):
+            out = _rescue_sweep(
+                settings, sc, out,
+                lambda sub, V0_: hpf_sweep(net, devices, settings, sub,
+                                           V0=V0_))
+        # materialize the voltages so a consumer's timing of this
+        # generator measures completed transfers, not enqueued work
+        # (block_until_ready does not synchronize on the tunneled relay;
+        # CLAUDE.md "measurement integrity")
+        jax.tree.map(np.asarray, out[:6])
+        return out
+
+    inflight = collections.deque()
+    for sc in scenario_batches:
+        inflight.append((sc, jitted(net, devices, scenarios=sc)))
+        if len(inflight) > depth:
+            yield _finish(*inflight.popleft())
+    while inflight:
+        yield _finish(*inflight.popleft())
+
+
 def hpf_sweep_continuation(net: Network, devices, settings: Settings,
                            scenarios: Scenarios, n_stages: int = 4,
                            key=None, phase_iters: Optional[int] = None,

@@ -427,3 +427,51 @@ def test_hpf_sweep_device_rescue_overflow():
     # touch the result (rescue path not entered)
     r_dev = hpf_sweep_device(net, dev, s, scen, phase_iters=16)
     assert np.asarray(r_dev.converged).all()
+
+
+def test_hpf_sweep_stream_matches_device_sweep():
+    """The pipelined stream executor must be a pure scheduling change:
+    per-batch results identical (to the bit — same compiled program) to
+    calling hpf_sweep_device on each batch, in input order, at any
+    pipeline depth, including when the host rescue engages mid-stream
+    (narrow rescue_width forces overflow on every batch)."""
+    from functools import partial
+
+    import jax
+    from hpfx.lanes import hpf_sweep_adaptive_lanes
+    from hpfx.solve import hpf_sweep_device, hpf_sweep_stream
+
+    s, net, dev = _setup("net2", 5, True, True, dtype="float64")
+    s = s.with_(layout="lanes")
+    B = 8
+
+    def batch(k):
+        return Scenarios(
+            p_scale=jnp.linspace(0.85, 1.15, B, dtype=jnp.float64) + 1e-3 * k,
+            q_scale=jnp.linspace(0.85, 1.15, B, dtype=jnp.float64),
+            injection_scale=jnp.linspace(0.7, 1.3, B, dtype=jnp.float64))
+
+    ref = [hpf_sweep_device(net, dev, s, batch(k), phase_iters=16)
+           for k in range(3)]
+    for depth in (1, 3):
+        got = list(hpf_sweep_stream(net, dev, s, (batch(k) for k in range(3)),
+                                    phase_iters=16, depth=depth))
+        assert len(got) == 3
+        for r_ref, r_got in zip(ref, got):
+            assert np.asarray(r_got.converged).all()
+            np.testing.assert_array_equal(np.asarray(r_got.V_m),
+                                          np.asarray(r_ref.V_m))
+            np.testing.assert_array_equal(np.asarray(r_got.V_a),
+                                          np.asarray(r_ref.V_a))
+
+    # rescue engages per dequeued batch: a 1-wide device rescue overflows
+    # (phase_iters=2 leaves several stragglers) and the stream's host
+    # rescue must still converge every scenario of every batch
+    f_narrow = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
+                               phase_iters=2, rescue_width=1))
+    got = list(hpf_sweep_stream(net, dev, s, [batch(0), batch(1)],
+                                depth=2, jitted=f_narrow))
+    for k, r in enumerate(got):
+        assert np.asarray(r.converged).all()
+        r_ref = hpf_sweep_device(net, dev, s, batch(k), jitted=f_narrow)
+        assert _phasor_dist(r, r_ref) < 1e-12
