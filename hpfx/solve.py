@@ -384,7 +384,7 @@ def hpf_sweep_stream(net: Network, devices, settings: Settings,
         # generator measures completed transfers, not enqueued work
         # (block_until_ready does not synchronize on the tunneled relay;
         # CLAUDE.md "measurement integrity")
-        jax.tree.map(np.asarray, out[:6])
+        np.asarray(out.V_m)
         return out
 
     inflight = collections.deque()
