@@ -322,6 +322,54 @@ def bench_net(net, dev, s, batch: int, repeats: int,
                 solver=s.solver, batch=batch)
 
 
+def bench_stream(net, dev, s, batch: int, n_batches: int = 4,
+                 passes: int = 3, phase_iters: int = 24):
+    """Steady-state pipelined throughput: hpf_sweep_stream over
+    ``n_batches`` distinct scenario batches with depth-2 double
+    buffering, so host scenario-build/upload/dispatch/download rides
+    under device compute.  Measured +15-28% over back-to-back
+    single-sweep calls (validation/bench_stream.py, round 4) — the
+    production-serving view of the same programs the net2 stage times.
+    Reuses the net2 stage's settings/shapes exactly (same jit cache
+    entries; no new first-dispatch window in the driver path)."""
+    import numpy as np
+
+    from functools import partial as _partial
+
+    from hpfx.lanes import hpf_sweep_adaptive_lanes
+    from hpfx.solve import hpf_sweep_stream
+
+    jitted = jax.jit(_partial(hpf_sweep_adaptive_lanes, settings=s,
+                              phase_iters=phase_iters))
+
+    def scen(k):
+        return Scenarios(
+            p_scale=jnp.asarray(np.linspace(0.8, 1.2, batch) + 1e-4 * k,
+                                jnp.float32),
+            q_scale=jnp.asarray(np.linspace(0.8, 1.2, batch), jnp.float32),
+            injection_scale=jnp.asarray(np.linspace(0.6, 1.4, batch),
+                                        jnp.float32))
+
+    def one_pass(k0):
+        conv = 1.0
+        gen = (scen(k0 + i) for i in range(n_batches))
+        for r in hpf_sweep_stream(net, dev, s, gen, depth=2,
+                                  phase_iters=phase_iters, jitted=jitted):
+            conv = min(conv, float(np.mean(np.asarray(r.converged))))
+        return conv
+
+    one_pass(-10 * n_batches)        # warm (programs already cached)
+    times, conv = [], 1.0
+    for p in range(passes):
+        t0 = time.perf_counter()
+        conv = min(conv, one_pass(100 * (p + 1)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    rate = n_batches * batch / dt
+    return dict(raw=rate, conv=conv, converged=conv * rate, batch=batch,
+                n_batches=n_batches)
+
+
 def main():
     n_dev = len(jax.devices())
     per_chip_target = TARGET_V5E8 / 8.0 * n_dev
@@ -365,6 +413,30 @@ def main():
     # optional h51 stage below, the watchdog reports them instead of 0.0
     global MAIN_RESULT
     MAIN_RESULT = result()
+
+    # steady-state pipelined throughput (hpf_sweep_stream): the
+    # serving-mode view of the net2 programs — same compiled executables
+    # as the stage above (no new shapes), host work double-buffered
+    # under device compute.  Cheap (~20 s) and unconditionally safe, but
+    # only meaningful on the real chip.
+    remaining = signal.alarm(0)
+    if not CPU_FALLBACK and remaining > 120:
+        signal.alarm(remaining)
+        s_net2 = hpfx.settings_for_hmax(25, coupled=True).with_(
+            solver=SOLVER_NET2, stable_mismatch=True, big_solve=BIG_SOLVE)
+        net_2 = hpfx.load_network(os.path.join(DATA, "net2_buses.csv"),
+                                  os.path.join(DATA, "net2_lines.csv"),
+                                  s_net2)
+        dev_2 = hpfx.load_device_set(net_2, s_net2)
+        stream = bench_stream(net_2, dev_2, s_net2, BATCH)
+        extras.update({
+            "net2_stream_solves_per_sec": round(stream["converged"], 1),
+            "net2_stream_convergence": round(stream["conv"], 4),
+            "net2_stream_batches": stream["n_batches"],
+        })
+        MAIN_RESULT = result()
+    else:
+        signal.alarm(max(remaining, 1))
 
     # the reference's largest timed config (hcne.jl:495-505: net1, odd
     # harmonics to 49/51 — Jacobian dim 1038, capacitance dim 364 on the
