@@ -28,6 +28,9 @@ from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
                     hpf_sweep_continuation, hpf_sweep_device,
                     hpf_sweep_stream, summarize_thd)
 from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
+from .capacity import (HostingCapacityResult, compliance_fraction,
+                       find_hosting_capacity, monte_carlo_scenarios,
+                       scale_scenarios)
 from .estimate import EstimateResult, estimate_injections
 from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
                        solve_harmonic_extended)
@@ -92,6 +95,8 @@ __all__ = [
     "OptimizeResult", "optimize_line_params", "apply_line_params",
     "FilterOptResult", "optimize_filter",
     "EstimateResult", "estimate_injections",
+    "HostingCapacityResult", "find_hosting_capacity",
+    "compliance_fraction", "monte_carlo_scenarios", "scale_scenarios",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",
     "KronReduction", "kron_reduce", "passive_buses", "recover_voltages",
     "ControlledDeviceSet", "ExtendedResult", "hpf_extended",

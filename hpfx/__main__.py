@@ -11,6 +11,8 @@ CLI covers those workflows without editing code:
     python -m hpfx estimate --buses b.csv --lines l.csv \\
                             --measurements solution.json --meter 1
     python -m hpfx filter --buses b.csv --lines l.csv --bus 2
+    python -m hpfx capacity --buses b.csv --lines l.csv --batch 256 \\
+                            --confidence 0.95 --limit 0.08
 
 Backend: CPU by default (the demo-script backend guard — this
 environment's shared TPU must be opted into with HPFX_DEMO_TPU=1; see
@@ -218,6 +220,49 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_capacity(args) -> int:
+    import hpfx
+    from hpfx.solve import hpf_sweep_adaptive
+
+    s, net, dev = _load(args)
+    scen = hpfx.monte_carlo_scenarios(
+        args.seed, args.batch, net, s,
+        p_spread=args.p_spread, inj_spread=args.inj_spread)
+    mask = None
+    if args.bus:
+        nl = [i for i in range(net.m, net.n)]
+        bad = [b for b in args.bus if b not in nl]
+        if bad:
+            print(f"error: buses {bad} are not nonlinear "
+                  f"(nonlinear buses: {nl})", file=sys.stderr)
+            return 2
+        mask = [1.0 if b in args.bus else 0.0 for b in nl]
+    criterion = "ieee519" if args.ieee519 else "thd"
+    t0 = time.perf_counter()
+    out = hpfx.find_hosting_capacity(
+        net, dev, s, scen, confidence=args.confidence,
+        criterion=criterion, thd_limit=args.limit, v_kv=args.v_kv,
+        lo=args.lo, hi=args.hi, tol=args.tol, device_mask=mask,
+        sweep=hpf_sweep_adaptive)
+    dt = time.perf_counter() - t0
+    crit = ("IEEE-519 table limits" if args.ieee519
+            else f"worst-bus THD_F <= {args.limit}")
+    scope = f"buses {sorted(args.bus)}" if args.bus else "all devices"
+    print(f"criterion: {crit} at confidence {args.confidence} "
+          f"over B={args.batch} Monte-Carlo scenarios ({scope})")
+    for lvl, fr in sorted(zip(out.levels, out.fracs)):
+        print(f"  level {lvl:7.3f}  compliant {fr:.4f}")
+    if not out.feasible:
+        print(f"NOT feasible at level {args.lo} "
+              f"(compliant fraction {out.frac_at_level:.4f})  ({dt:.1f}s)")
+        return 2
+    qual = ">=" if out.bracket_open else "="
+    print(f"hosting capacity {qual} {out.level:.3f}x nominal injections "
+          f"(compliant fraction {out.frac_at_level:.4f}, "
+          f"{len(out.levels)} probes, {dt:.1f}s incl. compile)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m hpfx",
@@ -278,6 +323,33 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--lr", type=float, default=0.05)
     pf.add_argument("--x-cap0", dest="x_cap0", type=float, default=0.05)
     pf.set_defaults(fn=cmd_filter)
+
+    ph = sub.add_parser("capacity",
+                        help="Monte-Carlo hosting-capacity bisection: "
+                             "max penetration meeting a harmonic limit")
+    _add_common(ph)
+    ph.add_argument("--batch", type=int, default=256,
+                    help="Monte-Carlo scenarios per probe (default 256)")
+    ph.add_argument("--confidence", type=float, default=0.95,
+                    help="required compliant fraction (default 0.95)")
+    ph.add_argument("--limit", type=float, default=0.08,
+                    help="worst-bus THD_F limit (default 0.08)")
+    ph.add_argument("--ieee519", action="store_true",
+                    help="use the IEEE-519 table limits instead of --limit")
+    ph.add_argument("--v-kv", dest="v_kv", type=float, default=None,
+                    help="voltage class for the IEEE-519 limits")
+    ph.add_argument("--lo", type=float, default=1.0,
+                    help="bracket low end; 1.0 = today's penetration "
+                         "(must be > 0: level 0 is singular)")
+    ph.add_argument("--hi", type=float, default=4.0)
+    ph.add_argument("--tol", type=float, default=0.02)
+    ph.add_argument("--p-spread", type=float, default=0.2)
+    ph.add_argument("--inj-spread", type=float, default=0.2)
+    ph.add_argument("--bus", type=int, nargs="+", default=None,
+                    help="grow only these nonlinear buses (others stay "
+                         "at their base draw)")
+    ph.add_argument("--seed", type=int, default=0)
+    ph.set_defaults(fn=cmd_capacity)
     return p
 
 
