@@ -244,6 +244,23 @@ def main():
           f"(misfit {est.misfit0:.1e} -> {est.misfit:.1e}, "
           f"{est.n_solves} solves)")
 
+    # -- 16. hosting capacity: how much can the devices grow? ----------
+    # net2's worst Monte-Carlo draw sits at THD_F ~0.66 already at nominal
+    # (the shipped feeder is heavily distorted), so the demo asks how far
+    # penetration can grow before the worst draw crosses 0.8.
+    scen = hpfx.monte_carlo_scenarios(0, 16, net, s)
+    cap = hpfx.find_hosting_capacity(net, dev, s, scen, confidence=1.0,
+                                     thd_limit=0.8, hi=8.0, tol=0.125)
+    if cap.feasible:
+        print(f"[16] hosting capacity (B=16 Monte-Carlo draws, worst-bus "
+              f"THD_F <= 0.8 at confidence 1.0): "
+              f"{'>=' if cap.bracket_open else ''}{cap.level:.2f}x nominal "
+              f"({len(cap.levels)} bisection probes, compliant fraction "
+              f"{cap.frac_at_level:.2f})")
+    else:
+        print(f"[16] hosting capacity: base system already non-compliant "
+              f"(compliant fraction {cap.frac_at_level:.2f} at nominal)")
+
 
 if __name__ == "__main__":
     main()
