@@ -28,6 +28,8 @@ from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
                     hpf_sweep_continuation, hpf_sweep_device,
                     hpf_sweep_stream, summarize_thd)
 from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
+from .background import (background_from_harmonics, current_source,
+                         grid_source, shunt_admittance)
 from .capacity import (HostingCapacityResult, compliance_fraction,
                        find_hosting_capacity, monte_carlo_scenarios,
                        scale_scenarios)
@@ -95,6 +97,8 @@ __all__ = [
     "OptimizeResult", "optimize_line_params", "apply_line_params",
     "FilterOptResult", "optimize_filter",
     "EstimateResult", "estimate_injections",
+    "background_from_harmonics", "current_source", "grid_source",
+    "shunt_admittance",
     "HostingCapacityResult", "find_hosting_capacity",
     "compliance_fraction", "monte_carlo_scenarios", "scale_scenarios",
     "arrow_solve", "build_arrow_pieces", "make_arrow_index",

@@ -96,13 +96,17 @@ def current_injections(V_c: Cx, devices, m: int,
 
 
 def current_balance(V_c: Cx, Y: Cx, devices, m: int, n: int,
-                    V_m=None, V_a=None, YV: Optional[Cx] = None) -> Cx:
+                    V_m=None, V_a=None, YV: Optional[Cx] = None,
+                    I_bg: Optional[Cx] = None) -> Cx:
     """Current balance vector (hcne_generalized.py:326-357).
 
     Fundamental balance at nonlinear buses (n-m+1 entries), then harmonic
     balance at all buses for each harmonic above the fundamental (n·K),
     injections added at the nonlinear-bus positions.  ``YV``: optional
-    precomputed (H, n) Y·V (the stable_mismatch path).
+    precomputed (H, n) Y·V (the stable_mismatch path).  ``I_bg``: optional
+    constant (H, n) background injections (hpfx.background; fundamental
+    row must be zero) — added like the device Norton currents, on every
+    bus's harmonic rows.
     """
     I_inj = current_injections(V_c, devices, m, V_m, V_a)  # (n_nl, H)
     if YV is None:
@@ -112,11 +116,14 @@ def current_balance(V_c: Cx, Y: Cx, devices, m: int, n: int,
         dI_f = YV[0, m:] + I_inj[:, 0]
         dI_h = YV[1:]
     dI_h = dI_h.at_add((_all, slice(m, None)), I_inj[:, 1:].T)
+    if I_bg is not None:
+        dI_h = dI_h + I_bg[1:]
     return cx.concatenate([dI_f, dI_h.reshape(-1)])
 
 
 def harmonic_mismatch(V_m, V_a, Y: Cx, S: Cx, devices,
-                      m: int, n: int, c: int, lineY=None):
+                      m: int, n: int, c: int, lineY=None,
+                      I_bg: Optional[Cx] = None):
     """Harmonic mismatch f and residual err (hcne_generalized.py:360-390).
 
     f_c = [dS (power, linear non-slack buses), dI (current balance)];
@@ -133,7 +140,7 @@ def harmonic_mismatch(V_m, V_a, Y: Cx, S: Cx, devices,
     I1 = cx.matvec(Y[0, 1:m, :], V_c[0]) if YV is None else YV[0, 1:m]
     Sl = V_c[0, 1:m] * I1.conj()
     dS = S[1:m] + Sl
-    dI = current_balance(V_c, Y, devices, m, n, V_m, V_a, YV=YV)
+    dI = current_balance(V_c, Y, devices, m, n, V_m, V_a, YV=YV, I_bg=I_bg)
     f_c = cx.concatenate([dS, dI])
     f = jnp.concatenate([f_c.re, f_c[c - 1:].im])
     return f, jnp.max(jnp.abs(f))
@@ -241,7 +248,8 @@ def build_harmonic_jacobian(V_m, V_a, Y: Cx, devices,
     ])
 
 
-def mismatch_floor(V_m, Y: Cx, devices, m: int, settings: Settings):
+def mismatch_floor(V_m, Y: Cx, devices, m: int, settings: Settings,
+                   I_bg: Optional[Cx] = None):
     """Evaluation-accuracy floor of the harmonic mismatch: eps·scale with
     scale = the largest row sensitivity max_{h,i} [sum_j |Y[h,i,j]|·|V_j|
     (+ sum_p |Y_N[·,h,p]|·|V_p| on nonlinear rows, + |S| on power rows)].
@@ -263,6 +271,8 @@ def mismatch_floor(V_m, Y: Cx, devices, m: int, settings: Settings):
         else:
             inj = (devices.Y_N.abs() * v_nl.T)
         scale = jnp.maximum(scale, jnp.max(inj))
+    if I_bg is not None:   # constant background rows (hpfx.background)
+        scale = jnp.maximum(scale, jnp.max(I_bg.abs()))
     return eps * scale
 
 
@@ -290,7 +300,7 @@ def cleanup_voltages(V_m, V_a):
 def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
                    settings: Settings, V0=None,
                    record_trajectory: bool = False, lineY=None,
-                   vsharding=None) -> HPFResult:
+                   vsharding=None, I_bg: Optional[Cx] = None) -> HPFResult:
     """The harmonic NR hot loop (hcne_generalized.py:530-549) as one
     ``lax.while_loop``.
 
@@ -314,6 +324,11 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
     must describe the SAME system as ``Y``, so callers that override Y
     (e.g. the Kron-reduced path, whose reduced blocks have no line
     structure) leave it None and get the reference-form dense mismatch.
+
+    ``I_bg``: optional (H, n) split-complex constant background injections
+    (hpfx.background) — a distorted upstream grid.  Enters only the
+    mismatch (the Jacobian sees a constant), so both Newton paths
+    (``Settings.solver`` dense/arrow) support it unchanged.
     """
     H, n, m, c = settings.n_harmonics, net.n, net.m, net.c
     S = Cx(net.bus_P, net.bus_Q)
@@ -331,7 +346,8 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
                 lax.with_sharding_constraint(V_a, vsharding))
 
     V_m, V_a = _vc(V_m, V_a)
-    f0, err0 = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c, lineY)
+    f0, err0 = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c, lineY,
+                                 I_bg=I_bg)
     # floor-aware effective threshold (see mismatch_floor); reduces to the
     # plain absolute thresh_h in f64 where the floor is ~1e-12.  The floor
     # is evaluated at the COLD flat-start state even for warm starts: a
@@ -342,7 +358,7 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
     thresh_eff = jnp.maximum(
         jnp.asarray(settings.thresh_h, settings.real_dtype),
         settings.floor_kappa
-        * mismatch_floor(cold_V_m, Y, devices, m, settings))
+        * mismatch_floor(cold_V_m, Y, devices, m, settings, I_bg=I_bg))
     x0 = harmonic_state_vector(V_m, V_a, c)
     hist0 = jnp.full((settings.max_iter_h,), jnp.nan, settings.real_dtype)
     traj0 = None
@@ -370,7 +386,8 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
         x = state.x - _newton_step(state.V_m, state.V_a, state.f)
         V_m, V_a = update_harmonic_voltages(state.V_m, state.V_a, x, H, n, c)
         V_m, V_a = _vc(V_m, V_a)
-        f, err = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c, lineY)
+        f, err = harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c, lineY,
+                                   I_bg=I_bg)
         hist = state.err_hist.at[state.n_iter].set(err)
         traj = state.traj
         if traj is not None:
@@ -388,18 +405,22 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
 
 def hpf(net: Network, devices: DeviceSet, settings: Settings,
         Y: Optional[Cx] = None, V0=None,
-        record_trajectory: bool = False) -> HPFResult:
+        record_trajectory: bool = False,
+        I_bg: Optional[Cx] = None) -> HPFResult:
     """Full harmonic power flow (hcne_generalized.py:511-560): Ybus assembly
     -> fundamental NR warm start -> harmonic NR.  Jit this (settings and the
     network's structural metadata are static).  ``V0`` resumes from a
     previous harmonic solution (see hpfx.checkpoint).
 
     When ``Y`` is overridden the stable mismatch is disabled (the line
-    structure belongs to the network Y was NOT built from)."""
+    structure belongs to the network Y was NOT built from).
+
+    ``I_bg``: optional background-distortion injections (hpfx.background)."""
     lineY = lineY_f = None
     if Y is None:
         Y = build_ybus(net, settings)
         lineY, lineY_f = line_ybus_pair(net, settings)
     fund = solve_fundamental(Y[0], net, settings, lineY=lineY_f)
     return solve_harmonic(Y, fund, net, devices, settings, V0=V0,
-                          record_trajectory=record_trajectory, lineY=lineY)
+                          record_trajectory=record_trajectory, lineY=lineY,
+                          I_bg=I_bg)

@@ -519,12 +519,17 @@ def hpf_sweep_continuation(net: Network, devices, settings: Settings,
 
 @partial(jax.jit, static_argnames=("settings",))
 def hpf_single(net: Network, devices: DeviceSet,
-               settings: Settings) -> HPFResult:
-    """Jitted single-case HPF (compiled once per (settings, net-structure))."""
+               settings: Settings, I_bg=None) -> HPFResult:
+    """Jitted single-case HPF (compiled once per (settings, net-structure)).
+
+    ``I_bg``: optional (H, n) background-distortion injections
+    (hpfx.background) — a distorted upstream grid superposed on the
+    installation's own emissions."""
     Y = build_ybus(net, settings)
     lineY, lineY_f = line_ybus_pair(net, settings)
     fund = solve_fundamental(Y[0], net, settings, lineY=lineY_f)
-    return solve_harmonic(Y, fund, net, devices, settings, lineY=lineY)
+    return solve_harmonic(Y, fund, net, devices, settings, lineY=lineY,
+                          I_bg=I_bg)
 
 
 class SweepSummary(NamedTuple):
