@@ -33,7 +33,8 @@ from .background import (background_from_harmonics, current_source,
 from .capacity import (HostingCapacityResult, compliance_fraction,
                        find_hosting_capacity, monte_carlo_scenarios,
                        scale_scenarios)
-from .estimate import EstimateResult, estimate_injections
+from .estimate import (BackgroundEstimate, EstimateResult,
+                       estimate_background, estimate_injections)
 from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
                        solve_harmonic_extended)
 from .generators import synthetic_feeder
@@ -97,6 +98,7 @@ __all__ = [
     "OptimizeResult", "optimize_line_params", "apply_line_params",
     "FilterOptResult", "optimize_filter",
     "EstimateResult", "estimate_injections",
+    "BackgroundEstimate", "estimate_background",
     "background_from_harmonics", "current_source", "grid_source",
     "shunt_admittance",
     "HostingCapacityResult", "find_hosting_capacity",

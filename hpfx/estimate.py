@@ -42,7 +42,8 @@ from .sensitivity import _solve_columns
 from .utils.precision import highest_precision
 from .ybus import build_ybus
 
-__all__ = ["EstimateResult", "estimate_injections"]
+__all__ = ["BackgroundEstimate", "EstimateResult", "estimate_background",
+           "estimate_injections"]
 
 
 def _apply(devices, theta):
@@ -170,9 +171,24 @@ def estimate_injections(
         return _residuals_and_jac(net, devices, settings,
                                   res.V_m, res.V_a, V_meas, obs, th, w)
 
+    return _lm_fit(theta, project, solve, solve_cold, rj_at,
+                   steps=steps, lm_lambda0=lm_lambda0, tol=tol, rd=rd)
+
+
+def _lm_fit(theta, project, solve, solve_cold, rj_at, *,
+            steps: int, lm_lambda0: float, tol: float, rd) -> EstimateResult:
+    """The damped Gauss-Newton driver shared by the estimators.
+
+    ``solve(th, V0)``/``solve_cold(th)``: HPF at parameters ``th``;
+    ``rj_at(th, res)``: (residuals, Jacobian wrt th.ravel()) at the
+    converged point.  Proposals are projected, must converge (warm then
+    cold retry), and must improve the misfit; rejected proposals raise
+    the damping — the classical LM schedule.
+    """
     res = solve_cold(theta)
     if not bool(np.asarray(res.converged)):
-        raise RuntimeError("HPF does not converge at the starting scales")
+        raise RuntimeError("HPF does not converge at the starting "
+                           "parameters")
     n_solves = 1
     r, J = rj_at(theta, res)
     misfit = misfit0 = float(np.asarray(r @ r))
@@ -213,3 +229,131 @@ def estimate_injections(
         scales=theta, misfit=misfit, misfit0=misfit0,
         history=np.asarray(history, dtype=np.float64),
         n_solves=n_solves, result=res)
+
+
+class BackgroundEstimate(NamedTuple):
+    """Outcome of :func:`estimate_background`.
+
+    ``v_bg``: (n_orders,) fitted complex background Thevenin voltages
+    (per-unit phasors at ``orders``; injected Norton currents instead
+    when the fit ran with ``as_current=True``).  ``orders``: the fitted
+    harmonic orders.  Remaining fields as :class:`EstimateResult`.
+    """
+    v_bg: np.ndarray
+    orders: tuple
+    misfit: float
+    misfit0: float
+    history: np.ndarray
+    n_solves: int
+    result: object
+
+
+def estimate_background(
+    net: Network, devices, settings: Settings, V_meas_m, *,
+    orders: Sequence[int], bus: int = 0,
+    buses: Optional[Sequence[int]] = None,
+    steps: int = 25, bound: float = 0.2,
+    p_scale=1.0, q_scale=1.0, weights=None,
+    lm_lambda0: float = 1e-3, tol: float = 1e-9,
+    as_current: bool = False,
+) -> BackgroundEstimate:
+    """Fit the upstream background spectrum to measured |V(h)| — the
+    inverse of :mod:`hpfx.background`.
+
+    The DEVICE SET is known (today's installation); the unknown is what
+    the rest of the grid superposes through the connection ``bus``:
+    complex Thevenin voltages V_bg(h) at the given ``orders``, behind
+    the bus's X_sh (or injected Norton currents directly with
+    ``as_current=True``).  Parameters are the re/im parts — the Norton
+    term is LINEAR in them, so ∂f/∂θ is exact in one jacfwd and the
+    angle-wrap pathologies of a polar parametrization never arise.
+    Magnitude-only meters anchor the phase through interference with
+    the device emissions, so the complex spectrum is identifiable from
+    |V| alone when the feeder hosts distorting devices.
+
+    Same LM driver, observability and weighting semantics as
+    :func:`estimate_injections`; ``bound`` clips each re/im component
+    to [-bound, bound] pu.
+    """
+    from .background import shunt_admittance
+
+    rd = settings.real_dtype
+    H, n, c, m = settings.n_harmonics, net.n, net.c, net.m
+    grid = [int(h) for h in settings.harmonics]
+    orders = tuple(int(h) for h in orders)
+    for h in orders:
+        if h == 1 or h not in grid:
+            raise ValueError(f"order {h} not fittable (fundamental or "
+                             f"outside the harmonic grid, max {grid[-1]})")
+    k_idx = jnp.asarray([grid.index(h) for h in orders], jnp.int32)
+
+    if as_current:
+        conv = Cx(jnp.ones(H, rd), jnp.zeros(H, rd))      # identity
+    else:
+        conv = shunt_admittance(net, settings, bus)       # (H,) Cx
+
+    def make_ibg(th):
+        v = Cx(jnp.zeros(H, rd).at[k_idx].set(th[:, 0]),
+               jnp.zeros(H, rd).at[k_idx].set(th[:, 1]))
+        i = v * conv                                      # (H,) Norton
+        z = jnp.zeros((H, n), rd)
+        return Cx(z.at[:, bus].set(i.re), z.at[:, bus].set(i.im))
+
+    net = dataclasses.replace(
+        net, bus_P=net.bus_P * jnp.asarray(p_scale, rd),
+        bus_Q=net.bus_Q * jnp.asarray(q_scale, rd))
+    obs = (jnp.arange(net.n) if buses is None
+           else jnp.asarray(list(buses), jnp.int32))
+    V_meas = jnp.asarray(V_meas_m, rd)[:, obs]
+    if weights is None:
+        w = jnp.ones_like(V_meas)
+    elif isinstance(weights, str) and weights == "relative":
+        w = 1.0 / jnp.maximum(V_meas, 1e-6)
+    else:
+        w = jnp.asarray(weights, rd)
+
+    def project(th):
+        return jnp.clip(th, -bound, bound)
+
+    theta = jnp.zeros((len(orders), 2), rd)
+
+    @jax.jit
+    def solve(th, V0):
+        return hpf(net, devices, settings, V0=V0, I_bg=make_ibg(th))
+
+    @jax.jit
+    def solve_cold(th):
+        return hpf(net, devices, settings, I_bg=make_ibg(th))
+
+    @highest_precision
+    def _rj(th, V_m, V_a):
+        Y = build_ybus(net, settings)
+        S = Cx(net.bus_P, net.bus_Q)
+        x_star = harmonic_state_vector(V_m, V_a, c)
+        dim = x_star.shape[0]
+
+        def f(t):
+            return harmonic_mismatch(V_m, V_a, Y, S, devices, m, n, c,
+                                     I_bg=make_ibg(t))[0]
+
+        cols = jax.jacfwd(f)(th).reshape(dim, -1)
+        dx_cols = -_solve_columns(V_m, V_a, Y, devices, net, settings,
+                                  cols)
+
+        def r_of_x(x):
+            Vm2, _ = update_harmonic_voltages(V_m, V_a, x, H, n, c)
+            return (w * (Vm2[:, obs] - V_meas)).ravel()
+
+        r = r_of_x(x_star)
+        J = jax.jacfwd(r_of_x)(x_star) @ dx_cols
+        return r, J
+
+    rj_at = jax.jit(lambda th, res: _rj(th, res.V_m, res.V_a))
+
+    fit = _lm_fit(theta, project, solve, solve_cold, rj_at,
+                  steps=steps, lm_lambda0=lm_lambda0, tol=tol, rd=rd)
+    th = np.asarray(fit.scales)
+    return BackgroundEstimate(
+        v_bg=th[:, 0] + 1j * th[:, 1], orders=orders,
+        misfit=fit.misfit, misfit0=fit.misfit0, history=fit.history,
+        n_solves=fit.n_solves, result=fit.result)

@@ -148,3 +148,78 @@ def test_mix_estimation_identifies_device_types():
     np.testing.assert_allclose(np.asarray(out.scales),
                                np.asarray(true_w), atol=1e-4)
     assert out.misfit < 1e-10
+
+
+# -- background-spectrum estimation (estimate_background) -----------------
+
+def _bg_truth():
+    s, net, dev = make_setup(("net2", 25, True))
+    spec = {5: (0.02, 0.4), 7: (0.012, -1.1)}
+    I_bg = hpfx.background_from_harmonics(net, s, spec)
+    res = hpfx.hpf(net, dev, s, I_bg=I_bg)
+    assert bool(res.converged)
+    want = {h: m_h * np.exp(1j * a_h) for h, (m_h, a_h) in spec.items()}
+    return s, net, dev, res, want
+
+
+def test_background_recovery_full_observation():
+    """Complex Thevenin spectrum recovered from |V| meters alone: the
+    device emissions anchor the phase through interference."""
+    s, net, dev, res, want = _bg_truth()
+    est = hpfx.estimate_background(net, dev, s, res.V_m, orders=(5, 7))
+    assert est.misfit < 1e-14
+    for h, v in want.items():
+        got = est.v_bg[est.orders.index(h)]
+        assert abs(got - v) < 1e-8, (h, got, v)
+
+
+def test_background_recovery_partial_observation():
+    """Two meters (the slack + one mid-feeder bus) still identify both
+    orders — 4 real parameters vs 2 buses x 13 harmonic rows."""
+    s, net, dev, res, want = _bg_truth()
+    est = hpfx.estimate_background(net, dev, s, res.V_m, orders=(5, 7),
+                                   buses=[0, 1])
+    for h, v in want.items():
+        got = est.v_bg[est.orders.index(h)]
+        assert abs(got - v) < 1e-6, (h, got, v)
+
+
+def test_background_as_current_roundtrip():
+    """as_current=True fits the injected Norton spectrum directly (the
+    no-grid-impedance escape hatch, e.g. nets without slack X_sh)."""
+    s, net, dev = two_smps_feeder()
+    i_true = 0.3 * np.exp(0.7j)
+    orders = list(s.harmonics)
+    I_bg = hpfx.background_from_harmonics(
+        net, s, {5: (abs(i_true), float(np.angle(i_true)))},
+        bus=1, as_current=True)
+    res = hpfx.hpf(net, dev, s, I_bg=I_bg)
+    assert bool(res.converged)
+    est = hpfx.estimate_background(net, dev, s, res.V_m, orders=(5,),
+                                   bus=1, as_current=True, bound=0.5)
+    assert abs(est.v_bg[0] - i_true) < 1e-7
+    assert 5 in orders   # sanity: order on the grid
+
+
+def test_background_order_validation():
+    s, net, dev = make_setup(("net2", 25, True))
+    V = np.ones((s.n_harmonics, net.n))
+    with pytest.raises(ValueError):
+        hpfx.estimate_background(net, dev, s, V, orders=(1,))
+    with pytest.raises(ValueError):
+        hpfx.estimate_background(net, dev, s, V, orders=(4,))
+
+
+def test_background_noise_gates_predictions():
+    """1% relative meter noise: fitted spectrum predicts the measured
+    voltages to noise level even if parameters absorb some of it."""
+    s, net, dev, res, want = _bg_truth()
+    rng = np.random.default_rng(3)
+    V_noisy = np.asarray(res.V_m) * (1 + 0.01 * rng.standard_normal(
+        np.asarray(res.V_m).shape))
+    est = hpfx.estimate_background(net, dev, s, V_noisy, orders=(5, 7),
+                                   weights="relative")
+    pred_err = float(np.abs(np.asarray(est.result.V_m) -
+                            np.asarray(res.V_m)).max())
+    sig = float(np.abs(np.asarray(res.V_m)).max())
+    assert pred_err < 0.03 * sig, (pred_err, sig)
