@@ -60,8 +60,17 @@ def cmd_solve(args) -> int:
     import hpfx
 
     s, net, dev = _load(args)
+    I_bg = None
+    if getattr(args, "bg", None):
+        import numpy as _np
+        spec = {}
+        for item in args.bg:
+            h, mag, ang = item.split(":")
+            spec[int(h)] = (float(mag), float(ang) * _np.pi / 180.0)
+        I_bg = hpfx.background_from_harmonics(net, s, spec)
     t0 = time.perf_counter()
-    res = hpfx.hpf(net, dev, s, record_trajectory=bool(args.vlog))
+    res = hpfx.hpf(net, dev, s, record_trajectory=bool(args.vlog),
+                   I_bg=I_bg)
     dt = time.perf_counter() - t0
     conv = bool(np.asarray(res.converged))
     thd = hpfx.get_thd(res.V_m)
@@ -275,6 +284,11 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--solver", choices=["dense", "arrow"], default=None)
     ps.add_argument("--vlog", help="write V_log.json-format trajectory")
     ps.add_argument("--json", help="write the full solution as JSON")
+    ps.add_argument("--bg", action="append", default=None,
+                    metavar="ORDER:MAG:ANG_DEG",
+                    help="background Thevenin voltage behind the slack "
+                    "X_sh, e.g. --bg 5:0.02:0 (repeatable; pu magnitude, "
+                    "degrees)")
     ps.set_defaults(fn=cmd_solve)
 
     pc = sub.add_parser("scan", help="impedance scan + resonance peaks")

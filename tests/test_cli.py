@@ -120,3 +120,22 @@ def test_estimate_roundtrip(tmp_path, capsys):
     # the fitted scale must come back to 1.0 (the solve's level)
     fitted = float(out.split(":")[1].split()[0])
     assert abs(fitted - 1.0) < 1e-3
+
+
+def test_solve_background_flag_raises_thd(capsys):
+    """--bg superposes an upstream spectrum: THD rises on every bus vs
+    the clean-grid solve, through the same CLI table."""
+    rc0 = main(["solve", *NET2])
+    out0 = capsys.readouterr().out
+    rc1 = main(["solve", *NET2, "--bg", "5:0.02:0", "--bg", "7:0.01:30"])
+    out1 = capsys.readouterr().out
+    assert rc0 == 0 and rc1 == 0
+
+    def thd_col(out):
+        rows = [line.split() for line in out.splitlines()
+                if line.strip().startswith(("0 ", "1 ", "2 ", "3 "))]
+        return np.asarray([float(r[3]) for r in rows])
+
+    t0, t1 = thd_col(out0), thd_col(out1)
+    assert t0.shape == t1.shape == (4,)
+    assert np.all(t1 > t0)
