@@ -54,6 +54,11 @@ from .sensitivity import (FilterParams, LineParams, ScenarioParams,
                           injection_sensitivity, line_sensitivity,
                           mix_sensitivity, scenario_sensitivity,
                           sweep_filter_sensitivity, sweep_sensitivity)
+from .studies import (PercentileComplianceReport, PlanningLevelReport,
+                      QuantileAssessment, assess_quantiles,
+                      check_planning_levels, daily_profile,
+                      percentile_compliance, profile_scenarios,
+                      run_timeseries, summarize_quantiles)
 from .trajlog import (read_ilog, read_vlog, trajectory_injections,
                       write_ilog, write_vlog)
 from .ybus import build_ybus
@@ -65,6 +70,10 @@ __all__ = [
     "Settings", "default_harmonics", "settings_for_hmax",
     "Network", "load_network", "network_from_arrays",
     "build_ybus",
+    "QuantileAssessment", "PlanningLevelReport",
+    "PercentileComplianceReport", "assess_quantiles",
+    "summarize_quantiles", "check_planning_levels", "profile_scenarios",
+    "run_timeseries", "percentile_compliance", "daily_profile",
     "DeviceSet", "AnalyticDeviceSet", "DeviceLibrary", "load_device_set",
     "load_device_library",
     "load_norton_equivalent", "device_set_from_arrays", "fit_coupled_ne",

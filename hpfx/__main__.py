@@ -272,6 +272,91 @@ def cmd_capacity(args) -> int:
     return 0
 
 
+def cmd_assess(args) -> int:
+    import numpy as np
+    import hpfx
+    from hpfx.solve import hpf_sweep_adaptive
+
+    s, net, dev = _load(args)
+    scen = hpfx.monte_carlo_scenarios(
+        args.seed, args.batch, net, s,
+        p_spread=args.p_spread, inj_spread=args.inj_spread)
+    t0 = time.perf_counter()
+    qa = hpfx.assess_quantiles(net, dev, s, scen,
+                               quantiles=tuple(args.quantiles),
+                               thd_limit=args.limit,
+                               sweep=hpf_sweep_adaptive)
+    dt = time.perf_counter() - t0
+    print(f"Monte-Carlo percentile assessment: B={qa.n_samples} "
+          f"conv={qa.converged_frac:.4f}  ({dt:.2f}s incl. compile)")
+    hdr = " ".join(f"{'THD p' + format(q * 100, 'g'):>10}"
+                   for q in qa.quantiles)
+    print(f"{'bus':>4} {hdr} {'P(>limit)':>10}")
+    thd_q = np.asarray(qa.thd_q)
+    for i in range(net.n):
+        cells = " ".join(f"{thd_q[k, i]:>10.4f}"
+                         for k in range(len(qa.quantiles)))
+        print(f"{i:>4} {cells} {float(qa.exceed_prob[i]):>10.4f}")
+    if args.levels:
+        levels = {}
+        for item in args.levels:
+            h, pct = item.split(":")
+            levels[int(h)] = float(pct)
+        pl = hpfx.check_planning_levels(qa, levels,
+                                        quantile=args.level_quantile,
+                                        default_pct=args.default_level)
+        print(f"planning levels (p{args.level_quantile * 100:g} vs "
+              f"per-order %): compliant={pl.compliant} "
+              f"binding h={pl.binding_order} bus={pl.binding_bus} "
+              f"margin={float(np.asarray(pl.margin_pct).min()):.3f}%")
+        return 0 if pl.compliant else 3
+    return 0
+
+
+def cmd_timeseries(args) -> int:
+    import numpy as np
+    import hpfx
+
+    s, net, dev = _load(args)
+    if args.profile:
+        prof = np.loadtxt(args.profile, delimiter=",", ndmin=1)
+    else:
+        prof = hpfx.daily_profile(args.steps)
+    inj = prof if args.inj_follows_load else None
+    t0 = time.perf_counter()
+    ts = hpfx.run_timeseries(net, dev, s, prof, inj_profile=inj,
+                             chunk=args.chunk)
+    pc = hpfx.percentile_compliance(ts, s, percentile=args.percentile,
+                                    v_kv=args.v_kv)
+    dt = time.perf_counter() - t0
+    T = prof.shape[0]
+    print(f"quasi-static time series: T={T} steps, "
+          f"conv={pc.converged_frac:.4f}  ({dt:.2f}s incl. compile)")
+    print(f"IEEE-519 on the p{args.percentile:g} values "
+          f"(individual<={pc.limit_individual}%, THD<={pc.limit_thd}%): "
+          f"compliant={pc.compliant}")
+    thd_p = np.asarray(pc.thd_p)
+    vh_p = np.asarray(pc.vh_p)
+    frac = np.asarray(pc.frac_steps_over)
+    print(f"{'bus':>4} {'THD_p %':>9} {'worst h':>8} {'V_h/V_1 p %':>12} "
+          f"{'steps>limit':>12}")
+    for i in range(net.n):
+        k = int(np.argmax(vh_p[:, i]))
+        print(f"{i:>4} {thd_p[i]:>9.3f} {pc.harmonics[k]:>8} "
+              f"{vh_p[k, i]:>12.3f} {frac[i]:>12.3f}")
+    if args.json:
+        out = {"thd": np.asarray(
+                   100.0 * np.sqrt((np.asarray(ts.V_m)[:, 1:] ** 2)
+                                   .sum(1)) / np.asarray(ts.V_m)[:, 0]
+               ).tolist(),
+               "converged": np.asarray(ts.converged).astype(bool).tolist(),
+               "profile": np.asarray(prof).tolist()}
+        with open(args.json, "w") as f:
+            json.dump(out, f)
+        print(f"wrote THD time series to {args.json}")
+    return 0 if pc.compliant else 3
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m hpfx",
@@ -364,6 +449,50 @@ def build_parser() -> argparse.ArgumentParser:
                          "at their base draw)")
     ph.add_argument("--seed", type=int, default=0)
     ph.set_defaults(fn=cmd_capacity)
+
+    pa = sub.add_parser("assess",
+                        help="Monte-Carlo percentile assessment "
+                             "(IEC 61000-3-6 shape: THD/harmonic "
+                             "quantiles per bus + planning levels)")
+    _add_common(pa)
+    pa.add_argument("--batch", type=int, default=256)
+    pa.add_argument("--quantiles", type=float, nargs="+",
+                    default=(0.5, 0.95, 0.99))
+    pa.add_argument("--limit", type=float, default=0.08,
+                    help="THD exceedance-probability threshold")
+    pa.add_argument("--p-spread", type=float, default=0.2)
+    pa.add_argument("--inj-spread", type=float, default=0.2)
+    pa.add_argument("--levels", action="append", default=None,
+                    metavar="ORDER:PCT",
+                    help="per-order planning level in %% (repeatable, "
+                         "e.g. --levels 5:5 --levels 7:4); enables the "
+                         "planning-level verdict")
+    pa.add_argument("--default-level", type=float, default=3.0,
+                    help="planning level for orders not listed (default 3)")
+    pa.add_argument("--level-quantile", type=float, default=0.95,
+                    help="assessed quantile compared against the levels")
+    pa.add_argument("--seed", type=int, default=0)
+    pa.set_defaults(fn=cmd_assess)
+
+    pt = sub.add_parser("timeseries",
+                        help="quasi-static profile study + IEEE-519 on "
+                             "the 95th-percentile values over the window")
+    _add_common(pt)
+    pt.add_argument("--profile", default=None,
+                    help="CSV of per-step load multipliers (one column); "
+                         "default: a synthetic daily curve")
+    pt.add_argument("--steps", type=int, default=96,
+                    help="steps of the synthetic daily curve (default 96 "
+                         "= 15-min values)")
+    pt.add_argument("--inj-follows-load", action="store_true",
+                    help="scale device injections with the load profile "
+                         "(default: constant nominal injections)")
+    pt.add_argument("--chunk", type=int, default=None,
+                    help="solve the profile in batches of this many steps")
+    pt.add_argument("--percentile", type=float, default=95.0)
+    pt.add_argument("--v-kv", dest="v_kv", type=float, default=None)
+    pt.add_argument("--json", help="write the THD time series as JSON")
+    pt.set_defaults(fn=cmd_timeseries)
     return p
 
 

@@ -122,6 +122,41 @@ def test_estimate_roundtrip(tmp_path, capsys):
     assert abs(fitted - 1.0) < 1e-3
 
 
+def test_assess_quantile_table(capsys):
+    """assess prints a per-bus quantile table; net2 at nominal penetration
+    exceeds tight planning levels (exit 3) and meets loose ones (exit 0)."""
+    rc = main(["assess", *NET2, "--batch", "8", "--quantiles", "0.5", "0.95",
+               "--levels", "5:1000", "--default-level", "1000"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "conv=1.0000" in out and "compliant=True" in out
+    rows = [l.split() for l in out.splitlines()
+            if l.strip() and l.split()[0].isdigit()]
+    assert len(rows) == 4 and all(len(r) == 4 for r in rows)
+    # p50 <= p95 on every bus
+    assert all(float(r[1]) <= float(r[2]) + 1e-12 for r in rows)
+
+    rc = main(["assess", *NET2, "--batch", "8", "--levels", "5:0.01"])
+    assert rc == 3
+    assert "compliant=False" in capsys.readouterr().out
+
+
+def test_timeseries_study(tmp_path, capsys):
+    prof = tmp_path / "profile.csv"
+    np.savetxt(prof, np.linspace(0.8, 1.1, 6), delimiter=",")
+    js = tmp_path / "ts.json"
+    rc = main(["timeseries", *NET2, "--profile", str(prof), "--chunk", "3",
+               "--json", str(js)])
+    out = capsys.readouterr().out
+    # net2 at full device penetration violates the <=1kV class: exit 3
+    assert rc == 3
+    assert "T=6 steps" in out and "conv=1.0000" in out
+    import json
+    d = json.load(open(js))
+    assert len(d["thd"]) == 6 and all(d["converged"])
+    assert d["profile"][0] == pytest.approx(0.8)
+
+
 def test_solve_background_flag_raises_thd(capsys):
     """--bg superposes an upstream spectrum: THD rises on every bus vs
     the clean-grid solve, through the same CLI table."""
