@@ -33,6 +33,9 @@ from .background import (background_from_harmonics, current_source,
 from .capacity import (HostingCapacityResult, compliance_fraction,
                        find_hosting_capacity, monte_carlo_scenarios,
                        scale_scenarios)
+from .contingency import (ContingencyReport, device_outage_scenarios,
+                          islanded_lines, screen_device_outages,
+                          screen_line_outages, screen_shunt_outages)
 from .estimate import (BackgroundEstimate, EstimateResult,
                        estimate_background, estimate_injections)
 from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
@@ -70,6 +73,9 @@ __all__ = [
     "Settings", "default_harmonics", "settings_for_hmax",
     "Network", "load_network", "network_from_arrays",
     "build_ybus",
+    "ContingencyReport", "islanded_lines", "screen_line_outages",
+    "screen_shunt_outages", "screen_device_outages",
+    "device_outage_scenarios",
     "QuantileAssessment", "PlanningLevelReport",
     "PercentileComplianceReport", "assess_quantiles",
     "summarize_quantiles", "check_planning_levels", "profile_scenarios",

@@ -357,6 +357,49 @@ def cmd_timeseries(args) -> int:
     return 0 if pc.compliant else 3
 
 
+def cmd_contingency(args) -> int:
+    import numpy as np
+    import hpfx
+
+    s, net, dev = _load(args)
+    t0 = time.perf_counter()
+    if args.type == "line":
+        rep = hpfx.screen_line_outages(net, dev, s, outages=args.element)
+        label = "line"
+    elif args.type == "shunt":
+        rep = hpfx.screen_shunt_outages(net, dev, s, buses=args.element)
+        label = "bus"
+    else:
+        rep = hpfx.screen_device_outages(net, dev, s,
+                                         devices_out=args.element)
+        label = "device"
+    dt = time.perf_counter() - t0
+    K = len(rep.outages)
+    print(f"N-1 {args.type}-outage screen: {K} outages, base worst-bus "
+          f"THD_F {float(rep.base_thd.max()):.4f}  ({dt:.2f}s incl. "
+          f"compile)")
+    print(f"{'rank':>5} {label:>7} {'status':>10} {'worst THD':>10} "
+          f"{'delta':>9} {'min |V1|':>9} {'n_iter':>7}")
+    for r, pos in enumerate(rep.ranking):
+        if rep.islanded[pos]:
+            status, worst, delta, v1, it = "ISLANDED", "-", "-", "-", "-"
+        elif not rep.converged[pos]:
+            status, worst, delta, v1, it = ("DIVERGED", "-", "-", "-",
+                                            str(int(rep.n_iter[pos])))
+        else:
+            status = "ok"
+            worst = f"{rep.worst_thd[pos]:.4f}"
+            delta = f"{rep.delta_thd[pos]:+.4f}"
+            v1 = f"{rep.v1_min[pos]:.4f}"
+            it = str(int(rep.n_iter[pos]))
+        print(f"{r:>5} {rep.outages[pos]:>7} {status:>10} {worst:>10} "
+              f"{delta:>9} {v1:>9} {it:>7}")
+    solved = rep.converged & ~rep.islanded
+    if solved.any() and np.nanmax(rep.delta_thd[solved]) > args.alert:
+        return 3
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m hpfx",
@@ -493,6 +536,20 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--v-kv", dest="v_kv", type=float, default=None)
     pt.add_argument("--json", help="write the THD time series as JSON")
     pt.set_defaults(fn=cmd_timeseries)
+
+    pn = sub.add_parser("contingency",
+                        help="N-1 outage screen ranked by worst-bus THD "
+                             "increase (line / shunt / device outages)")
+    _add_common(pn)
+    pn.add_argument("--type", choices=["line", "shunt", "device"],
+                    default="line")
+    pn.add_argument("--element", type=int, nargs="+", default=None,
+                    help="element indices to screen (default: all of "
+                         "the chosen type)")
+    pn.add_argument("--alert", type=float, default=0.0,
+                    help="exit 3 when any outage raises worst-bus THD "
+                         "by more than this (default 0 = any increase)")
+    pn.set_defaults(fn=cmd_contingency)
     return p
 
 

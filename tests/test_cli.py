@@ -157,6 +157,25 @@ def test_timeseries_study(tmp_path, capsys):
     assert d["profile"][0] == pytest.approx(0.8)
 
 
+def test_contingency_table(capsys):
+    """contingency ranks net2's four line outages; --alert gates exit."""
+    rc = main(["contingency", *NET2, "--hmax", "5", "--alert", "1e9"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "N-1 line-outage screen: 4 outages" in out
+    rows = [l.split() for l in out.splitlines()
+            if l.strip() and l.split()[0].isdigit()]
+    assert len(rows) == 4 and all(r[2] == "ok" for r in rows)
+    deltas = [float(r[4]) for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+
+    rc = main(["contingency", *NET2, "--hmax", "5", "--type", "shunt"])
+    out = capsys.readouterr().out
+    assert "N-1 shunt-outage screen: 1 outages" in out
+    # the shunt outage LOWERS net2's THD -> no alert
+    assert rc == 0
+
+
 def test_solve_background_flag_raises_thd(capsys):
     """--bg superposes an upstream spectrum: THD rises on every bus vs
     the clean-grid solve, through the same CLI table."""
