@@ -33,8 +33,9 @@ from .background import (background_from_harmonics, current_source,
 from .capacity import (HostingCapacityResult, compliance_fraction,
                        find_hosting_capacity, monte_carlo_scenarios,
                        scale_scenarios)
-from .contingency import (ContingencyReport, device_outage_scenarios,
-                          islanded_lines, screen_device_outages,
+from .contingency import (ContingencyReport, ResonanceShiftReport,
+                          device_outage_scenarios, islanded_lines,
+                          outage_impedance_shift, screen_device_outages,
                           screen_line_outages, screen_shunt_outages)
 from .estimate import (BackgroundEstimate, EstimateResult,
                        estimate_background, estimate_injections)
@@ -73,7 +74,8 @@ __all__ = [
     "Settings", "default_harmonics", "settings_for_hmax",
     "Network", "load_network", "network_from_arrays",
     "build_ybus",
-    "ContingencyReport", "islanded_lines", "screen_line_outages",
+    "ContingencyReport", "ResonanceShiftReport", "islanded_lines",
+    "outage_impedance_shift", "screen_line_outages",
     "screen_shunt_outages", "screen_device_outages",
     "device_outage_scenarios",
     "QuantileAssessment", "PlanningLevelReport",

@@ -363,6 +363,29 @@ def cmd_contingency(args) -> int:
 
     s, net, dev = _load(args)
     t0 = time.perf_counter()
+    if args.scan:
+        if args.type != "line":
+            print("--scan applies to line outages only", file=sys.stderr)
+            return 2
+        rep = hpfx.outage_impedance_shift(net, dev, s,
+                                          outages=args.element)
+        dt = time.perf_counter() - t0
+        print(f"N-1 resonance-shift scan: {len(rep.outages)} line "
+              f"outages  ({dt:.2f}s incl. compile)")
+        print(f"{'rank':>5} {'line':>7} {'status':>10} {'|Z| amp':>9} "
+              f"{'at order':>9} {'at bus':>7}")
+        for r, pos in enumerate(rep.ranking):
+            if rep.islanded[pos]:
+                print(f"{r:>5} {rep.outages[pos]:>7} {'ISLANDED':>10} "
+                      f"{'-':>9} {'-':>9} {'-':>7}")
+            else:
+                print(f"{r:>5} {rep.outages[pos]:>7} {'ok':>10} "
+                      f"{rep.amplification[pos]:>9.3f} "
+                      f"{int(rep.shift_order[pos]):>9} "
+                      f"{int(rep.shift_bus[pos]):>7}")
+        amp = rep.amplification[~rep.islanded]
+        return 3 if amp.size and np.nanmax(amp) > args.alert \
+            and args.alert > 0 else 0
     if args.type == "line":
         rep = hpfx.screen_line_outages(net, dev, s, outages=args.element)
         label = "line"
@@ -548,7 +571,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "the chosen type)")
     pn.add_argument("--alert", type=float, default=0.0,
                     help="exit 3 when any outage raises worst-bus THD "
-                         "by more than this (default 0 = any increase)")
+                         "by more than this (default 0 = any increase); "
+                         "with --scan: |Z| amplification threshold "
+                         "(0 disables)")
+    pn.add_argument("--scan", action="store_true",
+                    help="rank line outages by driving-point-impedance "
+                         "amplification (resonance shift) instead of "
+                         "solved THD")
     pn.set_defaults(fn=cmd_contingency)
     return p
 

@@ -257,6 +257,96 @@ def device_outage_scenarios(net: Network, settings: Settings, *,
     return scen, tuple(sel)
 
 
+@partial(jax.jit, static_argnames=("settings", "operational"))
+def _scan_line_outages(net: Network, devices, settings: Settings,
+                       stacks, operational: bool):
+    from .impedance import driving_point_impedance
+
+    def one(*lines):
+        net_k = dataclasses.replace(net, **dict(zip(_LINE_FIELDS, lines)))
+        return driving_point_impedance(
+            net_k, settings, devices=devices if operational else None)
+
+    return jax.vmap(one)(*stacks)
+
+
+class ResonanceShiftReport(NamedTuple):
+    """Impedance-scan view of an N-1 line screen (axes (K,) unless noted).
+
+    ``zmag`` (K, H, n): per-outage driving-point |Z| scans;
+    ``base_zmag`` (H, n): the intact network's.  ``amplification``: the
+    largest ``|Z_outage| / |Z_base|`` over all harmonic orders > 1 and
+    buses — how much MORE impedance some injection order sees after the
+    outage (the resonance-shift severity; NaN on islanded rows);
+    ``shift_order`` / ``shift_bus``: where that worst amplification
+    lands.  ``ranking``: outage positions by descending amplification.
+    """
+    outages: Tuple[int, ...]
+    islanded: np.ndarray
+    zmag: np.ndarray
+    base_zmag: np.ndarray
+    amplification: np.ndarray
+    shift_order: np.ndarray
+    shift_bus: np.ndarray
+    ranking: np.ndarray
+
+
+def outage_impedance_shift(net: Network, devices, settings: Settings, *,
+                           outages: Optional[Sequence[int]] = None,
+                           operational: bool = True
+                           ) -> ResonanceShiftReport:
+    """Resonance-shift screen: driving-point impedance scans
+    (:func:`hpfx.impedance.driving_point_impedance`) under every N-1
+    line outage, ranked by how much an outage amplifies the impedance
+    some harmonic injection sees.
+
+    The THD screen (:func:`screen_line_outages`) answers "how bad did it
+    get for TODAY's devices"; this answers the planning question "which
+    outage moves a parallel resonance toward an injection order" —
+    independent of the current device spectra.  ``operational`` folds
+    the installed Norton admittances into the scans (their damping is
+    part of the in-service resonance picture); slack grounded as usual.
+    """
+    sel = list(range(net.n_lines)) if outages is None else \
+        [int(k) for k in outages]
+    bad = [k for k in sel if not 0 <= k < net.n_lines]
+    if bad:
+        raise ValueError(f"line indices {bad} out of range "
+                         f"(0..{net.n_lines - 1})")
+    from .impedance import driving_point_impedance
+    base = np.asarray(driving_point_impedance(
+        net, settings, devices=devices if operational else None))
+    isl_all = islanded_lines(net)
+    islanded = np.asarray([isl_all[k] for k in sel])
+    solvable = [k for k, isl in zip(sel, islanded) if not isl]
+
+    K, (H, n) = len(sel), base.shape
+    zmag = np.full((K, H, n), np.nan)
+    if solvable:
+        stacks = _stacked_outage_lines(net, solvable)
+        z = _scan_line_outages(net, devices, settings, stacks,
+                               bool(operational))
+        zmag[[sel.index(k) for k in solvable]] = np.asarray(z)
+
+    # slack column is grounded (|Z| = 0); guard the ratio there and at h=1
+    safe = np.where(base > 0.0, base, np.inf)
+    ratio = zmag / safe[None]
+    ratio[:, 0, :] = -np.inf                     # fundamental excluded
+    flat = np.where(np.isnan(ratio), -np.inf, ratio).reshape(K, -1)
+    amp = flat.max(axis=1)
+    pos = flat.argmax(axis=1)
+    orders = np.asarray(settings.harmonics)
+    shift_order = orders[pos // n]
+    shift_bus = pos % n
+    amp = np.where(islanded, np.nan, amp)
+    order_rank = np.argsort(np.where(islanded, -np.inf, amp))[::-1]
+    return ResonanceShiftReport(
+        outages=tuple(int(o) for o in sel), islanded=islanded,
+        zmag=zmag, base_zmag=base, amplification=amp,
+        shift_order=shift_order.astype(np.int32),
+        shift_bus=shift_bus.astype(np.int32), ranking=order_rank)
+
+
 def screen_device_outages(net: Network, devices, settings: Settings, *,
                           devices_out: Optional[Sequence[int]] = None,
                           base=None, sweep=None) -> ContingencyReport:

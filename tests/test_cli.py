@@ -175,6 +175,13 @@ def test_contingency_table(capsys):
     # the shunt outage LOWERS net2's THD -> no alert
     assert rc == 0
 
+    rc = main(["contingency", *NET2, "--hmax", "5", "--scan"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "resonance-shift scan: 4 line outages" in out
+    amps = [float(l.split()[3]) for l in out.splitlines()
+            if l.strip() and l.split()[0].isdigit()]
+    assert len(amps) == 4 and amps == sorted(amps, reverse=True)
+
 
 def test_solve_background_flag_raises_thd(capsys):
     """--bg superposes an upstream spectrum: THD rises on every bus vs

@@ -150,6 +150,40 @@ def test_device_outage_screen(net1u):
     assert (rep.delta_thd < 0).all()
 
 
+def test_outage_impedance_shift(net1u):
+    s, net, dev = net1u
+    rep = cg.outage_impedance_shift(net, dev, s, outages=[0, 20, 22])
+    assert rep.outages == (0, 20, 22)
+    # serial identity against a pruned-network scan
+    from hpfx.impedance import driving_point_impedance
+    net_k = dataclasses.replace(net, **{
+        f: jnp.asarray(np.delete(np.asarray(getattr(net, f)), 22))
+        for f in _LINE_FIELDS})
+    z_k = np.asarray(driving_point_impedance(net_k, s, devices=dev))
+    np.testing.assert_allclose(rep.zmag[2], z_k, atol=1e-14)
+    np.testing.assert_allclose(
+        rep.base_zmag, np.asarray(driving_point_impedance(net, s,
+                                                          devices=dev)),
+        atol=1e-14)
+    # amplification bookkeeping: the reported (order, bus) attains it
+    orders = list(s.harmonics)
+    for r in range(3):
+        hi = orders.index(int(rep.shift_order[r]))
+        b = int(rep.shift_bus[r])
+        np.testing.assert_allclose(
+            rep.amplification[r],
+            rep.zmag[r, hi, b] / rep.base_zmag[hi, b], rtol=1e-12)
+        assert rep.shift_order[r] != 1           # fundamental excluded
+    assert list(rep.amplification[rep.ranking]) == \
+        sorted(rep.amplification, reverse=True)
+    # the passive scan differs from the operational one
+    rp = cg.outage_impedance_shift(net, dev, s, outages=[22],
+                                   operational=False)
+    assert abs(float(rp.amplification[0] - rep.amplification[2])) > 1e-9
+    with pytest.raises(ValueError, match="out of range"):
+        cg.outage_impedance_shift(net, dev, s, outages=[99])
+
+
 def test_base_divergence_raises():
     s, net, dev = make_setup(("net1", 5, True))  # the DIVERGED config
     with pytest.raises(ValueError, match="did not converge"):
