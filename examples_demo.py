@@ -269,6 +269,42 @@ def main():
     print(f"[17] background distortion (2% 5th + 1% 7th behind the grid "
           f"X_sh): THD_F per bus {np.round(np.asarray(rep.thd.THD_F), 4)}"
           f" -> {np.round(thd_bg, 4)} (converged={bool(res_bg.converged)})")
+    # -- 18. percentile assessment + quasi-static time series ------------
+    scen_q = hpfx.monte_carlo_scenarios(1, 64, net, s, inj_spread=0.3)
+    qa = hpfx.assess_quantiles(net, dev, s, scen_q,
+                               quantiles=(0.5, 0.95, 0.99))
+    pl = hpfx.check_planning_levels(qa, {5: 5.0, 7: 4.0, 11: 3.0},
+                                    default_pct=3.0)
+    print(f"[18] percentile assessment (B=64 draws): worst bus "
+          f"{qa.worst_bus} THD p50/p95/p99 = "
+          f"{float(qa.thd_q[0, qa.worst_bus]):.3f}/"
+          f"{float(qa.thd_q[1, qa.worst_bus]):.3f}/"
+          f"{float(qa.thd_q[2, qa.worst_bus]):.3f}; planning levels "
+          f"(IEC 61000-3-6 shape): compliant={pl.compliant}, binding "
+          f"h={pl.binding_order} at bus {pl.binding_bus}")
+    ts = hpfx.run_timeseries(net, dev, s, hpfx.daily_profile(48), chunk=24)
+    pc = hpfx.percentile_compliance(ts, s)
+    print(f"     daily profile (48 steps): p95 worst-bus THD "
+          f"{float(np.max(np.asarray(pc.thd_p))):.2f}% vs limit "
+          f"{pc.limit_thd}% -> compliant={pc.compliant}")
+
+    # -- 19. N-1 contingency screens on the meshed net1 feeder -----------
+    s1 = hpfx.settings_for_hmax(5, coupled=False)
+    net1 = hpfx.load_network(os.path.join(DATA, "net1_buses.csv"),
+                             os.path.join(DATA, "net1_lines.csv"), s1)
+    dev1 = hpfx.load_device_set(net1, s1)
+    repc = hpfx.screen_line_outages(net1, dev1, s1, outages=[0, 20, 21, 22])
+    top = repc.ranking[0]
+    print(f"[19] N-1 line screen (net1, 4 outages, one vmapped program): "
+          f"worst is line {repc.outages[top]} — worst-bus THD "
+          f"{float(repc.base_thd.max()):.3f} -> "
+          f"{float(repc.worst_thd[top]):.3f}")
+    shift = hpfx.outage_impedance_shift(net1, dev1, s1, outages=[0, 22])
+    st0 = shift.ranking[0]
+    print(f"     resonance shift: losing line {shift.outages[st0]} "
+          f"amplifies |Z(h={int(shift.shift_order[st0])})| at bus "
+          f"{int(shift.shift_bus[st0])} by "
+          f"{float(shift.amplification[st0]):.1f}x")
 
 
 if __name__ == "__main__":
