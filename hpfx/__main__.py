@@ -13,6 +13,10 @@ CLI covers those workflows without editing code:
     python -m hpfx filter --buses b.csv --lines l.csv --bus 2
     python -m hpfx capacity --buses b.csv --lines l.csv --batch 256 \\
                             --confidence 0.95 --limit 0.08
+    python -m hpfx assess --buses b.csv --lines l.csv --batch 256 \\
+                          --levels 5:5 --levels 7:4
+    python -m hpfx timeseries --buses b.csv --lines l.csv --steps 96
+    python -m hpfx contingency --buses b.csv --lines l.csv [--scan]
 
 Backend: CPU by default (the demo-script backend guard — this
 environment's shared TPU must be opted into with HPFX_DEMO_TPU=1; see

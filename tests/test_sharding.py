@@ -312,3 +312,35 @@ def test_adaptive_sharded_matches_unsharded():
         np.testing.assert_array_equal(np.asarray(out.converged), conv_ref)
         np.testing.assert_allclose(np.asarray(out.V_m),
                                    np.asarray(ref.V_m), atol=5e-5)
+
+
+def test_studies_compose_with_sharded_sweeps():
+    """The round-4 study layer consumes any sweep: quantile assessment
+    over the mesh-sharded sweep equals the unsharded assessment, and a
+    sharded time-series run feeds percentile_compliance unchanged."""
+    import hpfx
+
+    s, net, dev = make_setup(("net2", 5, True))
+    mesh = scenario_mesh(8)
+    scen = _scen(16)
+
+    sharded = lambda n_, d_, s_, sc_: hpf_sweep_sharded(n_, d_, s_, sc_,
+                                                        mesh)
+    qa_ref = hpfx.assess_quantiles(net, dev, s, scen,
+                                   quantiles=(0.5, 0.95))
+    qa_sh = hpfx.assess_quantiles(net, dev, s, scen,
+                                  quantiles=(0.5, 0.95), sweep=sharded)
+    np.testing.assert_allclose(np.asarray(qa_sh.thd_q),
+                               np.asarray(qa_ref.thd_q), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qa_sh.vh_pct_q),
+                               np.asarray(qa_ref.vh_pct_q), atol=1e-10)
+    assert qa_sh.converged_frac == qa_ref.converged_frac == 1.0
+
+    prof = hpfx.daily_profile(16, base=0.8, peak=1.05)
+    ts_ref = hpfx.run_timeseries(net, dev, s, prof)
+    ts_sh = hpfx.run_timeseries(net, dev, s, prof, sweep=sharded)
+    pc_ref = hpfx.percentile_compliance(ts_ref, s)
+    pc_sh = hpfx.percentile_compliance(ts_sh, s)
+    np.testing.assert_allclose(np.asarray(pc_sh.thd_p),
+                               np.asarray(pc_ref.thd_p), atol=1e-12)
+    assert pc_sh.compliant == pc_ref.compliant
