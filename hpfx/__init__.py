@@ -53,6 +53,9 @@ from .impedance import (distortion_contributions, driving_point_impedance,
                         tuned_filter_admittance)
 from .optimize import (FilterOptResult, OptimizeResult, apply_line_params,
                        optimize_filter, optimize_line_params)
+from .sequence import (SequenceSet, balanced_phases, classify_orders,
+                       delta_blocked, neutral_current, phase_components,
+                       sequence_components, triplen_mask)
 from .sensitivity import (FilterParams, LineParams, ScenarioParams,
                           Sensitivity, filter_sensitivity,
                           injection_sensitivity, line_sensitivity,
@@ -74,6 +77,9 @@ __all__ = [
     "Settings", "default_harmonics", "settings_for_hmax",
     "Network", "load_network", "network_from_arrays",
     "build_ybus",
+    "SequenceSet", "sequence_components", "phase_components",
+    "balanced_phases", "classify_orders", "triplen_mask",
+    "neutral_current", "delta_blocked",
     "ContingencyReport", "ResonanceShiftReport", "islanded_lines",
     "outage_impedance_shift", "screen_line_outages",
     "screen_shunt_outages", "screen_device_outages",

@@ -165,17 +165,20 @@ def cmd_report(args) -> int:
     loss = np.asarray(fl.loss)
     I = fl.I_f.abs()
     K = np.asarray(hpfx.k_factor(I, s.harmonics))
+    _, rms_n = hpfx.neutral_current(I, s.harmonics)
+    rms_p = np.sqrt(np.asarray((I * I).sum(0)))
     print(f"line flows ({net.n_lines} lines x {s.n_harmonics} harmonics), "
           f"total loss {float(fl.total_loss):.5f} pu")
     print(f"{'line':>4} {'from':>4} {'to':>4} {'P_fund':>9} {'loss_fund':>10} "
-          f"{'loss_harm':>10} {'K-factor':>9} {'I TDD %':>8}")
+          f"{'loss_harm':>10} {'K-factor':>9} {'I TDD %':>8} {'I_N/I_ph':>9}")
     for k in range(net.n_lines):
         repc = hpfx.check_ieee519_current(I[:, k], s.harmonics,
                                           args.isc_il)
+        ratio = float(rms_n[k]) / max(float(rms_p[k]), 1e-30)
         print(f"{k:>4} {int(net.line_from[k]):>4} {int(net.line_to[k]):>4} "
               f"{float(fl.P_f[0, k]):>9.5f} {loss[0, k]:>10.6f} "
               f"{loss[1:, k].sum():>10.6f} {K[k]:>9.2f} "
-              f"{float(repc.tdd):>8.2f}")
+              f"{float(repc.tdd):>8.2f} {ratio:>9.3f}")
     rep = hpfx.check_ieee519(res, s, v_kv=args.v_kv)
     print(f"IEEE-519 (individual<={rep.limit_individual}%, "
           f"THD<={rep.limit_thd}%):")
