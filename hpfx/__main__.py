@@ -72,9 +72,12 @@ def cmd_solve(args) -> int:
             h, mag, ang = item.split(":")
             spec[int(h)] = (float(mag), float(ang) * _np.pi / 180.0)
         I_bg = hpfx.background_from_harmonics(net, s, spec)
+    Y_diag = None
+    if getattr(args, "load_model", None):
+        Y_diag = hpfx.linear_load_admittance(net, s, model=args.load_model)
     t0 = time.perf_counter()
     res = hpfx.hpf(net, dev, s, record_trajectory=bool(args.vlog),
-                   I_bg=I_bg)
+                   I_bg=I_bg, Y_diag=Y_diag)
     dt = time.perf_counter() - t0
     conv = bool(np.asarray(res.converged))
     thd = hpfx.get_thd(res.V_m)
@@ -447,6 +450,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="background Thevenin voltage behind the slack "
                     "X_sh, e.g. --bg 5:0.02:0 (repeatable; pu magnitude, "
                     "degrees)")
+    ps.add_argument("--load-model",
+                    choices=["resistive", "parallel_rl", "motor"],
+                    default=None,
+                    help="fold a frequency-dependent linear-load damping "
+                         "model into the harmonic Ybus (hpfx.loadmodel)")
     ps.set_defaults(fn=cmd_solve)
 
     pc = sub.add_parser("scan", help="impedance scan + resonance peaks")

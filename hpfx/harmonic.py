@@ -406,7 +406,8 @@ def solve_harmonic(Y: Cx, fund: FundResult, net: Network, devices: DeviceSet,
 def hpf(net: Network, devices: DeviceSet, settings: Settings,
         Y: Optional[Cx] = None, V0=None,
         record_trajectory: bool = False,
-        I_bg: Optional[Cx] = None) -> HPFResult:
+        I_bg: Optional[Cx] = None,
+        Y_diag: Optional[Cx] = None) -> HPFResult:
     """Full harmonic power flow (hcne_generalized.py:511-560): Ybus assembly
     -> fundamental NR warm start -> harmonic NR.  Jit this (settings and the
     network's structural metadata are static).  ``V0`` resumes from a
@@ -415,11 +416,24 @@ def hpf(net: Network, devices: DeviceSet, settings: Settings,
     When ``Y`` is overridden the stable mismatch is disabled (the line
     structure belongs to the network Y was NOT built from).
 
-    ``I_bg``: optional background-distortion injections (hpfx.background)."""
+    ``I_bg``: optional background-distortion injections (hpfx.background).
+
+    ``Y_diag``: optional per-bus shunt admittances (H, n) folded into the
+    built Ybus diagonal AND the stable-mismatch line structure's diagonal
+    term — frequency-dependent linear-load damping models
+    (hpfx.loadmodel) ride this without giving up the cancellation-free
+    residual.  Ignored when ``Y`` is overridden (fold it yourself via
+    :func:`hpfx.ybus.fold_ydiag`)."""
     lineY = lineY_f = None
     if Y is None:
         Y = build_ybus(net, settings)
         lineY, lineY_f = line_ybus_pair(net, settings)
+        if Y_diag is not None:
+            from .ybus import fold_ydiag
+            Y = fold_ydiag(Y, Y_diag)
+            if lineY is not None:
+                lineY = lineY._replace(d=lineY.d + Y_diag)
+                lineY_f = lineY_f._replace(d=lineY_f.d + Y_diag[:1])
     fund = solve_fundamental(Y[0], net, settings, lineY=lineY_f)
     return solve_harmonic(Y, fund, net, devices, settings, V0=V0,
                           record_trajectory=record_trajectory, lineY=lineY,

@@ -92,6 +92,17 @@ def build_ybus(net: Network, settings: Settings) -> Cx:
     Y = Y.at_add((_all, idx, idx), Cx(jnp.zeros_like(y_sh_im), y_sh_im))
     return Y
 
+def fold_ydiag(Y: Cx, Y_diag: Cx) -> Cx:
+    """Add per-bus shunt admittances ``Y_diag`` (H, n) to the diagonal of
+    the dense (H, n, n) admittance tensor (frequency-dependent load
+    models, hpfx.loadmodel; tuned filters use
+    :func:`hpfx.impedance.install_shunt` for single buses)."""
+    n = Y.shape[-1]
+    idx = jnp.arange(n)
+    return Cx(Y.re.at[:, idx, idx].add(Y_diag.re),
+              Y.im.at[:, idx, idx].add(Y_diag.im))
+
+
 class LineYbus(NamedTuple):
     """Line-structured admittance: the ingredients of ``build_ybus`` kept
     un-summed, for the numerically stable matvec below.
