@@ -55,8 +55,10 @@ from .impedance import (distortion_contributions, driving_point_impedance,
 from .optimize import (FilterOptResult, OptimizeResult, apply_line_params,
                        optimize_filter, optimize_line_params)
 from .sequence import (SequenceSet, balanced_phases, classify_orders,
-                       delta_blocked, neutral_current, phase_components,
-                       sequence_components, triplen_mask)
+                       delta_blocked, delta_device_set, hpf_sequence,
+                       neutral_current, phase_components,
+                       sequence_components, sequence_structures,
+                       triplen_mask, zero_sequence_network)
 from .sensitivity import (FilterParams, LineParams, ScenarioParams,
                           Sensitivity, filter_sensitivity,
                           injection_sensitivity, line_sensitivity,
@@ -81,6 +83,8 @@ __all__ = [
     "SequenceSet", "sequence_components", "phase_components",
     "balanced_phases", "classify_orders", "triplen_mask",
     "neutral_current", "delta_blocked",
+    "hpf_sequence", "sequence_structures", "zero_sequence_network",
+    "delta_device_set",
     "ContingencyReport", "ResonanceShiftReport", "islanded_lines",
     "outage_impedance_shift", "screen_line_outages",
     "screen_shunt_outages", "screen_device_outages",

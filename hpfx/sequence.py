@@ -33,7 +33,8 @@ balanced-spectrum neutral law is IEEE Std 1100 / C57.110 context.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+import dataclasses
+from typing import Mapping, NamedTuple, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -146,3 +147,225 @@ def balanced_phases(V_m: jnp.ndarray, V_a: jnp.ndarray,
     vb = cx.polar(V_m, V_a - rot)
     vc = cx.polar(V_m, V_a + rot)
     return va, vb, vc
+
+
+# ---------------------------------------------------------------------------
+# Sequence-aware harmonic networks
+#
+# The laws above post-process a solution computed on ONE network.  The
+# stronger statement of the h-mod-3 rule is that in a balanced system each
+# harmonic order propagates through the network of ITS OWN sequence:
+# non-triplen orders see the positive/negative-sequence impedances (equal
+# for static equipment), while the triplens see the ZERO-sequence network —
+# different line impedances (z0 of an overhead line is typically 2-3.5x z1),
+# open circuits across delta / ungrounded-wye transformer paths, and shunt
+# paths through grounded neutrals.  Standard harmonic-penetration practice
+# (Arrillaga & Watson ch. 9) therefore assembles a per-order admittance that
+# switches networks by sequence class.  The reference solves every order on
+# the one positive-sequence network (hcne_generalized.py:132-171 builds Y(h)
+# from a single line table); this section supplies the sequence-aware
+# assembly and a solver entry that is bit-compatible with :func:`hpfx.hpf`
+# when the two sequence networks coincide.
+#
+# Everything below is assembly-level: the NR solver, device models and
+# mismatch structure are untouched — the blend produces a dense ``Y`` plus
+# the matching stable-mismatch ``LineYbus`` structures, exactly the
+# contract of :func:`hpfx.ybus.build_ybus` / ``line_ybus_pair``.
+
+
+def zero_sequence_network(net, *, r0_scale: float = 2.5,
+                          x0_scale: float = 3.0,
+                          b0_scale: float = 1.0,
+                          R0=None, X0=None,
+                          ungrounded_shunts: Sequence[int] = ()):
+    """The zero-sequence companion of ``net`` (same topology and tap/shift
+    arrays — only impedances change).
+
+    ``r0_scale``/``x0_scale`` default to the classic overhead-line rule of
+    thumb (z0 ≈ 2.5-3·z1); they are STUDY PARAMETERS, not physics — pass
+    explicit per-line ``R0``/``X0`` arrays when the line data carries them.
+    ``b0_scale`` scales the pi-model charging susceptance (C0/C1 ≈ 0.6 for
+    overhead lines; left at 1 by default).  ``ungrounded_shunts`` lists
+    buses whose shunt bank (``X_sh``) is delta-connected or ungrounded-wye
+    and therefore provides NO zero-sequence path (its X_sh is dropped from
+    the companion network).
+    """
+    R0 = net.line_R * r0_scale if R0 is None else jnp.asarray(R0)
+    X0 = net.line_X * x0_scale if X0 is None else jnp.asarray(X0)
+    # static 0/1 mask so the edit stays traceable under jit (bus_Xsh may be
+    # a tracer); X_sh == 0 means "no shunt" throughout ybus.py
+    keep = np.ones(net.n)
+    for b in ungrounded_shunts:
+        keep[int(b)] = 0.0
+    return dataclasses.replace(
+        net, line_R=R0, line_X=X0, line_B=net.line_B * b0_scale,
+        bus_Xsh=net.bus_Xsh * keep)
+
+
+def _grounding_diag(settings, bus_Xg: Optional[Mapping[int, float]],
+                    n: int) -> Optional[Cx]:
+    """(H, n) zero-sequence grounding shunts: a grounded neutral at bus k
+    with total zero-sequence reactance Xg (transformer Xt + 3·Xn) admits
+    y0(h) = 1/(j·h·Xg) = -j/(h·Xg) — the same frequency law as the bus
+    shunt reactances of hcne_generalized.py:158-159.  Rows for ALL orders;
+    the triplen mask in the blend keeps it out of the non-triplen rows."""
+    if not bus_Xg:
+        return None
+    rd = settings.real_dtype
+    h = np.asarray(settings.harmonics, float)[:, None]          # (H, 1)
+    g = np.zeros((len(settings.harmonics), n))
+    b = np.zeros_like(g)
+    for bus, xg in bus_Xg.items():
+        if xg <= 0.0:
+            raise ValueError(f"bus_Xg[{bus}] must be a positive reactance")
+        b[:, int(bus)] = (-1.0 / (h * xg))[:, 0]
+    return Cx(jnp.asarray(g, rd), jnp.asarray(b, rd))
+
+
+def _dense_from_line(lineY, n: int) -> Cx:
+    """Dense (H, n, n) admittance from a ``LineYbus`` structure — the same
+    scatter as ``build_ybus`` (ybus.py:64-92) driven from the un-summed
+    ingredients, so the blended dense and line-structured forms describe
+    the same system by construction."""
+    Ys, f, t = lineY.Ys, lineY.f_idx, lineY.t_idx
+    H = Ys.shape[0]
+    rd = Ys.re.dtype
+    inv_t_ft = cx.expj(lineY.shift) * lineY.inv_tau
+    inv_t_tf = cx.expj(-lineY.shift) * lineY.inv_tau
+    _all = slice(None)
+    Y = cx.zeros((H, n, n), rd)
+    Y = Y.at_add((_all, f, t), -(Ys * inv_t_ft))
+    Y = Y.at_add((_all, t, f), -(Ys * inv_t_tf))
+    Y = Y.at_add((_all, f, f), Ys * lineY.a_ff)
+    Y = Y.at_add((_all, t, t), Ys)
+    idx = jnp.arange(n)
+    return Y.at_add((_all, idx, idx), lineY.d)
+
+
+def sequence_structures(net, settings, net0=None, *,
+                        blocked: Sequence[int] = (),
+                        bus_Xg: Optional[Mapping[int, float]] = None,
+                        Y_diag: Optional[Cx] = None, **zero_kw):
+    """Per-order blended admittance structures: ``(Y, lineY, lineY_f)``.
+
+    Triplen rows are assembled from the zero-sequence companion network
+    (``net0``, or :func:`zero_sequence_network` built with ``zero_kw``),
+    all other rows from ``net`` — the sequence-aware counterpart of
+    ``build_ybus`` + ``line_ybus_pair``.  ``blocked`` lists line indices
+    with no zero-sequence path (delta or ungrounded-wye transformer
+    winding): their series element AND pi shunt vanish from the triplen
+    rows.  ``bus_Xg`` adds grounded-neutral shunt paths (see
+    ``_grounding_diag``).  ``lineY``/``lineY_f`` are ``None`` when
+    ``settings.stable_mismatch`` is off, mirroring ``line_ybus_pair``.
+    """
+    from .ybus import LineYbus, build_line_ybus
+    if net0 is None:
+        net0 = zero_sequence_network(net, **zero_kw)
+    elif zero_kw:
+        raise ValueError("pass either net0 or zero-sequence parameters")
+    if jnp.shape(net0.line_tau) != jnp.shape(net.line_tau):
+        raise ValueError("net0 must share net's line topology")
+
+    L = net.n_lines
+    keep = np.ones(L)
+    for k in blocked:
+        keep[int(k)] = 0.0
+    keep_j = jnp.asarray(keep, settings.real_dtype)
+
+    lineY1 = build_line_ybus(net, settings)
+    # blocked lines: zero the pi shunt at the source (host-side G/B edit)
+    # and the series admittance below — both vanish from the triplen rows.
+    net0 = dataclasses.replace(net0, line_G=net0.line_G * keep_j,
+                               line_B=net0.line_B * keep_j)
+    lineY0 = build_line_ybus(net0, settings)
+    Ys0 = lineY0.Ys * keep_j
+    d0 = lineY0.d
+    g = _grounding_diag(settings, bus_Xg, net.n)
+    if g is not None:
+        d0 = d0 + g
+
+    tri = jnp.asarray(triplen_mask(settings.harmonics))          # (H,)
+    Ys = cx.where(tri[:, None], Ys0, lineY1.Ys)
+    d = cx.where(tri[:, None], d0, lineY1.d)
+    if Y_diag is not None:
+        d = d + Y_diag
+    blended = LineYbus(Ys=Ys, a_ff=lineY1.a_ff, inv_tau=lineY1.inv_tau,
+                       shift=lineY1.shift, d=d,
+                       f_idx=lineY1.f_idx, t_idx=lineY1.t_idx)
+    Y = _dense_from_line(blended, net.n)
+    if not settings.stable_mismatch:
+        return Y, None, None
+    fund = LineYbus(Ys=blended.Ys[:1], a_ff=blended.a_ff,
+                    inv_tau=blended.inv_tau, shift=blended.shift,
+                    d=blended.d[:1], f_idx=blended.f_idx,
+                    t_idx=blended.t_idx)
+    return Y, blended, fund
+
+
+def delta_device_set(devices, settings, delta: Sequence[int]):
+    """Norton equivalents of delta-connected converters: a device with no
+    neutral connection injects NO zero-sequence current and never sees the
+    zero-sequence bus voltage — its triplen I_N rows vanish, and for a
+    coupled NE both the triplen ROWS (no triplen current response) and
+    COLUMNS (no response TO triplen voltage) of Y_N vanish.  ``delta``
+    lists device indices (0 = first nonlinear bus).
+
+    Caution (CLAUDE.md #39a physics): if EVERY triplen source is removed
+    and nothing else excites those orders, the exact solution V_h = 0 is
+    singular in the polar state and NR honestly reports non-convergence —
+    keep at least one wye device or a background source per triplen order.
+    """
+    n_nl = devices.n_devices
+    dmask = np.zeros(n_nl)
+    for k in delta:
+        dmask[int(k)] = 1.0
+    rd = settings.real_dtype
+    dm = jnp.asarray(dmask, rd)
+    tri = jnp.asarray(triplen_mask(settings.harmonics), rd)
+    keep_i = 1.0 - dm[:, None] * tri[None, :]                    # (n_nl, H)
+    I_N = devices.I_N * keep_i
+    if devices.coupled:
+        blk = jnp.maximum(tri[:, None], tri[None, :])            # row OR col
+        keep_y = 1.0 - dm[:, None, None] * blk[None, :, :]
+        Y_N = devices.Y_N * keep_y
+    else:
+        Y_N = devices.Y_N * keep_i
+    return dataclasses.replace(devices, I_N=I_N, Y_N=Y_N)
+
+
+def hpf_sequence(net, devices, settings, *, net0=None,
+                 blocked: Sequence[int] = (),
+                 bus_Xg: Optional[Mapping[int, float]] = None,
+                 delta_devices: Sequence[int] = (),
+                 V0=None, I_bg: Optional[Cx] = None,
+                 Y_diag: Optional[Cx] = None,
+                 record_trajectory: bool = False, **zero_kw):
+    """Sequence-aware harmonic power flow: :func:`hpfx.hpf` with the
+    triplen orders solved on the zero-sequence network.
+
+    Identical to ``hpf`` when the sequence networks coincide
+    (``r0_scale=x0_scale=b0_scale=1`` and no blocking/grounding) — the
+    identity is gated in tests/test_sequence.py.  The fundamental solve
+    always runs on the positive-sequence row (h=1 is never triplen).
+    Jittable: the sequence parameters shape the traced assembly, the
+    blocking/grounding patterns are static.
+
+    Keyword groups: ``zero_kw`` forwards to
+    :func:`zero_sequence_network` (``r0_scale``, ``x0_scale``,
+    ``b0_scale``, ``R0``, ``X0``, ``ungrounded_shunts``) unless an
+    explicit ``net0`` is given; ``blocked``/``bus_Xg`` shape the
+    zero-sequence topology; ``delta_devices`` masks converter NEs via
+    :func:`delta_device_set`; ``V0``/``I_bg``/``Y_diag``/
+    ``record_trajectory`` mean what they do on ``hpf``.
+    """
+    from .fundamental import solve_fundamental
+    from .harmonic import solve_harmonic
+    Y, lineY, lineY_f = sequence_structures(
+        net, settings, net0, blocked=blocked, bus_Xg=bus_Xg, Y_diag=Y_diag,
+        **zero_kw)
+    if delta_devices:
+        devices = delta_device_set(devices, settings, delta_devices)
+    fund = solve_fundamental(Y[0], net, settings, lineY=lineY_f)
+    return solve_harmonic(Y, fund, net, devices, settings, V0=V0,
+                          record_trajectory=record_trajectory, lineY=lineY,
+                          I_bg=I_bg)

@@ -121,3 +121,175 @@ def test_neutral_sizing_on_solved_feeder():
     tri = sq.triplen_mask(s.harmonics)
     assert np.asarray(blocked)[tri].max() == 0.0
     assert np.allclose(np.asarray(blocked)[~tri], np.asarray(I)[~tri])
+
+
+# ---------------------------------------------------------------------------
+# Sequence-aware harmonic networks
+
+
+def _seq_setup(coupled=False, h_max=5, stable=False):
+    s, net, dev = make_setup(("net1", h_max, coupled))
+    if stable:
+        s = s.with_(stable_mismatch=True)
+    return s, net, dev
+
+
+def _np_zero_seq_ybus(net, s, *, r0_scale, x0_scale, b0_scale=1.0,
+                      blocked=(), bus_Xg=None, ungrounded_shunts=()):
+    """Independent numpy-complex zero-sequence Ybus (dense, per order) —
+    same physics as build_ybus written as plain loops over the pruned
+    zero-sequence line table."""
+    n = net.n
+    H = len(s.harmonics)
+    Y = np.zeros((H, n, n), complex)
+    R0 = np.asarray(net.line_R) * r0_scale
+    X0 = np.asarray(net.line_X) * x0_scale
+    G = np.asarray(net.line_G)
+    B = np.asarray(net.line_B) * b0_scale
+    tau = np.asarray(net.line_tau)
+    shift = np.asarray(net.line_shift)
+    f = np.asarray(net.line_from)
+    t = np.asarray(net.line_to)
+    xsh = np.asarray(net.bus_Xsh).copy()
+    for b_ in ungrounded_shunts:
+        xsh[int(b_)] = 0.0
+    for ih, h in enumerate(s.harmonics):
+        for k in range(net.n_lines):
+            if k in blocked:
+                continue
+            ys = 1.0 / (R0[k] + 1j * X0[k] * h)
+            ysh = (G[k] + 1j * h * B[k]) / 2.0
+            a = tau[k] * np.exp(-1j * shift[k])
+            Y[ih, f[k], t[k]] += -ys / a
+            Y[ih, t[k], f[k]] += -ys / np.conj(a)
+            Y[ih, f[k], f[k]] += (ys + ysh) / tau[k] ** 2
+            Y[ih, t[k], t[k]] += ys + ysh
+        if h != 1:
+            for b_ in range(n):
+                if xsh[b_] != 0.0:
+                    Y[ih, b_, b_] += 1.0 / (1j * xsh[b_] * h)
+        if bus_Xg:
+            for b_, xg in bus_Xg.items():
+                Y[ih, b_, b_] += 1.0 / (1j * h * xg)
+    return Y
+
+
+def test_sequence_ybus_numpy_oracle():
+    """Triplen rows of the blended Y match an independent numpy-complex
+    zero-sequence assembly (incl. blocked lines, grounding, ungrounded
+    shunt banks); non-triplen rows match build_ybus exactly."""
+    s, net, _ = _seq_setup(h_max=5)
+    kw = dict(r0_scale=2.5, x0_scale=3.0, b0_scale=0.6)
+    blocked, xg, ug = [2, 7], {1: 0.08}, [4]
+    Y, lineY, _ = sq.sequence_structures(
+        net, s, blocked=blocked, bus_Xg=xg, ungrounded_shunts=ug, **kw)
+    assert lineY is None                  # stable_mismatch off
+    Yn = _to_c(Y)
+    Y1 = _to_c(hpfx.build_ybus(net, s))
+    Y0 = _np_zero_seq_ybus(net, s, blocked=blocked, bus_Xg=xg,
+                           ungrounded_shunts=ug, **kw)
+    tri = sq.triplen_mask(s.harmonics)
+    np.testing.assert_allclose(Yn[~tri], Y1[~tri], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(Yn[tri], Y0[tri], rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("stable", [False, True])
+def test_hpf_sequence_identity(stable):
+    """Coinciding sequence networks reproduce plain hpf exactly (same
+    fixed point, same iteration count) — on both mismatch formulations."""
+    s, net, dev = _seq_setup(coupled=False, stable=stable)
+    base = hpfx.hpf(net, dev, s)
+    seq = sq.hpf_sequence(net, dev, s, r0_scale=1.0, x0_scale=1.0)
+    assert int(seq.n_iter) == int(base.n_iter)
+    np.testing.assert_allclose(np.asarray(seq.V_m), np.asarray(base.V_m),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(seq.V_a), np.asarray(base.V_a),
+                               rtol=0, atol=1e-10)
+
+
+def test_hpf_sequence_nontriplen_invariance():
+    """With UNCOUPLED devices the harmonic orders solve independently:
+    changing only the zero-sequence network moves the triplen voltages
+    and leaves every other order's solution untouched."""
+    s, net, dev = _seq_setup(coupled=False)
+    base = hpfx.hpf(net, dev, s)
+    seq = sq.hpf_sequence(net, dev, s, r0_scale=2.5, x0_scale=3.0,
+                          bus_Xg={0: 0.05})
+    assert bool(seq.converged) and bool(base.converged)
+    tri = sq.triplen_mask(s.harmonics)
+    Vb, Vs = np.asarray(base.V_m), np.asarray(seq.V_m)
+    np.testing.assert_allclose(Vs[~tri], Vb[~tri], rtol=0, atol=1e-8)
+    # the triplen row genuinely responds to the zero-sequence impedances
+    assert np.max(np.abs(Vs[tri] - Vb[tri])) > 1e-4
+
+
+def test_hpf_sequence_stable_mismatch_consistency():
+    """The blended stable-mismatch structures describe the same system as
+    the blended dense Y: both formulations converge to the same state."""
+    s, net, dev = _seq_setup(coupled=True, stable=False)
+    kw = dict(r0_scale=2.0, x0_scale=3.0, blocked=[5], bus_Xg={2: 0.1})
+    plain = sq.hpf_sequence(net, dev, s, **kw)
+    stab = sq.hpf_sequence(net, dev, s.with_(stable_mismatch=True), **kw)
+    assert bool(plain.converged) and bool(stab.converged)
+    np.testing.assert_allclose(np.asarray(stab.V_m), np.asarray(plain.V_m),
+                               rtol=0, atol=1e-8)
+
+
+def test_delta_device_set_masking():
+    """Triplen I_N rows (and Y_N rows+columns when coupled) of the chosen
+    devices vanish; everything else is untouched."""
+    s, net, dev = _seq_setup(coupled=True)
+    masked = sq.delta_device_set(dev, s, delta=[0, 3])
+    tri = sq.triplen_mask(s.harmonics)
+    I0, I1 = _to_c(dev.I_N), _to_c(masked.I_N)
+    Y0, Y1 = _to_c(dev.Y_N), _to_c(masked.Y_N)
+    for k in range(dev.n_devices):
+        if k in (0, 3):
+            assert np.all(I1[k][tri] == 0)
+            assert np.all(Y1[k][tri, :] == 0) and np.all(Y1[k][:, tri] == 0)
+            np.testing.assert_array_equal(
+                I1[k][~tri], I0[k][~tri])
+            np.testing.assert_array_equal(
+                Y1[k][np.ix_(~tri, ~tri)], Y0[k][np.ix_(~tri, ~tri)])
+        else:
+            np.testing.assert_array_equal(I1[k], I0[k])
+            np.testing.assert_array_equal(Y1[k], Y0[k])
+
+
+def test_hpf_sequence_delta_devices_solve():
+    """Solving with one delta-connected converter: non-triplen orders are
+    bit-comparable to the unmasked solve (uncoupled — independent orders),
+    the triplen row drops (one source removed) but stays nonzero (six wye
+    devices remain, so no #39a singularity)."""
+    s, net, dev = _seq_setup(coupled=False)
+    base = sq.hpf_sequence(net, dev, s, r0_scale=1.0, x0_scale=1.0)
+    delta = sq.hpf_sequence(net, dev, s, r0_scale=1.0, x0_scale=1.0,
+                            delta_devices=[0])
+    assert bool(base.converged) and bool(delta.converged)
+    tri = sq.triplen_mask(s.harmonics)
+    Vb, Vd = np.asarray(base.V_m), np.asarray(delta.V_m)
+    np.testing.assert_allclose(Vd[~tri], Vb[~tri], rtol=0, atol=1e-8)
+    assert np.max(Vd[tri]) > 1e-6                  # still excited
+    assert np.max(np.abs(Vd[tri] - Vb[tri])) > 1e-6   # but moved
+
+
+def test_blocked_line_matches_pruned_network():
+    """A zero-sequence-blocked line is equivalent to REMOVING it from the
+    zero-sequence companion network entirely (series and pi shunt)."""
+    s, net, _ = _seq_setup(h_max=5)
+    k = 4
+    Y_blk, _, _ = sq.sequence_structures(net, s, blocked=[k],
+                                         r0_scale=2.5, x0_scale=3.0)
+    import dataclasses as dc
+    keep = np.arange(net.n_lines) != k
+    pruned = dc.replace(
+        net,
+        line_from=net.line_from[keep], line_to=net.line_to[keep],
+        line_R=net.line_R[keep], line_X=net.line_X[keep],
+        line_G=net.line_G[keep], line_B=net.line_B[keep],
+        line_tau=net.line_tau[keep], line_shift=net.line_shift[keep])
+    net0p = sq.zero_sequence_network(pruned, r0_scale=2.5, x0_scale=3.0)
+    Y0p = _to_c(hpfx.build_ybus(net0p, s))
+    tri = sq.triplen_mask(s.harmonics)
+    np.testing.assert_allclose(_to_c(Y_blk)[tri], Y0p[tri],
+                               rtol=0, atol=1e-12)
