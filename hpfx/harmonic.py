@@ -413,8 +413,11 @@ def hpf(net: Network, devices: DeviceSet, settings: Settings,
     network's structural metadata are static).  ``V0`` resumes from a
     previous harmonic solution (see hpfx.checkpoint).
 
-    When ``Y`` is overridden the stable mismatch is disabled (the line
-    structure belongs to the network Y was NOT built from).
+    When ``Y`` is overridden with a dense ``Cx`` the stable mismatch is
+    disabled (the line structure belongs to the network Y was NOT built
+    from); a ``(Y, lineY, lineY_f)`` triple — the contract of
+    :func:`hpfx.sequence.sequence_structures` — carries its own
+    consistent structures and keeps it.
 
     ``I_bg``: optional background-distortion injections (hpfx.background).
 
@@ -424,7 +427,6 @@ def hpf(net: Network, devices: DeviceSet, settings: Settings,
     (hpfx.loadmodel) ride this without giving up the cancellation-free
     residual.  Ignored when ``Y`` is overridden (fold it yourself via
     :func:`hpfx.ybus.fold_ydiag`)."""
-    lineY = lineY_f = None
     if Y is None:
         Y = build_ybus(net, settings)
         lineY, lineY_f = line_ybus_pair(net, settings)
@@ -434,6 +436,11 @@ def hpf(net: Network, devices: DeviceSet, settings: Settings,
             if lineY is not None:
                 lineY = lineY._replace(d=lineY.d + Y_diag)
                 lineY_f = lineY_f._replace(d=lineY_f.d + Y_diag[:1])
+    else:
+        # dense Cx → no line structure; (Y, lineY, lineY_f) triple
+        # (hpfx.sequence.sequence_structures) → consistent structures
+        from .ybus import resolve_ybus
+        Y, lineY, lineY_f = resolve_ybus(net, settings, Y)
     fund = solve_fundamental(Y[0], net, settings, lineY=lineY_f)
     return solve_harmonic(Y, fund, net, devices, settings, V0=V0,
                           record_trajectory=record_trajectory, lineY=lineY,

@@ -697,10 +697,11 @@ def _sweep_setup(net: Network, devices, settings: Settings, scenarios,
     rd = settings.real_dtype
     B = scenarios.p_scale.shape[0]
 
-    lineY = lineY_f = None
-    if Y is None:
-        Y = build_ybus(net, settings)
-        lineY, lineY_f = line_ybus_pair(net, settings)
+    # None → build both forms; dense Cx override → no line structure;
+    # (Y, lineY, lineY_f) triple (hpfx.sequence.sequence_structures) →
+    # carries its own consistent structures
+    from .ybus import resolve_ybus
+    Y, lineY, lineY_f = resolve_ybus(net, settings, Y)
     if vsharding is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
         yspec = NamedSharding(vsharding.mesh,

@@ -358,14 +358,11 @@ def hpf_sequence(net, devices, settings, *, net0=None,
     :func:`delta_device_set`; ``V0``/``I_bg``/``Y_diag``/
     ``record_trajectory`` mean what they do on ``hpf``.
     """
-    from .fundamental import solve_fundamental
-    from .harmonic import solve_harmonic
-    Y, lineY, lineY_f = sequence_structures(
+    from .harmonic import hpf
+    structs = sequence_structures(
         net, settings, net0, blocked=blocked, bus_Xg=bus_Xg, Y_diag=Y_diag,
         **zero_kw)
     if delta_devices:
         devices = delta_device_set(devices, settings, delta_devices)
-    fund = solve_fundamental(Y[0], net, settings, lineY=lineY_f)
-    return solve_harmonic(Y, fund, net, devices, settings, V0=V0,
-                          record_trajectory=record_trajectory, lineY=lineY,
-                          I_bg=I_bg)
+    return hpf(net, devices, settings, Y=structs, V0=V0,
+               record_trajectory=record_trajectory, I_bg=I_bg)

@@ -29,7 +29,7 @@ from .fundamental import solve_fundamental
 from .harmonic import HPFResult, solve_harmonic
 from .network import Network
 from .results import get_thd
-from .ybus import build_ybus, line_ybus_pair
+from .ybus import build_ybus, line_ybus_pair, resolve_ybus
 
 
 class Scenarios(NamedTuple):
@@ -116,13 +116,11 @@ def hpf_sweep_unjitted(net: Network, devices, settings: Settings,
         return hpf_sweep_lanes(net, devices, settings, scenarios,
                                V0=V0, Y=Y)
 
-    lineY = lineY_f = None
-    if Y is None:
-        Y = build_ybus(net, settings)
-        # the stable-mismatch line structure is only valid for the Y built
-        # from this network; an overridden Y (Kron-reduced blocks) gets
-        # the reference-form dense mismatch instead
-        lineY, lineY_f = line_ybus_pair(net, settings)
+    # a dense Y override (Kron-reduced blocks) gets the reference-form
+    # dense mismatch — the line structure belongs to the network it was
+    # NOT built from; a (Y, lineY, lineY_f) triple (sequence_structures)
+    # carries its own consistent structures
+    Y, lineY, lineY_f = resolve_ybus(net, settings, Y)
     q = scenarios.q_scale if scenarios.q_scale is not None \
         else scenarios.p_scale
     inj = scenarios.injection_scale if scenarios.injection_scale is not None \

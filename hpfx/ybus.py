@@ -92,6 +92,27 @@ def build_ybus(net: Network, settings: Settings) -> Cx:
     Y = Y.at_add((_all, idx, idx), Cx(jnp.zeros_like(y_sh_im), y_sh_im))
     return Y
 
+def resolve_ybus(net: Network, settings: Settings, Y):
+    """Normalize a solver entry's ``Y`` argument to ``(Y, lineY, lineY_f)``.
+
+    ``None`` builds both forms from the network (the default path);
+    a dense ``Cx`` override comes with NO line structure (the stable
+    mismatch belongs to the network Y was not built from — e.g. the
+    Kron-reduced blocks); a 3-tuple ``(Y, lineY, lineY_f)`` — the
+    contract of :func:`hpfx.sequence.sequence_structures` — carries its
+    own consistent structures (``lineY`` may be None when
+    ``settings.stable_mismatch`` is off)."""
+    if Y is None:
+        return build_ybus(net, settings), *line_ybus_pair(net, settings)
+    if isinstance(Y, Cx):
+        return Y, None, None
+    Yd, lineY, lineY_f = Y
+    if not isinstance(Yd, Cx):
+        raise TypeError("Y must be None, a dense Cx, or a "
+                        "(Y, lineY, lineY_f) triple")
+    return Yd, lineY, lineY_f
+
+
 def fold_ydiag(Y: Cx, Y_diag: Cx) -> Cx:
     """Add per-bus shunt admittances ``Y_diag`` (H, n) to the diagonal of
     the dense (H, n, n) admittance tensor (frequency-dependent load

@@ -293,3 +293,29 @@ def test_blocked_line_matches_pruned_network():
     tri = sq.triplen_mask(s.harmonics)
     np.testing.assert_allclose(_to_c(Y_blk)[tri], Y0p[tri],
                                rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("layout", ["vmap", "lanes"])
+def test_sequence_sweep_composition(layout):
+    """The (Y, lineY, lineY_f) triple from sequence_structures threads
+    through hpf_sweep on BOTH batch layouts (keeping the stable
+    mismatch), and each scenario row reproduces the single-case
+    hpf_sequence solve."""
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    s, net, dev = _seq_setup(coupled=False, stable=True)
+    s = s.with_(layout=layout)
+    kw = dict(r0_scale=2.5, x0_scale=3.0, blocked=[5], bus_Xg={2: 0.1})
+    structs = sq.sequence_structures(net, s, **kw)
+    B = 3
+    scen = Scenarios(p_scale=jnp.asarray([0.9, 1.0, 1.1], s.real_dtype))
+    out = hpf_sweep(net, dev, s, scen, Y=structs)
+    assert bool(np.all(out.converged))
+    import dataclasses as dc
+    for k, p in enumerate([0.9, 1.0, 1.1]):
+        net_k = dc.replace(net, bus_P=net.bus_P * p, bus_Q=net.bus_Q * p)
+        single = sq.hpf_sequence(net_k, dev, s, **kw)
+        np.testing.assert_allclose(np.asarray(out.V_m[k]),
+                                   np.asarray(single.V_m),
+                                   rtol=0, atol=1e-9)
+        assert int(out.n_iter[k]) == int(single.n_iter)
