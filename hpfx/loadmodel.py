@@ -53,6 +53,21 @@ from .network import Network
 MODELS = ("resistive", "parallel_rl", "motor")
 
 
+def damped_structures(net: Network, settings: Settings, Y_diag: Cx):
+    """``(Y, lineY, lineY_f)`` with ``Y_diag`` folded into BOTH forms —
+    the triple contract of :func:`hpfx.ybus.resolve_ybus`, so damped
+    systems thread through ``hpf_sweep``/``hpf_sweep_adaptive`` (and
+    both batch layouts) exactly like :func:`hpfx.hpf`'s own ``Y_diag``
+    handling (harmonic.py hpf), stable mismatch intact."""
+    from .ybus import build_ybus, fold_ydiag, line_ybus_pair
+    Y = fold_ydiag(build_ybus(net, settings), Y_diag)
+    lineY, lineY_f = line_ybus_pair(net, settings)
+    if lineY is not None:
+        lineY = lineY._replace(d=lineY.d + Y_diag)
+        lineY_f = lineY_f._replace(d=lineY_f.d + Y_diag[:1])
+    return Y, lineY, lineY_f
+
+
 def linear_load_admittance(net: Network, settings: Settings, *,
                            model: str = "parallel_rl",
                            skin: float = 0.1,

@@ -207,7 +207,7 @@ def _rescue_sweep(settings: Settings, scenarios: Scenarios, out: HPFResult,
 def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
                        scenarios: Scenarios, phase_iters: int = 16,
                        phase2_settings: Optional[Settings] = None,
-                       V0=None, rescue: bool = True) -> HPFResult:
+                       V0=None, rescue: bool = True, Y=None) -> HPFResult:
     """Two-phase sweep that avoids straggler lockstep.
 
     The batched while-loop runs every scenario until the *slowest* one
@@ -228,14 +228,19 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
     composition (CLAUDE.md #24) — get the deterministic two-pass rescue
     of :func:`_rescue_sweep` (self-warm-start, then cold restart), each
     with a fresh iteration budget.
+
+    ``Y``: admittance override forwarded to every phase's ``hpf_sweep``
+    (dense Cx or a (Y, lineY, lineY_f) triple — see
+    :func:`hpfx.ybus.resolve_ybus`; damped/sequence-aware systems ride
+    the adaptive schedule this way).
     """
     import numpy as np
 
     def run_r(sub, V0_):
-        return hpf_sweep(net, devices, settings, sub, V0=V0_)
+        return hpf_sweep(net, devices, settings, sub, V0=V0_, Y=Y)
 
     s1 = settings.with_(max_iter_h=min(phase_iters, settings.max_iter_h))
-    r1 = hpf_sweep(net, devices, s1, scenarios, V0=V0)
+    r1 = hpf_sweep(net, devices, s1, scenarios, V0=V0, Y=Y)
     pending = np.where(~np.asarray(r1.converged))[0]
     if pending.size == 0 or s1.max_iter_h == settings.max_iter_h:
         if s1.max_iter_h < settings.max_iter_h:
@@ -265,7 +270,7 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
     V0 = (r1.V_m[pend_p], r1.V_a[pend_p])
     base2 = settings if phase2_settings is None else phase2_settings
     s2 = base2.with_(max_iter_h=settings.max_iter_h - s1.max_iter_h)
-    r2 = hpf_sweep(net, devices, s2, sub, V0=V0)
+    r2 = hpf_sweep(net, devices, s2, sub, V0=V0, Y=Y)
 
     idx = jnp.asarray(pend_p)
     # full-width residual histories: phase-1 rows NaN-padded to max_iter_h;

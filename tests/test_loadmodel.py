@@ -117,3 +117,24 @@ def test_arrow_solver_with_ydiag(net1c):
     assert bool(ra.converged)
     np.testing.assert_allclose(np.asarray(ra.V_m), np.asarray(rd.V_m),
                                atol=1e-8)
+
+
+@pytest.mark.parametrize("layout", ["vmap", "lanes"])
+def test_damped_sweep_composition(net1c, layout):
+    """damped_structures threads the load-model diagonal through
+    hpf_sweep on both layouts (stable mismatch intact): each scenario
+    row reproduces the single-case hpf(Y_diag=...) solve."""
+    import jax.numpy as jnp
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    s, net, dev = net1c
+    s = s.with_(layout=layout, stable_mismatch=True)
+    yd = linear_load_admittance(net, s)
+    structs = hpfx.damped_structures(net, s, yd)
+    scen = Scenarios(p_scale=jnp.ones((2,), s.real_dtype))
+    out = hpf_sweep(net, dev, s, scen, Y=structs)
+    single = hpfx.hpf(net, dev, s, Y_diag=yd)
+    assert bool(np.all(out.converged)) and bool(single.converged)
+    assert int(out.n_iter[0]) == int(single.n_iter)
+    np.testing.assert_allclose(np.asarray(out.V_m[0]),
+                               np.asarray(single.V_m), rtol=0, atol=1e-10)
