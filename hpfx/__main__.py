@@ -76,8 +76,21 @@ def cmd_solve(args) -> int:
     if getattr(args, "load_model", None):
         Y_diag = hpfx.linear_load_admittance(net, s, model=args.load_model)
     t0 = time.perf_counter()
-    res = hpfx.hpf(net, dev, s, record_trajectory=bool(args.vlog),
-                   I_bg=I_bg, Y_diag=Y_diag)
+    if getattr(args, "seq_aware", False):
+        r0s, x0s = (float(v) for v in args.z0_scale.split(":"))
+        xg = {}
+        for item in args.xg or ():
+            b, v = item.split(":")
+            xg[int(b)] = float(v)
+        res = hpfx.hpf_sequence(
+            net, dev, s, r0_scale=r0s, x0_scale=x0s,
+            blocked=[int(k) for k in args.blocked_line or ()],
+            bus_Xg=xg or None,
+            delta_devices=[int(k) for k in args.delta_device or ()],
+            record_trajectory=bool(args.vlog), I_bg=I_bg, Y_diag=Y_diag)
+    else:
+        res = hpfx.hpf(net, dev, s, record_trajectory=bool(args.vlog),
+                       I_bg=I_bg, Y_diag=Y_diag)
     dt = time.perf_counter() - t0
     conv = bool(np.asarray(res.converged))
     thd = hpfx.get_thd(res.V_m)
@@ -455,6 +468,22 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None,
                     help="fold a frequency-dependent linear-load damping "
                          "model into the harmonic Ybus (hpfx.loadmodel)")
+    ps.add_argument("--seq-aware", action="store_true",
+                    help="solve triplen orders on the zero-sequence "
+                         "network (hpfx.hpf_sequence)")
+    ps.add_argument("--z0-scale", default="2.5:3.0", metavar="R0S:X0S",
+                    help="zero-sequence line-impedance scales (default "
+                         "2.5:3.0)")
+    ps.add_argument("--xg", action="append", default=None,
+                    metavar="BUS:XG",
+                    help="grounded-neutral zero-sequence reactance at a "
+                         "bus (repeatable)")
+    ps.add_argument("--blocked-line", action="append", default=None,
+                    metavar="IDX", help="line index with no zero-sequence "
+                    "path (delta/ungrounded transformer; repeatable)")
+    ps.add_argument("--delta-device", action="append", default=None,
+                    metavar="IDX", help="delta-connected device index "
+                    "(no triplen injection; repeatable)")
     ps.set_defaults(fn=cmd_solve)
 
     pc = sub.add_parser("scan", help="impedance scan + resonance peaks")

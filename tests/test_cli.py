@@ -200,3 +200,22 @@ def test_solve_background_flag_raises_thd(capsys):
     t0, t1 = thd_col(out0), thd_col(out1)
     assert t0.shape == t1.shape == (4,)
     assert np.all(t1 > t0)
+
+
+def test_solve_seq_aware_flag(capsys):
+    """--seq-aware routes through hpf_sequence: converges, and the
+    neutral z0 (1:1, no blocking) reproduces the plain solve's table."""
+    rc = main(["solve", *NET2, "--hmax", "5",
+               "--seq-aware", "--z0-scale", "1.0:1.0"])
+    base = capsys.readouterr().out
+    assert rc == 0
+    rc2 = main(["solve", *NET2, "--hmax", "5"])
+    plain = capsys.readouterr().out
+    assert rc2 == 0
+    assert base.splitlines()[1:] == plain.splitlines()[1:]  # skip timing
+    # a real zero-sequence system changes the solution
+    rc3 = main(["solve", *NET2, "--hmax", "5", "--seq-aware",
+                "--xg", "1:0.1"])
+    seq = capsys.readouterr().out
+    assert rc3 == 0 and "converged=True" in seq
+    assert seq.splitlines()[2:] != plain.splitlines()[2:]
