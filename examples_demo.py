@@ -306,6 +306,29 @@ def main():
           f"{int(shift.shift_bus[st0])} by "
           f"{float(shift.amplification[st0]):.1f}x")
 
+    # -- 20. load damping + sequence-aware triplen solve ------------------
+    # (net1, uncoupled: harmonic orders solve independently, so the
+    # sequence-network effect is visible as a pure triplen shift)
+    base20 = hpfx.hpf(net1, dev1, s1)
+    s25 = hpfx.settings_for_hmax(25, coupled=False)  # scan depth where
+    yd25 = hpfx.linear_load_admittance(net1, s25)    # net1's X_sh resonates
+    z_open = np.asarray(hpfx.driving_point_impedance(net1, s25))
+    z_damp = np.asarray(hpfx.driving_point_impedance(
+        net1, s25, Y=hpfx.fold_ydiag(hpfx.build_ybus(net1, s25), yd25)))
+    k = int(np.argmax(z_open[1:]))  # worst harmonic driving-point |Z|
+    print(f"[20] parallel-RL load damping (net1 H<=25, "
+          f"{int(np.sum(np.asarray(net1.bus_P[:net1.m]) > 0))} damped "
+          f"buses): worst harmonic |Z_kk| {float(z_open[1:].flat[k]):.2f} "
+          f"-> {float(z_damp[1:].flat[k]):.2f} pu (open-circuit loads "
+          f"overstate the peak)")
+    seq = hpfx.hpf_sequence(net1, dev1, s1, r0_scale=2.5, x0_scale=3.0,
+                            bus_Xg={1: 0.1})
+    tri = hpfx.triplen_mask(s1.harmonics)
+    dv = np.abs(np.asarray(seq.V_m) - np.asarray(base20.V_m))
+    print(f"     sequence-aware solve (triplens on the zero-sequence "
+          f"network): max |dV| triplen {float(dv[tri].max()):.2e} vs "
+          f"non-triplen {float(dv[~tri].max()):.2e} (uncoupled: exact 0)")
+
 
 if __name__ == "__main__":
     main()
