@@ -48,9 +48,10 @@ from .network import validate_network
 from .flows import (IEEE519CurrentReport, IEEE519Report, IEEE519Summary,
                     LineFlows, check_ieee519, check_ieee519_current,
                     ieee519_screen, k_factor, line_flows)
-from .impedance import (distortion_contributions, driving_point_impedance,
-                        frequency_scan, impedance_scan, install_shunt,
-                        install_shunts, resonance_peaks,
+from .impedance import (ctype_filter_admittance, distortion_contributions,
+                        driving_point_impedance, frequency_scan,
+                        highpass_filter_admittance, impedance_scan,
+                        install_shunt, install_shunts, resonance_peaks,
                         tuned_filter_admittance)
 from .optimize import (FilterOptResult, OptimizeResult, apply_line_params,
                        optimize_filter, optimize_line_params)
@@ -118,7 +119,8 @@ __all__ = [
     "line_sensitivity", "sweep_sensitivity", "filter_sensitivity",
     "sweep_filter_sensitivity",
     "impedance_scan", "driving_point_impedance", "resonance_peaks",
-    "tuned_filter_admittance", "install_shunt", "install_shunts",
+    "tuned_filter_admittance", "highpass_filter_admittance",
+    "ctype_filter_admittance", "install_shunt", "install_shunts",
     "frequency_scan",
     "LineFlows", "line_flows", "IEEE519Report", "check_ieee519",
     "IEEE519Summary", "ieee519_screen", "k_factor",

@@ -179,6 +179,74 @@ def tuned_filter_admittance(settings: Settings, h_tune: float,
               jnp.broadcast_to(-x / d, (*lead, h.shape[0])))
 
 
+def highpass_filter_admittance(settings: Settings, h_corner: float,
+                               x_cap: float, m: float = 1.0) -> Cx:
+    """Admittance ``Y_f(h)``, shape (H,), of a second-order damped
+    high-pass shunt filter: series capacitor (reactance ``x_cap`` at
+    fundamental) into R parallel L.
+
+    ``X_L = x_cap / h_corner²`` places the corner at ``h_corner``;
+    ``m = R / (h_corner·X_L)`` is the damping factor (0.5-2 typical —
+    larger m = flatter, more resistive above the corner).  Unlike the
+    single-tuned branch the damped response sinks a broad band above the
+    corner (the classic choice for the 17th-and-up remainder a tuned
+    bank leaves), at the cost of fundamental losses through R.
+
+    Same conventions as :func:`tuned_filter_admittance`: vectorizes over
+    leading parameter shape for banks, feeds :func:`install_shunt` /
+    ``install_shunts`` and every ``Y=`` override.
+    """
+    rd = settings.real_dtype
+    h = jnp.asarray(settings.harmonics, rd)
+    h_corner = jnp.asarray(h_corner, rd)
+    x_cap = jnp.asarray(x_cap, rd)
+    lead = jnp.broadcast_shapes(h_corner.shape, x_cap.shape)
+    x_l = x_cap / (h_corner * h_corner)
+    R = (m * h_corner * x_l)[..., None]
+    X = x_l[..., None] * h                           # inductor at order h
+    d = R * R + X * X
+    # Z = -j·x_cap/h  +  (R·X² + j·R²·X) / (R² + X²)
+    z_re = R * X * X / d
+    z_im = R * R * X / d - x_cap[..., None] / h
+    dz = z_re * z_re + z_im * z_im
+    return Cx(jnp.broadcast_to(z_re / dz, (*lead, h.shape[0])),
+              jnp.broadcast_to(-z_im / dz, (*lead, h.shape[0])))
+
+
+def ctype_filter_admittance(settings: Settings, h_tune: float,
+                            x_cap: float, quality: float = 2.0) -> Cx:
+    """Admittance ``Y_f(h)``, shape (H,), of a C-type damped shunt
+    filter: main capacitor (reactance ``x_cap`` at fundamental) in
+    series with [R parallel (L series C₂)], the auxiliary L-C₂ tuned to
+    the FUNDAMENTAL (``x_l = x_c2``, so the branch shorts R at h = 1 —
+    zero fundamental losses, the C-type's reason to exist) and the
+    whole filter series-resonant at ``h_tune``
+    (``x_l = x_cap / (h_tune² − 1)``).
+
+    ``quality`` scales the damping resistor ``R = quality ·
+    h_tune · x_l`` — larger = sharper (closer to a pure tuned branch),
+    smaller = broader damped response for low-order harmonics (the
+    classic 3rd-harmonic filter on transmission SVCs).
+
+    Same conventions as :func:`tuned_filter_admittance` (leading
+    parameter shapes give banks).
+    """
+    rd = settings.real_dtype
+    h = jnp.asarray(settings.harmonics, rd)
+    h_tune = jnp.asarray(h_tune, rd)
+    x_cap = jnp.asarray(x_cap, rd)
+    lead = jnp.broadcast_shapes(h_tune.shape, x_cap.shape)
+    x_l = x_cap / (h_tune * h_tune - 1.0)
+    R = (quality * h_tune * x_l)[..., None]
+    X_aux = x_l[..., None] * (h - 1.0 / h)           # j(h·x_l − x_c2/h)
+    d = R * R + X_aux * X_aux
+    z_re = R * X_aux * X_aux / d
+    z_im = R * R * X_aux / d - x_cap[..., None] / h
+    dz = z_re * z_re + z_im * z_im
+    return Cx(jnp.broadcast_to(z_re / dz, (*lead, h.shape[0])),
+              jnp.broadcast_to(-z_im / dz, (*lead, h.shape[0])))
+
+
 def install_shunt(Y: Cx, bus: int, y_shunt: Cx) -> Cx:
     """Return ``Y`` with a shunt admittance added at ``bus``'s diagonal.
 

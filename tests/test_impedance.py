@@ -313,3 +313,104 @@ def test_distortion_contributions_superpose(tmp_path):
     # the two devices see different transfer impedances: their shares at
     # the remote bus must not coincide
     assert np.abs(C[1:, 1, 0] - C[1:, 1, 1]).max() > 1e-6
+
+
+def _np_highpass_z(h, x_cap, h_corner, m):
+    x_l = x_cap / h_corner**2
+    R = m * h_corner * x_l
+    return (-1j * x_cap / h) + (R * 1j * h * x_l) / (R + 1j * h * x_l)
+
+
+def _np_ctype_z(h, x_cap, h_tune, q):
+    x_l = x_cap / (h_tune**2 - 1.0)
+    R = q * h_tune * x_l
+    z_aux = 1j * (h * x_l - x_l / h)       # L series C2, x_c2 = x_l
+    return (-1j * x_cap / h) + (R * z_aux) / (R + z_aux)
+
+
+def test_highpass_filter_vs_numpy_oracle():
+    s = hpfx.settings_for_hmax(25, coupled=True)
+    h = np.asarray(s.harmonics, float)
+    yf = hpfx.highpass_filter_admittance(s, h_corner=11.0, x_cap=2.0,
+                                         m=1.5)
+    z_ref = _np_highpass_z(h, 2.0, 11.0, 1.5)
+    np.testing.assert_allclose(_np_complex(yf), 1.0 / z_ref, rtol=1e-10)
+    # broad-band: above the corner the filter stays a strong sink
+    # (conductance within 3x of its best) instead of a narrow notch
+    g = np.real(1.0 / z_ref)
+    above = h >= 11
+    assert g[above].min() > g.max() / 3
+    # bank vectorization
+    bank = hpfx.highpass_filter_admittance(
+        s, h_corner=np.array([7.0, 13.0]), x_cap=np.array([2.0, 3.0]))
+    assert bank.re.shape == (2, len(s.harmonics))
+    np.testing.assert_allclose(
+        _np_complex(bank)[1],
+        _np_complex(hpfx.highpass_filter_admittance(s, 13.0, 3.0)),
+        rtol=1e-12)
+
+
+def test_ctype_filter_vs_numpy_oracle_and_lossless_fundamental():
+    s = hpfx.settings_for_hmax(25, coupled=True)
+    h = np.asarray(s.harmonics, float)
+    yf = hpfx.ctype_filter_admittance(s, h_tune=3.0, x_cap=2.0,
+                                      quality=2.0)
+    z_ref = _np_ctype_z(h, 2.0, 3.0, 2.0)
+    np.testing.assert_allclose(_np_complex(yf), 1.0 / z_ref, rtol=1e-10)
+    # the C-type's defining property: the auxiliary L-C2 shorts R at the
+    # fundamental — zero resistive part, pure capacitor (no fund losses)
+    np.testing.assert_allclose(np.real(z_ref[0]), 0.0, atol=1e-14)
+    np.testing.assert_allclose(np.imag(z_ref[0]), -2.0, rtol=1e-12)
+    # series resonance lands at the design order: |Z| minimal at h_tune.
+    # With finite R the exact Im-zero shifts by -x_c/h_t · X²/(R²+X²)
+    # (the parallel R contributes); it vanishes in the R→∞ limit.
+    hi = list(s.harmonics).index(3)
+    assert np.argmin(np.abs(z_ref)) == hi
+    np.testing.assert_allclose(np.imag(z_ref[hi]),
+                               -(2.0 / 3.0) * (2.0 / 3.0) ** 2
+                               / (1.5 ** 2 + (2.0 / 3.0) ** 2), rtol=1e-10)
+    z_sharp = _np_ctype_z(h, 2.0, 3.0, 1e9)
+    np.testing.assert_allclose(np.imag(z_sharp[hi]), 0.0, atol=1e-9)
+
+
+def test_damped_filters_suppress_band_in_full_hpf(tmp_path):
+    """Install each damped topology on the SMPS feeder (UNCOUPLED model,
+    where orders decouple and the device-inclusive scan is exact) and
+    re-solve: the realized per-order suppression must EQUAL the
+    operational-Z gain at every order, with material broadband gains.
+
+    Sizing note (same lesson as the tuned-filter test): the SMPS Norton
+    admittance is hundreds of pu, so a biting filter needs x_cap ~0.01;
+    broadband topologies spread their admittance across the band, which
+    is why the coupled-model per-order tracking the tuned test does is
+    meaningless here (coupled cross-harmonic re-emission redistributes
+    the diverted current — CLAUDE.md #36c physics)."""
+    from hpfx.harmonic import hpf
+
+    s = hpfx.settings_for_hmax(25, coupled=False)
+    net, dev = _resonant_smps_feeder(tmp_path, s, target_h=7)
+    Y = build_ybus(net, s)
+    base = hpf(net, dev, s, Y=Y)
+    assert bool(base.converged)
+    Vb = np.asarray(base.V_m)
+    zo0 = np.asarray(driving_point_impedance(net, s, Y=Y, devices=dev,
+                                             ground_slack=False))
+    for name, yf in (
+            ("highpass", hpfx.highpass_filter_admittance(
+                s, h_corner=5.0, x_cap=0.01, m=1.0)),
+            ("ctype", hpfx.ctype_filter_admittance(
+                s, h_tune=5.0, x_cap=0.01, quality=3.0))):
+        Yf = hpfx.install_shunt(Y, 1, yf)
+        res = hpf(net, dev, s, Y=Yf)
+        assert bool(res.converged), name
+        zo1 = np.asarray(driving_point_impedance(net, s, Y=Yf,
+                                                 devices=dev,
+                                                 ground_slack=False))
+        gain = zo0[1:, 1] / zo1[1:, 1]
+        supp = Vb[1:, 1] / np.maximum(np.asarray(res.V_m)[1:, 1], 1e-15)
+        np.testing.assert_allclose(supp, gain, rtol=1e-5, err_msg=name)
+        assert float(gain.max()) > 2.0, (name, gain)   # it must bite
+    # topology signatures at the fundamental: the C-type is loss-free
+    # (aux L-C2 shorts R), the high-pass pays conduction losses
+    assert float(hpfx.ctype_filter_admittance(s, 5.0, 0.01).re[0]) == 0.0
+    assert float(hpfx.highpass_filter_admittance(s, 5.0, 0.01).re[0]) > 0.0
