@@ -329,6 +329,22 @@ def main():
           f"network): max |dV| triplen {float(dv[tri].max()):.2e} vs "
           f"non-triplen {float(dv[~tri].max()):.2e} (uncoupled: exact 0)")
 
+    # -- 21. resonance mode analysis: mechanism behind the |Z| peaks ------
+    grid = tuple(np.round(np.arange(2.0, 25.01, 0.25), 3))
+    mscan = hpfx.modal_scan(net, s, h_grid=grid, devices=dev)
+    m_peak, h_res, bus_res = hpfx.modal_peaks(mscan)
+    ki = int(np.argmax(np.asarray(mscan.z_modal)))
+    lam, sens = hpfx.eigen_sensitivity(net, s, float(h_res), devices=dev)
+    dzx = np.asarray(sens["line_X"]["dz_modal"])
+    kl = int(np.argmax(np.abs(dzx)))
+    print(f"[21] resonance modes net2 (operational, 0.25-step grid): "
+          f"dominant mode at order {float(h_res):g}, z_modal="
+          f"{float(mscan.z_modal[ki]):.4f} pu, critical bus "
+          f"{int(bus_res)} (participation "
+          f"{float(mscan.participation[ki, int(bus_res)]):.3f}); "
+          f"strongest retuning knob: line-{kl} X "
+          f"(dz_modal/dX={dzx[kl]:+.2f})")
+
 
 if __name__ == "__main__":
     main()

@@ -53,6 +53,9 @@ from .impedance import (ctype_filter_admittance, distortion_contributions,
                         highpass_filter_admittance, impedance_scan,
                         install_shunt, install_shunts, resonance_peaks,
                         tuned_filter_admittance)
+from .modes import (CriticalMode, ModalScan, critical_mode,
+                    eigen_sensitivity, modal_peaks, modal_scan,
+                    modal_spectrum)
 from .optimize import (FilterOptResult, OptimizeResult, apply_line_params,
                        optimize_filter, optimize_line_params)
 from .sequence import (SequenceSet, balanced_phases, classify_orders,
@@ -122,6 +125,8 @@ __all__ = [
     "tuned_filter_admittance", "highpass_filter_admittance",
     "ctype_filter_admittance", "install_shunt", "install_shunts",
     "frequency_scan",
+    "CriticalMode", "ModalScan", "critical_mode", "modal_scan",
+    "modal_peaks", "eigen_sensitivity", "modal_spectrum",
     "LineFlows", "line_flows", "IEEE519Report", "check_ieee519",
     "IEEE519Summary", "ieee519_screen", "k_factor",
     "IEEE519CurrentReport", "check_ieee519_current",

@@ -137,6 +137,48 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_modes(args) -> int:
+    import numpy as np
+    import hpfx
+
+    s, net, dev = _load(args)
+    devices = dev if args.operational else None
+    if args.step and args.step > 0:
+        lo, hi = 2.0, float(max(s.harmonics))
+        grid = tuple(np.round(np.arange(lo, hi + 1e-9, args.step), 6))
+    else:
+        grid = None
+    scan = hpfx.modal_scan(net, s, h_grid=grid, devices=devices)
+    is_peak, h_res, bus_res = hpfx.modal_peaks(scan)
+    kind = "operational" if args.operational else "passive"
+    print(f"{kind} resonance mode scan "
+          f"({len(np.asarray(scan.order))} orders)")
+    print(f"{'order':>7} {'z_modal':>10} {'crit bus':>9}  participation")
+    order = np.asarray(scan.order)
+    pf = np.asarray(scan.participation)
+    for k in np.nonzero(np.asarray(is_peak))[0]:
+        top = np.argsort(pf[k])[::-1][:3]
+        parts = "  ".join(f"bus {b}: {pf[k, b]:.3f}" for b in top
+                          if pf[k, b] > 1e-6)
+        print(f"{order[k]:>7.2f} {float(scan.z_modal[k]):>10.4f} "
+              f"{int(scan.critical_bus[k]):>9}  {parts}")
+    print(f"dominant resonance: order {float(h_res):g} at bus "
+          f"{int(bus_res)}")
+    if args.sensitivity:
+        lam, sens = hpfx.eigen_sensitivity(net, s, float(h_res),
+                                           devices=devices)
+        dz = np.asarray(sens["line_X"]["dz_modal"])
+        k = int(np.argmax(np.abs(dz)))
+        print(f"strongest line-X knob: line {k} "
+              f"(dz_modal/dX = {dz[k]:+.3f})")
+        dzs = np.asarray(sens["bus_Xsh"]["dz_modal"])
+        if np.abs(dzs).max() > 0:
+            k = int(np.argmax(np.abs(dzs)))
+            print(f"strongest shunt knob: bus {k} "
+                  f"(dz_modal/dX_sh = {dzs[k]:+.3f})")
+    return 0
+
+
 def cmd_sweep(args) -> int:
     import numpy as np
     import jax.numpy as jnp
@@ -491,6 +533,19 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--operational", action="store_true",
                     help="fold device Norton admittances into the scan")
     pc.set_defaults(fn=cmd_scan)
+
+    pm = sub.add_parser("modes", help="resonance mode analysis "
+                        "(critical eigenmode, participation, knobs)")
+    _add_common(pm)
+    pm.add_argument("--operational", action="store_true",
+                    help="fold device Norton admittances into the scan")
+    pm.add_argument("--step", type=float, default=0.0,
+                    help="fractional-order grid step (0 = integer "
+                    "harmonics only)")
+    pm.add_argument("--sensitivity", action="store_true",
+                    help="rank the retuning knobs at the dominant "
+                    "resonance (eigenvalue sensitivities)")
+    pm.set_defaults(fn=cmd_modes)
 
     pw = sub.add_parser("sweep", help="batched scenario sweep summary")
     _add_common(pw)

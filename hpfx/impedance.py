@@ -28,7 +28,7 @@ from .ybus import build_ybus
 
 __all__ = ["impedance_scan", "driving_point_impedance", "resonance_peaks",
            "tuned_filter_admittance", "install_shunt", "install_shunts",
-           "frequency_scan", "distortion_contributions"]
+           "frequency_scan", "grid_ybus", "distortion_contributions"]
 
 
 def _norton_diag(devices) -> Cx:
@@ -270,6 +270,31 @@ def install_shunts(Y: Cx, buses, y_shunts: Cx) -> Cx:
               Y.im.at[:, b, b].add(y_shunts.im.T))
 
 
+def grid_ybus(net: Network, settings: Settings, h_grid: Sequence[float],
+              devices=None) -> Tuple[Settings, Cx]:
+    """(dense_settings, Y) on an arbitrary (float) order grid.
+
+    The shared assembly behind :func:`frequency_scan` and
+    :func:`hpfx.modes.modal_scan`: re-evaluates the vectorized Ybus
+    construction (linear ``X``/``B`` scaling in ``h``, ybus.py — the
+    reference's per-harmonic law, hcne_generalized.py:154-176) at the
+    off-grid orders, and folds in the Norton h-diagonal of ``devices``
+    (linearly interpolated from ``settings.harmonics`` onto the grid)
+    for the operational picture.  Grid values are static.
+    """
+    hs = tuple(float(h) for h in h_grid)
+    dense = settings.with_(harmonics=hs)
+    Y = build_ybus(net, dense)
+    if devices is not None and devices.n_devices:
+        yn = _norton_diag(devices)
+        h0 = jnp.asarray(settings.harmonics, settings.real_dtype)
+        hq = jnp.asarray(hs, settings.real_dtype)
+        yn = Cx(jax.vmap(lambda y: jnp.interp(hq, h0, y))(yn.re),
+                jax.vmap(lambda y: jnp.interp(hq, h0, y))(yn.im))
+        Y = _fold_norton(Y, net, yn)
+    return dense, Y
+
+
 def frequency_scan(net: Network, settings: Settings,
                    h_grid: Sequence[float], devices=None,
                    ground_slack: bool = True) -> jnp.ndarray:
@@ -289,16 +314,7 @@ def frequency_scan(net: Network, settings: Settings,
     interpolated onto ``h_grid`` — at integer grid points this equals
     the operational integer scan exactly.
     """
-    hs = tuple(float(h) for h in h_grid)
-    dense = settings.with_(harmonics=hs)
-    Y = build_ybus(net, dense)
-    if devices is not None and devices.n_devices:
-        yn = _norton_diag(devices)
-        h0 = jnp.asarray(settings.harmonics, settings.real_dtype)
-        hq = jnp.asarray(hs, settings.real_dtype)
-        yn = Cx(jax.vmap(lambda y: jnp.interp(hq, h0, y))(yn.re),
-                jax.vmap(lambda y: jnp.interp(hq, h0, y))(yn.im))
-        Y = _fold_norton(Y, net, yn)
+    dense, Y = grid_ybus(net, settings, h_grid, devices=devices)
     Z = impedance_scan(net, dense, Y=Y, ground_slack=ground_slack)
     re = jnp.diagonal(Z.re, axis1=-2, axis2=-1)
     im = jnp.diagonal(Z.im, axis1=-2, axis2=-1)
