@@ -345,6 +345,23 @@ def main():
           f"strongest retuning knob: line-{kl} X "
           f"(dz_modal/dX={dzx[kl]:+.2f})")
 
+    # -- 22. unbalanced three-phase penetration ---------------------------
+    # phase a carries 30% more converter load; device 0 is 3-wire (delta)
+    s22 = hpfx.settings_for_hmax(13, coupled=False)
+    dev22 = hpfx.load_device_set(net, s22)
+    mag = np.ones((dev22.n_devices, 3))
+    mag[:, 0] = 1.3
+    res22 = hpfx.solve_unbalanced(net, dev22, s22, r0_scale=2.5,
+                                  x0_scale=3.0, bus_Xg={1: 0.1},
+                                  mag=mag, delta=[0])
+    u0, u2 = hpfx.unbalance_factors(res22)
+    tri22 = hpfx.triplen_mask(s22.harmonics)
+    print(f"[22] unbalanced 3-phase penetration (net2, phase a +30%, "
+          f"delta device): worst foreign-sequence leakage fractions "
+          f"{float(np.asarray(u0)[1:].max()):.3f} / "
+          f"{float(np.asarray(u2)[1:].max()):.3f} of total "
+          f"(balanced theory calls both 0)")
+
 
 if __name__ == "__main__":
     main()

@@ -73,6 +73,9 @@ from .studies import (PercentileComplianceReport, PlanningLevelReport,
                       check_planning_levels, daily_profile,
                       percentile_compliance, profile_scenarios,
                       run_timeseries, summarize_quantiles)
+from .threephase import (ThreePhaseResult, abc_admittance,
+                         phase_injections, sequence_voltages,
+                         solve_unbalanced, unbalance_factors)
 from .trajlog import (read_ilog, read_vlog, trajectory_injections,
                       write_ilog, write_vlog)
 from .ybus import build_ybus, fold_ydiag
@@ -90,6 +93,8 @@ __all__ = [
     "neutral_current", "delta_blocked",
     "hpf_sequence", "sequence_structures", "zero_sequence_network",
     "delta_device_set",
+    "ThreePhaseResult", "abc_admittance", "phase_injections",
+    "solve_unbalanced", "sequence_voltages", "unbalance_factors",
     "ContingencyReport", "ResonanceShiftReport", "islanded_lines",
     "outage_impedance_shift", "screen_line_outages",
     "screen_shunt_outages", "screen_device_outages",
