@@ -48,6 +48,8 @@ from .network import validate_network
 from .flows import (IEEE519CurrentReport, IEEE519Report, IEEE519Summary,
                     LineFlows, check_ieee519, check_ieee519_current,
                     ieee519_screen, k_factor, line_flows)
+from .iec import (aggregate_contributions, apportion_planning_level,
+                  summation_alpha, summation_law)
 from .impedance import (ctype_filter_admittance, distortion_contributions,
                         driving_point_impedance, frequency_scan,
                         highpass_filter_admittance, impedance_scan,
@@ -136,6 +138,8 @@ __all__ = [
     "IEEE519Summary", "ieee519_screen", "k_factor",
     "IEEE519CurrentReport", "check_ieee519_current",
     "distortion_contributions",
+    "summation_alpha", "summation_law", "aggregate_contributions",
+    "apportion_planning_level",
     "OptimizeResult", "optimize_line_params", "apply_line_params",
     "FilterOptResult", "optimize_filter",
     "EstimateResult", "estimate_injections",
