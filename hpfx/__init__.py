@@ -75,7 +75,8 @@ from .studies import (PercentileComplianceReport, PlanningLevelReport,
                       check_planning_levels, daily_profile,
                       percentile_compliance, profile_scenarios,
                       run_timeseries, summarize_quantiles)
-from .threephase import (ThreePhaseResult, abc_admittance,
+from .threephase import (AllocationStudy, ThreePhaseResult,
+                         abc_admittance, allocation_study,
                          phase_injections, sequence_voltages,
                          solve_unbalanced, unbalance_factors)
 from .trajlog import (read_ilog, read_vlog, trajectory_injections,
@@ -97,6 +98,7 @@ __all__ = [
     "delta_device_set",
     "ThreePhaseResult", "abc_admittance", "phase_injections",
     "solve_unbalanced", "sequence_voltages", "unbalance_factors",
+    "AllocationStudy", "allocation_study",
     "ContingencyReport", "ResonanceShiftReport", "islanded_lines",
     "outage_impedance_shift", "screen_line_outages",
     "screen_shunt_outages", "screen_device_outages",

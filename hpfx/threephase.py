@@ -56,6 +56,7 @@ from typing import NamedTuple, Optional, Mapping, Sequence, Tuple
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,7 +70,8 @@ from .sequence import (_dense_from_line, _grounding_diag,
 from .ybus import LineYbus, build_line_ybus, build_ybus
 
 __all__ = ["abc_admittance", "phase_injections", "solve_unbalanced",
-           "sequence_voltages", "unbalance_factors", "ThreePhaseResult"]
+           "sequence_voltages", "unbalance_factors", "allocation_study",
+           "ThreePhaseResult", "AllocationStudy"]
 
 #: real zero-sequence projector M0 = A e0 e0^T A^{-1} = ones/3
 _M0 = np.full((3, 3), 1.0 / 3.0)
@@ -301,9 +303,9 @@ def sequence_voltages(res: ThreePhaseResult) -> Tuple[Cx, Cx, Cx]:
     return seq.zero, seq.positive, seq.negative
 
 
-def unbalance_factors(res: ThreePhaseResult,
-                      eps: float = 1e-30) -> Tuple[jnp.ndarray,
-                                                   jnp.ndarray]:
+def unbalance_factors(res: ThreePhaseResult, eps: float = 1e-30,
+                      harmonics: Optional[Sequence[float]] = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-order, per-bus sequence-leakage fractions of the harmonic
     voltages.
 
@@ -317,13 +319,85 @@ def unbalance_factors(res: ThreePhaseResult,
     balanced case, and quantify how much of each order leaked out of
     its classical sequence network.  Buses with no voltage at an order
     report 0.
+
+    ``harmonics``: pass ``settings.harmonics`` when calling under jit /
+    vmap (the order classification is static; ``res.orders`` is a
+    tracer there).
     """
     v0, v1, v2 = sequence_voltages(res)
     m2 = jnp.stack([v0.abs2(), v1.abs2(), v2.abs2()])      # (3, H, n)
-    cls = np.asarray([int(h) % 3 for h in np.asarray(res.orders)])
+    hs = (np.asarray(res.orders) if harmonics is None
+          else np.asarray(harmonics, float))
+    cls = np.asarray([int(h) % 3 for h in hs])
     rows = np.arange(len(cls))
     total = jnp.sqrt(jnp.maximum(jnp.sum(m2, axis=0), eps))
     a = jnp.sqrt(m2[(cls + 1) % 3, rows])
     b = jnp.sqrt(m2[(cls + 2) % 3, rows])
     nz = jnp.sum(m2, axis=0) > eps
     return jnp.where(nz, a / total, 0.0), jnp.where(nz, b / total, 0.0)
+
+
+class AllocationStudy(NamedTuple):
+    """Monte-Carlo phase-allocation result (:func:`allocation_study`).
+
+    ``q``: (Q,) the requested quantiles.  ``u0_q``/``u2_q``: (Q, H, n)
+    quantiles of the two foreign-sequence leakage fractions over draws.
+    ``vmag_q``: (Q, H, n) quantiles of the worst PHASE voltage magnitude
+    per bus/order (the quantity a per-phase limit applies to).
+    ``orders``: (H,).
+    """
+    q: jnp.ndarray
+    u0_q: jnp.ndarray
+    u2_q: jnp.ndarray
+    vmag_q: jnp.ndarray
+    orders: jnp.ndarray
+
+
+def allocation_study(net: Network, devices: DeviceSet,
+                     settings: Settings, *, n_draws: int = 256,
+                     sigma_mag: float = 0.2, sigma_ang: float = 0.1,
+                     seed: int = 0, q: Sequence[float] = (0.5, 0.95),
+                     net0=None, blocked: Sequence[int] = (),
+                     bus_Xg: Optional[Mapping[int, float]] = None,
+                     delta: Sequence[int] = (),
+                     **zero_kw) -> AllocationStudy:
+    """Monte-Carlo study of random per-phase device allocation.
+
+    Planning rarely knows which phase each single-phase converter lands
+    on; this draws ``n_draws`` random per-device-phase loading patterns
+    (lognormal magnitude factors with spread ``sigma_mag``, normal angle
+    offsets with ``sigma_ang`` rad — mean-1 / mean-0, so the balanced
+    case is the ensemble center), solves every draw as one vmapped
+    batched program, and reduces to quantiles of the sequence-leakage
+    fractions and of the worst per-phase voltage magnitude.  The 95th
+    percentile row is the IEC-style assessment quantity
+    (cf. :func:`hpfx.studies.assess_quantiles` for the balanced axes).
+
+    The admittance is assembled ONCE (it does not depend on the draws);
+    only the injection expansion and the H-batched solves vmap over
+    draws.
+    """
+    rng = np.random.default_rng(seed)
+    rd = settings.real_dtype
+    n_nl = devices.n_devices
+    mag = jnp.asarray(rng.lognormal(
+        -0.5 * sigma_mag ** 2, sigma_mag, (n_draws, n_nl, 3)), rd)
+    ang = jnp.asarray(rng.normal(0.0, sigma_ang, (n_draws, n_nl, 3)), rd)
+    Yabc = abc_admittance(net, settings, net0, blocked=blocked,
+                          bus_Xg=bus_Xg, **zero_kw)
+
+    def one(m, a):
+        res = solve_unbalanced(net, devices, settings, Yabc=Yabc,
+                               delta=delta, mag=m, ang=a)
+        u0, u2 = unbalance_factors(res, harmonics=settings.harmonics)
+        vmag = jnp.max(res.V.abs(), axis=-1)          # worst phase, (H, n)
+        return u0, u2, vmag
+
+    u0, u2, vmag = jax.jit(jax.vmap(one))(mag, ang)
+    qs = jnp.asarray(q, rd)
+    return AllocationStudy(
+        q=qs,
+        u0_q=jnp.quantile(u0, qs, axis=0),
+        u2_q=jnp.quantile(u2, qs, axis=0),
+        vmag_q=jnp.quantile(vmag, qs, axis=0),
+        orders=jnp.asarray(settings.harmonics, rd))

@@ -206,3 +206,22 @@ def test_coupled_devices_use_h_diagonal():
     a = solve_unbalanced(net, dev, s, net0=net)
     b = solve_unbalanced(net, dev_u, s, net0=net)
     np.testing.assert_allclose(_c(a.V), _c(b.V), atol=1e-14)
+
+
+def test_allocation_study_quantiles():
+    """Monte-Carlo phase allocation: quantiles are ordered, the leakage
+    is nonzero for spread > 0, and a zero-spread study collapses to the
+    balanced case (leakage 0)."""
+    s, net, dev = _load("net2")
+    st = hpfx.allocation_study(net, dev, s, n_draws=32, sigma_mag=0.3,
+                               sigma_ang=0.15, seed=1, q=(0.5, 0.95),
+                               r0_scale=2.5, x0_scale=3.0)
+    assert st.u0_q.shape == (2, len(s.harmonics), net.n)
+    # p95 >= p50 everywhere
+    assert bool(jnp.all(st.u0_q[1] >= st.u0_q[0] - 1e-12))
+    assert bool(jnp.all(st.vmag_q[1] >= st.vmag_q[0] - 1e-12))
+    assert float(jnp.max(st.u0_q[1][1:])) > 1e-3
+    flat = hpfx.allocation_study(net, dev, s, n_draws=4, sigma_mag=0.0,
+                                 sigma_ang=0.0, net0=net)
+    assert float(jnp.max(flat.u0_q[:, 1:])) < 1e-12
+    assert float(jnp.max(flat.u2_q[:, 1:])) < 1e-12
