@@ -75,10 +75,11 @@ from .studies import (PercentileComplianceReport, PlanningLevelReport,
                       check_planning_levels, daily_profile,
                       percentile_compliance, profile_scenarios,
                       run_timeseries, summarize_quantiles)
-from .threephase import (AllocationStudy, ThreePhaseResult,
+from .threephase import (AllocationStudy, PhaseFlows, ThreePhaseResult,
                          abc_admittance, allocation_study,
-                         phase_injections, sequence_voltages,
-                         solve_unbalanced, unbalance_factors)
+                         line_phase_flows, phase_injections,
+                         sequence_voltages, solve_unbalanced,
+                         unbalance_factors)
 from .trajlog import (read_ilog, read_vlog, trajectory_injections,
                       write_ilog, write_vlog)
 from .ybus import build_ybus, fold_ydiag
@@ -99,6 +100,7 @@ __all__ = [
     "ThreePhaseResult", "abc_admittance", "phase_injections",
     "solve_unbalanced", "sequence_voltages", "unbalance_factors",
     "AllocationStudy", "allocation_study",
+    "PhaseFlows", "line_phase_flows",
     "ContingencyReport", "ResonanceShiftReport", "islanded_lines",
     "outage_impedance_shift", "screen_line_outages",
     "screen_shunt_outages", "screen_device_outages",

@@ -71,7 +71,8 @@ from .ybus import LineYbus, build_line_ybus, build_ybus
 
 __all__ = ["abc_admittance", "phase_injections", "solve_unbalanced",
            "sequence_voltages", "unbalance_factors", "allocation_study",
-           "ThreePhaseResult", "AllocationStudy"]
+           "line_phase_flows", "ThreePhaseResult", "AllocationStudy",
+           "PhaseFlows"]
 
 #: real zero-sequence projector M0 = A e0 e0^T A^{-1} = ones/3
 _M0 = np.full((3, 3), 1.0 / 3.0)
@@ -401,3 +402,99 @@ def allocation_study(net: Network, devices: DeviceSet,
         u2_q=jnp.quantile(u2, qs, axis=0),
         vmag_q=jnp.quantile(vmag, qs, axis=0),
         orders=jnp.asarray(settings.harmonics, rd))
+
+
+class PhaseFlows(NamedTuple):
+    """Per-line, per-phase branch currents of a solved abc case.
+
+    ``I_f``/``I_t``: (H, L, 3) split-complex terminal currents (into the
+    line at each end, same orientation as :func:`hpfx.flows.line_flows`).
+    ``residual_f``: (H, L) magnitude of the from-end residual current
+    ``|I_a + I_b + I_c| = 3·|I0|`` — the current the neutral/earth
+    return of that line carries (the neutral-sizing quantity per line).
+    ``residual_rms``: (L,) its RMS aggregate over the solved orders.
+    """
+    I_f: Cx
+    I_t: Cx
+    residual_f: jnp.ndarray
+    residual_rms: jnp.ndarray
+
+
+def _blend_apply(y1: Cx, y0: Cx, v: Cx) -> Cx:
+    """Apply the per-line sequence blend ``y1·(I − M0) + y0·M0`` to a
+    (H, L, 3) phase vector: ``(I − M0)v`` is the phase deviation from
+    the line's phase mean, ``M0 v`` the mean itself."""
+    mean = Cx(jnp.mean(v.re, axis=-1, keepdims=True),
+              jnp.mean(v.im, axis=-1, keepdims=True))
+    dev_ = Cx(v.re - mean.re, v.im - mean.im)
+    y1e = Cx(y1.re[..., None], y1.im[..., None])
+    y0e = Cx(y0.re[..., None], y0.im[..., None])
+    return y1e * dev_ + y0e * mean
+
+
+def _series_shunt(net: Network, settings: Settings):
+    """Per-line series admittance Ys(h) and pi-shunt Ysh(h), (H, L) —
+    the same per-element algebra flows.py:72-82 reconstructs."""
+    rd = settings.real_dtype
+    h = jnp.asarray(settings.harmonics, dtype=rd)[:, None]
+    R, X = net.line_R, net.line_X
+    Xh = X * h
+    d = R * R + Xh * Xh
+    Ys = Cx(R / d, -Xh / d)
+    Ysh = Cx(jnp.broadcast_to(net.line_G / 2.0, Xh.shape),
+             h * net.line_B / 2.0)
+    return Ys, Ysh
+
+
+def line_phase_flows(net: Network, settings: Settings,
+                     res: ThreePhaseResult, net0=None, *,
+                     blocked: Sequence[int] = (),
+                     **zero_kw) -> PhaseFlows:
+    """Per-phase branch currents and neutral (residual) flows.
+
+    Reconstructs each line's terminal currents with the per-element
+    series/tap/pi-shunt algebra of :func:`hpfx.flows.line_flows`, each
+    coefficient blended between its positive- and zero-sequence values
+    per the same Fortescue projection the assembly used — pass the SAME
+    ``net0``/``blocked``/``zero_kw`` as the solve.  A ``blocked`` line
+    carries no zero-sequence (residual) current by construction.
+    """
+    if net0 is None:
+        net0 = zero_sequence_network(net, **zero_kw)
+    elif zero_kw:
+        raise ValueError("pass either net0 or zero-sequence parameters")
+    rd = settings.real_dtype
+    keep = np.ones(net.n_lines)
+    for k in blocked:
+        keep[int(k)] = 0.0
+    keep_j = jnp.asarray(keep, rd)
+    net0 = dataclasses.replace(net0, line_G=net0.line_G * keep_j,
+                               line_B=net0.line_B * keep_j)
+    Ys1, Ysh1 = _series_shunt(net, settings)
+    Ys0, Ysh0 = _series_shunt(net0, settings)
+    Ys0 = Ys0 * keep_j
+
+    tau = net.line_tau
+    inv_t_ft = cx.expj(net.line_shift) * (1.0 / tau)
+    inv_t_tf = cx.expj(-net.line_shift) * (1.0 / tau)
+    a_ff = 1.0 / (tau * tau)
+
+    f, t = net.line_from, net.line_to
+    V_f = res.V[:, f, :]                                     # (H, L, 3)
+    V_t = res.V[:, t, :]
+
+    c1_ff = (Ys1 + Ysh1) * a_ff
+    c0_ff = (Ys0 + Ysh0) * a_ff
+    d1_ft = Ys1 * inv_t_ft
+    d0_ft = Ys0 * inv_t_ft
+    I_f = _blend_apply(c1_ff, c0_ff, V_f) - _blend_apply(d1_ft, d0_ft, V_t)
+    c1_tt = Ys1 + Ysh1
+    c0_tt = Ys0 + Ysh0
+    d1_tf = Ys1 * inv_t_tf
+    d0_tf = Ys0 * inv_t_tf
+    I_t = _blend_apply(c1_tt, c0_tt, V_t) - _blend_apply(d1_tf, d0_tf, V_f)
+
+    resid = Cx(jnp.sum(I_f.re, axis=-1), jnp.sum(I_f.im, axis=-1))
+    rmag = resid.abs()
+    return PhaseFlows(I_f=I_f, I_t=I_t, residual_f=rmag,
+                      residual_rms=jnp.sqrt(jnp.sum(rmag * rmag, axis=0)))

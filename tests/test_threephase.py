@@ -225,3 +225,71 @@ def test_allocation_study_quantiles():
                                  sigma_ang=0.0, net0=net)
     assert float(jnp.max(flat.u0_q[:, 1:])) < 1e-12
     assert float(jnp.max(flat.u2_q[:, 1:])) < 1e-12
+
+
+def test_line_phase_flows_numpy_oracle():
+    """Per-line phase currents match an explicit numpy application of the
+    blended 3x3 per-line blocks, and a blocked line carries zero
+    residual current even under heavy unbalance."""
+    s, net, dev = _load("net1")
+    rng = np.random.default_rng(11)
+    mag = 1.0 + 0.4 * rng.standard_normal((dev.n_devices, 3))
+    net0 = zero_sequence_network(net, r0_scale=2.5, x0_scale=3.0)
+    blocked = [2]
+    res = solve_unbalanced(net, dev, s, net0=net0, blocked=blocked,
+                           bus_Xg={0: 0.1}, mag=mag)
+    pf = hpfx.line_phase_flows(net, s, res, net0=net0, blocked=blocked)
+    # numpy oracle: y_abc = y1·(I - M0) + y0·M0 per line coefficient
+    h = np.asarray(s.harmonics, float)[:, None]
+    M0 = np.full((3, 3), 1.0 / 3.0)
+
+    def ys(nn, keep=None):
+        Xh = np.asarray(nn.line_X) * h
+        d = np.asarray(nn.line_R) ** 2 + Xh ** 2
+        y = np.asarray(nn.line_R) / d - 1j * Xh / d
+        sh = np.asarray(nn.line_G) / 2.0 + 1j * h * np.asarray(nn.line_B) / 2
+        if keep is not None:
+            y, sh = y * keep, sh * keep
+        return y, sh
+
+    keep = np.ones(net.n_lines)
+    keep[2] = 0.0
+    y1, sh1 = ys(net)
+    y0, sh0 = ys(net0, keep)
+    tau = np.asarray(net.line_tau)
+    shft = np.asarray(net.line_shift)
+    V = _c(res.V)
+    f, t = np.asarray(net.line_from), np.asarray(net.line_to)
+    Vf, Vt = V[:, f, :], V[:, t, :]
+    eye = np.eye(3)
+
+    def blend(c1, c0):
+        return (c1[..., None, None] * (eye - M0)
+                + c0[..., None, None] * M0)
+
+    c_ff = blend((y1 + sh1) / tau ** 2, (y0 + sh0) / tau ** 2)
+    d_ft = blend(y1 * np.exp(1j * shft) / tau, y0 * np.exp(1j * shft) / tau)
+    I_ref = (np.einsum("hlpq,hlq->hlp", c_ff, Vf)
+             - np.einsum("hlpq,hlq->hlp", d_ft, Vt))
+    np.testing.assert_allclose(_c(pf.I_f), I_ref, atol=1e-12)
+    # blocked line: no zero-sequence path, residual identically ~0
+    assert float(np.asarray(pf.residual_f)[:, 2].max()) < 1e-12
+    # unbalance drives residual current somewhere else
+    assert float(np.asarray(pf.residual_f).max()) > 1e-4
+
+
+def test_balanced_flows_residual_only_on_triplens():
+    """Balanced case: the residual (3·I0) vanishes on non-triplen orders
+    and is exactly 3x the per-phase magnitude on triplens."""
+    s, net, dev = _load("net2")
+    net0 = zero_sequence_network(net, r0_scale=2.0, x0_scale=2.0)
+    res = solve_unbalanced(net, dev, s, net0=net0)
+    pf = hpfx.line_phase_flows(net, s, res, net0=net0)
+    tri = np.asarray([h % 3 == 0 for h in s.harmonics])
+    resid = np.asarray(pf.residual_f)
+    Imag = np.abs(_c(pf.I_f))
+    assert resid[~tri].max() < 1e-12
+    np.testing.assert_allclose(resid[tri], 3.0 * Imag[tri, :, 0],
+                               atol=1e-12)
+    np.testing.assert_allclose(Imag[tri, :, 0], Imag[tri, :, 1],
+                               atol=1e-12)
