@@ -44,15 +44,22 @@ from .cx import Cx
 from .network import Network
 
 
-def build_ybus(net: Network, settings: Settings) -> Cx:
+def build_ybus(net: Network, settings: Settings, Rh=None) -> Cx:
     """Return the dense (H, n, n) split-complex admittance tensor, one block
-    per harmonic order in ``settings.harmonics``."""
+    per harmonic order in ``settings.harmonics``.
+
+    ``Rh`` (optional, (H, L)) overrides the series resistance per harmonic
+    and line — the hook for frequency-dependent conductor models
+    (skin/proximity effect, :mod:`hpfx.lineskin`).  ``None`` keeps the
+    reference's frequency-flat ``net.line_R`` (hcne_generalized.py:151-155).
+    """
     rd = settings.real_dtype
     h = jnp.asarray(settings.harmonics, dtype=rd)[:, None]        # (H, 1)
     n = net.n
     _all = slice(None)
 
-    R, X = net.line_R, net.line_X                                  # (L,)
+    R = net.line_R if Rh is None else jnp.asarray(Rh, rd)  # (L,) or (H, L)
+    X = net.line_X                                                 # (L,)
     Xh = X * h                                                     # (H, L)
     d = R * R + Xh * Xh
     Ys = Cx(R / d, -Xh / d)                                        # 1/(R+jXh)
@@ -143,16 +150,18 @@ class LineYbus(NamedTuple):
     t_idx: jnp.ndarray
 
 
-def build_line_ybus(net: Network, settings: Settings) -> LineYbus:
+def build_line_ybus(net: Network, settings: Settings, Rh=None) -> LineYbus:
     """Assemble the line-structured form of the same physics as
-    ``build_ybus`` (identical in exact arithmetic; see ``stable_matvec``)."""
+    ``build_ybus`` (identical in exact arithmetic; see ``stable_matvec``).
+    ``Rh`` as in :func:`build_ybus`."""
     rd = settings.real_dtype
     h = jnp.asarray(settings.harmonics, dtype=rd)[:, None]
     n = net.n
     H = len(settings.harmonics)
     _all = slice(None)
 
-    R, X = net.line_R, net.line_X
+    R = net.line_R if Rh is None else jnp.asarray(Rh, rd)
+    X = net.line_X
     Xh = X * h
     den = R * R + Xh * Xh
     Ys = Cx(R / den, -Xh / den)
@@ -249,15 +258,15 @@ def stable_matvec(lineY: LineYbus, V_m, V_a) -> Cx:
     out = out.at_add((slice(None), t), flow_t)
     return out
 
-def line_ybus_pair(net: Network, settings: Settings):
+def line_ybus_pair(net: Network, settings: Settings, Rh=None):
     """(full, fundamental-sliced) LineYbus pair for the stable mismatch,
     or (None, None) when Settings.stable_mismatch is off.  Built by the
     solver entry points alongside ``build_ybus`` so the two always
     describe the same system (a caller-overridden Y never gets a stale
-    line structure)."""
+    line structure).  ``Rh`` as in :func:`build_ybus`."""
     if not settings.stable_mismatch:
         return None, None
-    full = build_line_ybus(net, settings)
+    full = build_line_ybus(net, settings, Rh=Rh)
     fund = LineYbus(Ys=full.Ys[:1], a_ff=full.a_ff, inv_tau=full.inv_tau,
                     shift=full.shift, d=full.d[:1],
                     f_idx=full.f_idx, t_idx=full.t_idx)
