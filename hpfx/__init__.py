@@ -47,8 +47,9 @@ from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
 from .flows import (IEEE519CurrentReport, IEEE519Report, IEEE519Summary,
-                    LineFlows, check_ieee519, check_ieee519_current,
-                    ieee519_screen, k_factor, line_flows)
+                    LineFlows, check_en50160, check_ieee519,
+                    check_ieee519_current, en50160_screen, ieee519_screen,
+                    k_factor, line_flows)
 from .iec import (aggregate_contributions, apportion_planning_level,
                   summation_alpha, summation_law)
 from .impedance import (ctype_filter_admittance, distortion_contributions,
@@ -143,6 +144,7 @@ __all__ = [
     "LineFlows", "line_flows", "IEEE519Report", "check_ieee519",
     "IEEE519Summary", "ieee519_screen", "k_factor",
     "IEEE519CurrentReport", "check_ieee519_current",
+    "check_en50160", "en50160_screen",
     "distortion_contributions",
     "summation_alpha", "summation_law", "aggregate_contributions",
     "apportion_planning_level",

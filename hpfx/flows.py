@@ -35,7 +35,9 @@ from .results import get_thd
 __all__ = ["LineFlows", "line_flows", "IEEE519Report", "check_ieee519",
            "IEEE519_LIMITS", "IEEE519Summary", "ieee519_screen",
            "k_factor", "IEEE519_CURRENT_LIMITS", "IEEE519CurrentReport",
-           "check_ieee519_current"]
+           "check_ieee519_current", "EN50160_LIMITS", "EN50160_THD_LIMIT",
+           "EN50160Report", "check_en50160", "en50160_screen",
+           "en50160_limit_vector"]
 
 
 class LineFlows(NamedTuple):
@@ -287,3 +289,100 @@ def check_ieee519_current(I_m: jnp.ndarray, harmonics, isc_over_il: float,
     return IEEE519CurrentReport(
         harmonics=hs[1:], ratio=ratio, limits=limits, tdd=tdd,
         limit_tdd=tdd_lim, compliant=compliant)
+
+
+#: EN 50160 (and the aligned IEC 61000-2-2 LV compatibility levels) —
+#: individual harmonic voltage limits in % of the fundamental, by order,
+#: for LV/MV supply terminals, plus THD <= 8%.  Orders above 25 carry no
+#: tabulated value in the standard ("values are not given as they are
+#: usually small") — they are UNCONSTRAINED here (limit inf); screen
+#: them separately if your study needs a high-order bound.
+EN50160_LIMITS = {
+    # odd non-triplen
+    5: 6.0, 7: 5.0, 11: 3.5, 13: 3.0, 17: 2.0, 19: 1.5, 23: 1.5, 25: 1.5,
+    # odd triplen
+    3: 5.0, 9: 1.5, 15: 0.5, 21: 0.5,
+    # even
+    2: 2.0, 4: 1.0, 6: 0.5, 8: 0.5, 10: 0.5, 12: 0.5, 14: 0.5, 16: 0.5,
+    18: 0.5, 20: 0.5, 22: 0.5, 24: 0.5,
+}
+
+EN50160_THD_LIMIT = 8.0
+
+
+def en50160_limit_vector(harmonics) -> jnp.ndarray:
+    """Per-order limit vector (%) aligned with ``harmonics[1:]`` —
+    orders outside the EN 50160 table (h > 25) map to +inf."""
+    return jnp.asarray([EN50160_LIMITS.get(int(h), float("inf"))
+                        for h in tuple(harmonics)[1:]])
+
+
+class EN50160Report(NamedTuple):
+    """Per-bus EN 50160 voltage-quality check.
+
+    ``ratio``: (H-1, n) individual harmonic magnitudes in % of the
+    fundamental (orders ``harmonics``).  ``limits``: (H-1,) the
+    per-order table values (inf above h=25).  ``margin``: (H-1, n)
+    ``limits - ratio`` (negative = violating; inf rows are untabulated).
+    ``worst_order``: the per-bus order with the smallest margin among
+    tabulated rows.  ``compliant``: every tabulated order within its
+    limit AND THD_F <= 8%.
+    """
+    harmonics: tuple
+    ratio: jnp.ndarray
+    limits: jnp.ndarray
+    margin: jnp.ndarray
+    worst_order: jnp.ndarray
+    thd: jnp.ndarray
+    compliant: jnp.ndarray
+
+
+def check_en50160(result, settings: Settings) -> EN50160Report:
+    """Check a solved case against EN 50160's per-order voltage limits.
+
+    Unlike IEEE 519's single individual-harmonic percentage
+    (:func:`check_ieee519`), EN 50160 binds each order to its own table
+    value — triplens and evens are held much tighter than the 5th/7th.
+    Complements :mod:`hpfx.iec`'s planning-level machinery (IEC
+    61000-3-6 apportions emission HEADROOM; EN 50160 is the delivered
+    voltage-quality contract).
+    """
+    ratio, thd = _distortion_pct(result.V_m)                 # (H-1, n)
+    limits = en50160_limit_vector(settings.harmonics).astype(ratio.dtype)
+    margin = limits[:, None] - ratio
+    tab = jnp.isfinite(limits)
+    # untabulated rows never bind; give them +inf margin for the argmin
+    margin_t = jnp.where(tab[:, None], margin, jnp.inf)
+    orders = jnp.asarray(settings.harmonics[1:])
+    worst = jnp.argmin(margin_t, axis=0)
+    compliant = jnp.all(margin_t >= 0.0, axis=0) & (thd <= EN50160_THD_LIMIT)
+    return EN50160Report(
+        harmonics=tuple(settings.harmonics[1:]), ratio=ratio,
+        limits=limits, margin=margin, worst_order=orders[worst],
+        thd=thd, compliant=compliant)
+
+
+def en50160_screen(result, settings: Settings):
+    """Batched EN 50160 screen over a sweep result — returns an
+    :class:`IEEE519Summary`-shaped tuple (worst margin utilization in
+    place of ``worst_ratio``: max over tabulated orders and buses of
+    ratio/limit, in % of the limit)."""
+    limits = en50160_limit_vector(settings.harmonics)
+    tab = jnp.isfinite(limits)
+    safe = jnp.where(tab, limits, 1.0)
+
+    def one(V_m):
+        ratio, thd_bus = _distortion_pct(V_m)
+        util = jnp.where(tab[:, None], 100.0 * ratio / safe[:, None], 0.0)
+        worst = jnp.max(util)
+        thd = jnp.max(thd_bus)
+        return worst, thd, (worst <= 100.0) & (thd <= EN50160_THD_LIMIT)
+
+    worst, thd, ok = jax.vmap(one)(result.V_m)
+    conv = result.converged
+    ok = ok & conv
+    viol = (~ok) & conv
+    denom = jnp.maximum(jnp.sum(conv.astype(worst.dtype)), 1.0)
+    return IEEE519Summary(
+        worst_ratio=worst, thd=thd, compliant=ok,
+        frac_violating=jnp.sum(viol.astype(worst.dtype)) / denom)

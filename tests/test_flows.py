@@ -237,3 +237,66 @@ def test_ieee519_current_on_solved_feeder():
     rep2 = hpfx.check_ieee519_current(I_slack, s.harmonics, 15.0,
                                       i_load=big_load)
     assert bool(rep2.compliant)
+
+
+def test_en50160_limit_vector():
+    hs = (1, 2, 3, 5, 9, 25, 27, 49)
+    lim = np.asarray(hpfx.flows.en50160_limit_vector(hs))
+    np.testing.assert_allclose(
+        lim, [2.0, 5.0, 6.0, 1.5, 1.5, np.inf, np.inf])
+    # every tabulated order: evens 0.5-2, triplens tighter than 5th/7th
+    T = hpfx.flows.EN50160_LIMITS
+    assert T[5] == 6.0 and T[7] == 5.0 and T[3] == 5.0
+    assert all(T[h] <= 2.0 for h in range(2, 25, 2))
+    assert T[15] == 0.5 and T[21] == 0.5
+
+
+def test_en50160_check_per_order_binding():
+    s, net, dev, res = _solved("net2")
+    rep = hpfx.check_en50160(res, s)
+    # hand-checked bookkeeping against the raw distortion ratios
+    ratio = 100 * np.asarray(res.V_m[1:]) / np.asarray(res.V_m[0])
+    np.testing.assert_allclose(np.asarray(rep.ratio), ratio, rtol=1e-12)
+    lim = np.asarray(hpfx.flows.en50160_limit_vector(s.harmonics))
+    np.testing.assert_allclose(np.asarray(rep.margin),
+                               lim[:, None] - ratio, rtol=1e-10)
+    # compliance = all tabulated margins >= 0 and THD <= 8 %
+    tab = np.isfinite(lim)
+    thd = 100 * np.asarray(hpfx.get_thd(res.V_m).THD_F)
+    expect = np.all(lim[tab, None] - ratio[tab] >= 0, axis=0) & (thd <= 8.0)
+    np.testing.assert_array_equal(np.asarray(rep.compliant), expect)
+    # net2's solved distortion violates; the stiff slack passes
+    assert not bool(np.asarray(rep.compliant).all())
+    assert bool(np.asarray(rep.compliant)[0])
+    # worst_order picks the min-margin tabulated order
+    m = lim[:, None] - ratio
+    m[~tab] = np.inf
+    k = int(np.argmin(m[:, 3]))
+    assert int(rep.worst_order[3]) == s.harmonics[1:][k]
+    # EN 50160 binds per order: an IEEE-flat 5 % check and the EN check
+    # can disagree (e.g. a 1 % 15th violates EN, passes IEEE <=1 kV)
+    assert np.isfinite(np.asarray(rep.limits)[np.asarray(
+        s.harmonics[1:]) <= 25].max())
+
+
+def test_en50160_screen_matches_per_scenario():
+    from hpfx.harmonic import HPFResult
+    from hpfx.solve import Scenarios, hpf_sweep
+
+    s, net, dev = make_setup(("net2", 25, True))
+    scen = Scenarios(p_scale=jnp.ones(4),
+                     injection_scale=jnp.asarray([1e-4, 5e-3, 0.05, 1.0]))
+    sweep = hpf_sweep(net, dev, s, scen)
+    assert bool(np.asarray(sweep.converged).all())
+    summ = hpfx.en50160_screen(sweep, s)
+    for b in range(4):
+        rb = HPFResult(V_m=sweep.V_m[b], V_a=sweep.V_a[b],
+                       err=sweep.err[b], n_iter=sweep.n_iter[b],
+                       err_hist=sweep.err_hist[b],
+                       converged=sweep.converged[b])
+        rep = hpfx.check_en50160(rb, s)
+        assert bool(summ.compliant[b]) == bool(
+            np.asarray(rep.compliant).all())
+    ok = np.asarray(summ.compliant)
+    assert ok[0] and not ok[-1]
+    assert float(summ.frac_violating) == pytest.approx((~ok).mean())
