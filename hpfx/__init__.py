@@ -22,6 +22,7 @@ from .ne_pipeline import (MeasurementSet, NortonFit, device_set_from_fit,
                           export_ne_csv, export_opendss_spectrum,
                           fit_norton_from_measurements, load_measurements_mat)
 from .lineskin import line_resistance, skin_ratio, skin_structures
+from .matpower import load_matpower, parse_matpower
 from .loadmodel import damped_structures, linear_load_admittance
 from .network import Network, load_network, network_from_arrays
 from .results import THD, HPFReport, get_thd, report, voltage_phasors
@@ -92,6 +93,7 @@ __all__ = [
     "cx", "Cx",
     "Settings", "default_harmonics", "settings_for_hmax",
     "Network", "load_network", "network_from_arrays",
+    "load_matpower", "parse_matpower",
     "build_ybus", "fold_ydiag", "linear_load_admittance",
     "damped_structures",
     "line_resistance", "skin_ratio", "skin_structures",
