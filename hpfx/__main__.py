@@ -18,6 +18,12 @@ CLI covers those workflows without editing code:
     python -m hpfx timeseries --buses b.csv --lines l.csv --steps 96
     python -m hpfx contingency --buses b.csv --lines l.csv [--scan]
 
+Every command also accepts ``--matpower case.m --nonlinear 4:SMPS
+--slack-xsh 3e-5`` in place of ``--buses/--lines`` (hpfx.matpower);
+``solve`` takes ``--skin {exponent,cigre_oh,cigre_cable}`` for
+frequency-dependent line resistance, ``report`` takes ``--en50160``
+for the per-order European voltage-quality table.
+
 Backend: CPU by default (the demo-script backend guard — this
 environment's shared TPU must be opted into with HPFX_DEMO_TPU=1; see
 hpfx/utils/backend.py).
@@ -41,14 +47,34 @@ def _settings(args):
 def _load(args):
     import hpfx
     s = _settings(args)
-    net = hpfx.load_network(args.buses, args.lines, s)
+    if getattr(args, "matpower", None):
+        nl = {}
+        for item in args.nonlinear or ():
+            bid, comp = item.split(":", 1)
+            nl[int(bid)] = comp
+        net = hpfx.load_matpower(args.matpower, s, nonlinear=nl or None,
+                                 slack_xsh=args.slack_xsh)
+    elif args.buses and args.lines:
+        net = hpfx.load_network(args.buses, args.lines, s)
+    else:
+        raise SystemExit("provide --buses/--lines or --matpower")
     dev = hpfx.load_device_set(net, s, search_dirs=tuple(args.ne_dir))
     return s, net, dev
 
 
 def _add_common(p):
-    p.add_argument("--buses", required=True, help="bus CSV (either schema)")
-    p.add_argument("--lines", required=True, help="line CSV")
+    p.add_argument("--buses", help="bus CSV (either schema)")
+    p.add_argument("--lines", help="line CSV")
+    p.add_argument("--matpower", help="MATPOWER case .m file instead of "
+                   "--buses/--lines (see hpfx.matpower mapping contract)")
+    p.add_argument("--nonlinear", action="append", default=None,
+                   metavar="BUSID:COMPONENT",
+                   help="with --matpower: mark bus as a harmonic device "
+                   "(repeatable, e.g. 4:SMPS)")
+    p.add_argument("--slack-xsh", dest="slack_xsh", type=float,
+                   default=None, help="with --matpower: grid "
+                   "short-circuit reactance [pu] grounding the harmonic "
+                   "network at the reference bus")
     p.add_argument("--hmax", type=int, default=25,
                    help="highest harmonic order (default 25)")
     p.add_argument("--coupled", action="store_true", default=True,
@@ -75,6 +101,15 @@ def cmd_solve(args) -> int:
     Y_diag = None
     if getattr(args, "load_model", None):
         Y_diag = hpfx.linear_load_admittance(net, s, model=args.load_model)
+    Y = None
+    if getattr(args, "skin", None):
+        if getattr(args, "seq_aware", False):
+            raise SystemExit("--skin cannot combine with --seq-aware "
+                             "(the sequence blend builds its own line "
+                             "structures)")
+        Y = hpfx.skin_structures(net, s, model=args.skin,
+                                 alpha=args.skin_alpha, Y_diag=Y_diag)
+        Y_diag = None
     t0 = time.perf_counter()
     if getattr(args, "seq_aware", False):
         r0s, x0s = (float(v) for v in args.z0_scale.split(":"))
@@ -89,7 +124,8 @@ def cmd_solve(args) -> int:
             delta_devices=[int(k) for k in args.delta_device or ()],
             record_trajectory=bool(args.vlog), I_bg=I_bg, Y_diag=Y_diag)
     else:
-        res = hpfx.hpf(net, dev, s, record_trajectory=bool(args.vlog),
+        res = hpfx.hpf(net, dev, s, Y=Y,
+                       record_trajectory=bool(args.vlog),
                        I_bg=I_bg, Y_diag=Y_diag)
     dt = time.perf_counter() - t0
     conv = bool(np.asarray(res.converged))
@@ -247,7 +283,22 @@ def cmd_report(args) -> int:
               f"{int(rep.worst_order[i]):>8} "
               f"{float(rep.worst_ratio[i]):>10.3f} "
               f"{str(bool(rep.compliant[i])):>10}")
-    return 0 if bool(np.asarray(rep.compliant).all()) else 3
+    ok = bool(np.asarray(rep.compliant).all())
+    if getattr(args, "en50160", False):
+        ren = hpfx.check_en50160(res, s)
+        print("EN 50160 (per-order table, THD<=8%):")
+        print(f"{'bus':>4} {'THD %':>8} {'binding h':>10} "
+              f"{'margin %':>9} {'compliant':>10}")
+        margin = np.array(ren.margin)          # writable copy
+        tab = np.isfinite(np.asarray(ren.limits))
+        margin[~tab] = np.inf
+        for i in range(net.n):
+            print(f"{i:>4} {float(ren.thd[i]):>8.3f} "
+                  f"{int(ren.worst_order[i]):>10} "
+                  f"{float(margin[:, i].min()):>9.3f} "
+                  f"{str(bool(ren.compliant[i])):>10}")
+        ok = ok and bool(np.asarray(ren.compliant).all())
+    return 0 if ok else 3
 
 
 def cmd_estimate(args) -> int:
@@ -510,6 +561,13 @@ def build_parser() -> argparse.ArgumentParser:
                     default=None,
                     help="fold a frequency-dependent linear-load damping "
                          "model into the harmonic Ybus (hpfx.loadmodel)")
+    ps.add_argument("--skin", choices=["exponent", "cigre_oh",
+                                       "cigre_cable"], default=None,
+                    help="frequency-dependent series line resistance "
+                    "model (hpfx.lineskin)")
+    ps.add_argument("--skin-alpha", dest="skin_alpha", type=float,
+                    default=0.5, help="exponent for --skin exponent "
+                    "(default 0.5)")
     ps.add_argument("--seq-aware", action="store_true",
                     help="solve triplen orders on the zero-sequence "
                          "network (hpfx.hpf_sequence)")
@@ -561,6 +619,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(pr)
     pr.add_argument("--v-kv", dest="v_kv", type=float, default=None,
                     help="PCC voltage class in kV (default: the pu base)")
+    pr.add_argument("--en50160", action="store_true",
+                    help="also apply the EN 50160 per-order voltage "
+                    "limits")
     pr.add_argument("--isc-il", dest="isc_il", type=float, default=20.0,
                     help="PCC short-circuit ratio Isc/IL for the "
                          "Table-2 current-limit class (default 20)")

@@ -219,3 +219,35 @@ def test_solve_seq_aware_flag(capsys):
     seq = capsys.readouterr().out
     assert rc3 == 0 and "converged=True" in seq
     assert seq.splitlines()[2:] != plain.splitlines()[2:]
+
+
+def test_solve_skin_flag(capsys):
+    rc = main(["solve", *NET2, "--hmax", "25", "--skin", "cigre_oh"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "converged=True" in out
+    rc2 = main(["solve", *NET2, "--hmax", "25"])
+    out2 = capsys.readouterr().out
+    assert rc2 == 0
+    # the correction changes the solved THD table
+    assert out.splitlines()[-1] != out2.splitlines()[-1]
+    with pytest.raises(SystemExit, match="seq-aware"):
+        main(["solve", *NET2, "--skin", "cigre_oh", "--seq-aware"])
+
+
+def test_solve_matpower_input(tmp_path, capsys):
+    from test_matpower import CASE
+    p = tmp_path / "case4.m"
+    p.write_text(CASE)
+    rc = main(["solve", "--matpower", str(p), "--nonlinear", "4:SMPS",
+               "--slack-xsh", "3.125e-05", "--hmax", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "converged=True" in out
+    with pytest.raises(SystemExit, match="--buses/--lines or --matpower"):
+        main(["solve", "--hmax", "5"])
+
+
+def test_report_en50160_flag(capsys):
+    rc = main(["report", *NET2, "--en50160"])
+    out = capsys.readouterr().out
+    assert rc == 3                        # net2 violates both standards
+    assert "EN 50160" in out and "binding h" in out
