@@ -63,6 +63,9 @@ from .modes import (CriticalMode, ModalScan, critical_mode,
                     modal_spectrum)
 from .optimize import (FilterOptResult, OptimizeResult, apply_line_params,
                        optimize_filter, optimize_line_params)
+from .placement import (FilterPlan, PlacementReport, dominant_orders,
+                        filter_ydiag, plan_filter_bank,
+                        screen_filter_placement)
 from .sequence import (SequenceSet, balanced_phases, classify_orders,
                        delta_blocked, delta_device_set, hpf_sequence,
                        neutral_current, phase_components,
@@ -152,6 +155,8 @@ __all__ = [
     "apportion_planning_level",
     "OptimizeResult", "optimize_line_params", "apply_line_params",
     "FilterOptResult", "optimize_filter",
+    "PlacementReport", "screen_filter_placement", "FilterPlan",
+    "plan_filter_bank", "dominant_orders", "filter_ydiag",
     "EstimateResult", "estimate_injections",
     "BackgroundEstimate", "estimate_background",
     "background_from_harmonics", "current_source", "grid_source",

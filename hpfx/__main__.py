@@ -11,6 +11,7 @@ CLI covers those workflows without editing code:
     python -m hpfx estimate --buses b.csv --lines l.csv \\
                             --measurements solution.json --meter 1
     python -m hpfx filter --buses b.csv --lines l.csv --bus 2
+    python -m hpfx place  --buses b.csv --lines l.csv --n-filters 2
     python -m hpfx capacity --buses b.csv --lines l.csv --batch 256 \\
                             --confidence 0.95 --limit 0.08
     python -m hpfx assess --buses b.csv --lines l.csv --batch 256 \\
@@ -345,6 +346,37 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_place(args) -> int:
+    import numpy as np
+    import hpfx
+
+    s, net, dev = _load(args)
+    kw = dict(buses=args.bus, h_tunes=args.h_tune, x_caps=args.x_cap,
+              topology=args.topology)
+    plan = hpfx.plan_filter_bank(net, dev, s, n_filters=args.n_filters,
+                                 target=args.target, **kw)
+    rep = plan.reports[0] if plan.reports else \
+        hpfx.screen_filter_placement(net, dev, s, **kw)
+    print(f"base worst THD_F {rep.base_objective:.4f} — "
+          f"{rep.bus.size} candidates ({args.topology}):")
+    print(f"{'rank':>4} {'bus':>4} {'h_tune':>7} {'x_cap':>7} "
+          f"{'worstTHD':>9} {'q_fund':>8} {'Irms/I1':>8} {'ok':>4}")
+    for r, k in enumerate(rep.order[:args.top]):
+        print(f"{r:>4} {int(rep.bus[k]):>4} {float(rep.h_tune[k]):>7.2f} "
+              f"{float(rep.x_cap[k]):>7.3f} {float(rep.thd_worst[k]):>9.4f} "
+              f"{float(rep.q_fund[k]):>8.4f} "
+              f"{float(rep.i_rms_ratio[k]):>8.3f} "
+              f"{'yes' if rep.accepted[k] else 'NO':>4}")
+    if plan.buses.size:
+        stages = " -> ".join(f"{v:.4f}" for v in plan.history)
+        branches = ", ".join(
+            f"bus {b}: h={h:.2f} x_cap={x:.3f}"
+            for b, h, x in zip(plan.buses, plan.h_tunes, plan.x_caps))
+        print(f"greedy bank ({plan.buses.size} branch(es)): THD {stages} "
+              f"[{branches}]")
+    return 0
+
+
 def cmd_capacity(args) -> int:
     import hpfx
     from hpfx.solve import hpf_sweep_adaptive
@@ -648,6 +680,30 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--lr", type=float, default=0.05)
     pf.add_argument("--x-cap0", dest="x_cap0", type=float, default=0.05)
     pf.set_defaults(fn=cmd_filter)
+
+    pp = sub.add_parser("place",
+                        help="screen shunt-filter placements (one "
+                             "vmapped HPF over the candidate grid) and "
+                             "greedily plan a bank")
+    _add_common(pp)
+    pp.add_argument("--bus", type=int, nargs="+", default=None,
+                    help="candidate buses (default: every non-slack bus)")
+    pp.add_argument("--h-tune", dest="h_tune", type=float, nargs="+",
+                    default=None, help="candidate tuned orders (default: "
+                    "0.97 x the 3 dominant distortion orders)")
+    pp.add_argument("--x-cap", dest="x_cap", type=float, nargs="+",
+                    default=[0.5, 1.0, 2.0],
+                    help="candidate capacitor sizes [pu fundamental "
+                    "reactance] (default 0.5 1.0 2.0)")
+    pp.add_argument("--topology", choices=["tuned", "highpass", "ctype"],
+                    default="tuned")
+    pp.add_argument("--n-filters", dest="n_filters", type=int, default=1,
+                    help="greedy bank size (default 1 = pure screen)")
+    pp.add_argument("--target", type=float, default=None,
+                    help="stop once worst-bus THD_F <= target")
+    pp.add_argument("--top", type=int, default=10,
+                    help="rows of the ranked table to print (default 10)")
+    pp.set_defaults(fn=cmd_place)
 
     ph = sub.add_parser("capacity",
                         help="Monte-Carlo hosting-capacity bisection: "

@@ -251,3 +251,12 @@ def test_report_en50160_flag(capsys):
     out = capsys.readouterr().out
     assert rc == 3                        # net2 violates both standards
     assert "EN 50160" in out and "binding h" in out
+
+
+def test_place_command(capsys):
+    rc = main(["place", *NET2, "--bus", "2", "3", "--h-tune", "4.85",
+               "--x-cap", "0.5", "1.0", "--n-filters", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "base worst THD_F" in out and "greedy bank" in out
+    assert "worstTHD" in out
