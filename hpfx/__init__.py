@@ -48,9 +48,9 @@ from .generators import synthetic_feeder
 from .kron import KronReduction, kron_reduce, passive_buses, recover_voltages
 from .network import validate_network
 from .flows import (IEEE519CurrentReport, IEEE519Report, IEEE519Summary,
-                    LineFlows, check_en50160, check_ieee519,
+                    LineFlows, PowerIndices, check_en50160, check_ieee519,
                     check_ieee519_current, en50160_screen, ieee519_screen,
-                    k_factor, line_flows)
+                    k_factor, line_flows, line_power_indices, power_indices)
 from .iec import (aggregate_contributions, apportion_planning_level,
                   summation_alpha, summation_law)
 from .impedance import (ctype_filter_admittance, distortion_contributions,
@@ -147,6 +147,7 @@ __all__ = [
     "CriticalMode", "ModalScan", "critical_mode", "modal_scan",
     "modal_peaks", "eigen_sensitivity", "modal_spectrum",
     "LineFlows", "line_flows", "IEEE519Report", "check_ieee519",
+    "PowerIndices", "power_indices", "line_power_indices",
     "IEEE519Summary", "ieee519_screen", "k_factor",
     "IEEE519CurrentReport", "check_ieee519_current",
     "check_en50160", "en50160_screen",

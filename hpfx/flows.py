@@ -37,7 +37,8 @@ __all__ = ["LineFlows", "line_flows", "IEEE519Report", "check_ieee519",
            "k_factor", "IEEE519_CURRENT_LIMITS", "IEEE519CurrentReport",
            "check_ieee519_current", "EN50160_LIMITS", "EN50160_THD_LIMIT",
            "EN50160Report", "check_en50160", "en50160_screen",
-           "en50160_limit_vector"]
+           "en50160_limit_vector", "PowerIndices", "power_indices",
+           "line_power_indices"]
 
 
 class LineFlows(NamedTuple):
@@ -207,6 +208,86 @@ def ieee519_screen(result, settings: Settings,
     return IEEE519Summary(
         worst_ratio=worst, thd=thd, compliant=ok,
         frac_violating=jnp.sum(viol.astype(worst.dtype)) / denom)
+
+
+class PowerIndices(NamedTuple):
+    """IEEE Std 1459-2010 single-phase power decomposition at a metering
+    point, from per-harmonic rms phasors.  All leaves share the trailing
+    (batch) shape of the inputs; powers in pu on the system base.
+
+    The decomposition is the exact identity
+    ``S² = S1² + D_I² + D_V² + S_H²`` — fundamental apparent power plus
+    current-distortion, voltage-distortion and harmonic apparent powers —
+    with ``N = sqrt(S² − P²)`` the nonactive power and
+    ``D_H = sqrt(S_H² − P_H²)`` the harmonic distortion power.  ``pf`` is
+    the TRUE power factor P/S (what the meter bills); ``dpf`` the
+    displacement factor P1/S1 (what a fundamental-only model sees) —
+    under distortion ``pf < dpf``, the gap capacitor banks cannot fix.
+    """
+    P: jnp.ndarray       # total active power (all harmonics)
+    P1: jnp.ndarray      # fundamental active power
+    P_H: jnp.ndarray     # harmonic active power P − P1
+    Q1: jnp.ndarray      # fundamental reactive power
+    S: jnp.ndarray       # apparent power V_rms · I_rms
+    S1: jnp.ndarray      # fundamental apparent power
+    S_H: jnp.ndarray     # harmonic apparent power V_H · I_H
+    D_I: jnp.ndarray     # current distortion power V1 · I_H
+    D_V: jnp.ndarray     # voltage distortion power V_H · I1
+    D_H: jnp.ndarray     # harmonic distortion power
+    N: jnp.ndarray       # nonactive power sqrt(S² − P²)
+    pf: jnp.ndarray      # true power factor P / S
+    dpf: jnp.ndarray     # displacement power factor P1 / S1
+    thd_v: jnp.ndarray   # V_H / V1
+    thd_i: jnp.ndarray   # I_H / I1
+
+
+def power_indices(V: Cx, I: Cx) -> PowerIndices:
+    """IEEE 1459 decomposition from per-harmonic phasors ``V``/``I``,
+    split-complex with the harmonic axis FIRST ((H, ...) — the library's
+    standard layout; e.g. one bus column of the solved state against one
+    terminal of :func:`line_flows`).  The reference stops at voltage THD
+    (hcne_generalized.py:563-572); these are the standard billing/rating
+    quantities a distortion study feeds.  Jit/vmap-safe.
+    """
+    s_h = V * I.conj()                                   # (H, ...)
+    P1, Q1 = s_h.re[0], s_h.im[0]
+    P = jnp.sum(s_h.re, axis=0)
+    P_H = P - P1
+    v2, i2 = V.abs2(), I.abs2()
+    eps = jnp.finfo(v2.dtype).tiny
+    V1, I1 = jnp.sqrt(v2[0]), jnp.sqrt(i2[0])
+    V_H = jnp.sqrt(jnp.sum(v2[1:], axis=0))
+    I_H = jnp.sqrt(jnp.sum(i2[1:], axis=0))
+    S1 = V1 * I1
+    S_H = V_H * I_H
+    D_I = V1 * I_H
+    D_V = V_H * I1
+    S = jnp.sqrt(jnp.sum(v2, axis=0) * jnp.sum(i2, axis=0))
+    # clamp the differences of squares against fp cancellation
+    N = jnp.sqrt(jnp.maximum(S * S - P * P, 0.0))
+    D_H = jnp.sqrt(jnp.maximum(S_H * S_H - P_H * P_H, 0.0))
+    return PowerIndices(P=P, P1=P1, P_H=P_H, Q1=Q1, S=S, S1=S1, S_H=S_H,
+                        D_I=D_I, D_V=D_V, D_H=D_H, N=N,
+                        pf=P / jnp.maximum(S, eps),
+                        dpf=P1 / jnp.maximum(S1, eps),
+                        thd_v=V_H / jnp.maximum(V1, eps),
+                        thd_i=I_H / jnp.maximum(I1, eps))
+
+
+def line_power_indices(net: Network, settings: Settings, V_m, V_a,
+                       side: str = "from") -> PowerIndices:
+    """IEEE 1459 indices of every line terminal ((L,) leaves): the
+    metering-point view of a solved state.  ``side``: which terminal
+    carries the meter (``"from"``/``"to"``; current INTO the branch,
+    matching :class:`LineFlows`)."""
+    if side not in ("from", "to"):
+        raise ValueError(f"unknown side {side!r}: use 'from' or 'to'")
+    fl = line_flows(net, settings, V_m, V_a)
+    rd = settings.real_dtype
+    V = cx.polar(jnp.asarray(V_m, rd), jnp.asarray(V_a, rd))
+    bus = net.line_from if side == "from" else net.line_to
+    I = fl.I_f if side == "from" else fl.I_t
+    return power_indices(Cx(V.re[:, bus], V.im[:, bus]), I)
 
 
 def k_factor(I_m: jnp.ndarray, harmonics) -> jnp.ndarray:

@@ -300,3 +300,110 @@ def test_en50160_screen_matches_per_scenario():
     ok = np.asarray(summ.compliant)
     assert ok[0] and not ok[-1]
     assert float(summ.frac_violating) == pytest.approx((~ok).mean())
+
+
+def test_power_indices_analytic():
+    """IEEE 1459 decomposition vs a hand-computed complex-arithmetic
+    oracle, plus the exact identity S^2 = S1^2 + D_I^2 + D_V^2 + S_H^2."""
+    from hpfx.cx import Cx
+
+    Vc = np.array([1.0 * np.exp(0j),
+                   0.08 * np.exp(1j * np.deg2rad(30.0)),
+                   0.03 * np.exp(1j * np.deg2rad(-75.0))])
+    Ic = np.array([2.0 * np.exp(-1j * np.deg2rad(25.0)),
+                   0.6 * np.exp(1j * np.deg2rad(100.0)),
+                   0.25 * np.exp(1j * np.deg2rad(10.0))])
+    pi = hpfx.power_indices(Cx(jnp.asarray(Vc.real), jnp.asarray(Vc.imag)),
+                            Cx(jnp.asarray(Ic.real), jnp.asarray(Ic.imag)))
+
+    s_h = Vc * Ic.conj()
+    P = s_h.real.sum()
+    V1, I1 = abs(Vc[0]), abs(Ic[0])
+    V_H = np.sqrt((np.abs(Vc[1:]) ** 2).sum())
+    I_H = np.sqrt((np.abs(Ic[1:]) ** 2).sum())
+    S = np.sqrt((np.abs(Vc) ** 2).sum() * (np.abs(Ic) ** 2).sum())
+
+    assert float(pi.P) == pytest.approx(P, rel=1e-12)
+    assert float(pi.P1) == pytest.approx(s_h.real[0], rel=1e-12)
+    assert float(pi.P_H) == pytest.approx(s_h.real[1:].sum(), rel=1e-12)
+    assert float(pi.Q1) == pytest.approx(s_h.imag[0], rel=1e-12)
+    assert float(pi.S) == pytest.approx(S, rel=1e-12)
+    assert float(pi.S1) == pytest.approx(V1 * I1, rel=1e-12)
+    assert float(pi.S_H) == pytest.approx(V_H * I_H, rel=1e-12)
+    assert float(pi.D_I) == pytest.approx(V1 * I_H, rel=1e-12)
+    assert float(pi.D_V) == pytest.approx(V_H * I1, rel=1e-12)
+    assert float(pi.N) == pytest.approx(np.sqrt(S * S - P * P), rel=1e-12)
+    assert float(pi.pf) == pytest.approx(P / S, rel=1e-12)
+    assert float(pi.dpf) == pytest.approx(
+        s_h.real[0] / (V1 * I1), rel=1e-12)
+    assert float(pi.thd_v) == pytest.approx(V_H / V1, rel=1e-12)
+    assert float(pi.thd_i) == pytest.approx(I_H / I1, rel=1e-12)
+
+    # the exact apparent-power resolution (IEEE 1459 eq. for S^2)
+    lhs = float(pi.S) ** 2
+    rhs = (float(pi.S1) ** 2 + float(pi.D_I) ** 2
+           + float(pi.D_V) ** 2 + float(pi.S_H) ** 2)
+    assert lhs == pytest.approx(rhs, rel=1e-12)
+    # under distortion the true pf is strictly below the displacement pf
+    assert float(pi.pf) < float(pi.dpf)
+
+    # fundamental-only input collapses: N = |Q1|, pf = dpf, zero D terms
+    z = np.zeros(2, complex)
+    pi1 = hpfx.power_indices(
+        Cx(jnp.asarray(np.r_[Vc[:1], z].real),
+           jnp.asarray(np.r_[Vc[:1], z].imag)),
+        Cx(jnp.asarray(np.r_[Ic[:1], z].real),
+           jnp.asarray(np.r_[Ic[:1], z].imag)))
+    assert float(pi1.N) == pytest.approx(abs(s_h.imag[0]), rel=1e-12)
+    assert float(pi1.pf) == pytest.approx(float(pi1.dpf), rel=1e-12)
+    assert float(pi1.S_H) == 0.0 and float(pi1.D_I) == 0.0
+    assert float(pi1.thd_i) == 0.0 and float(pi1.P_H) == 0.0
+
+
+def test_line_power_indices_on_solved_network():
+    """Metering-point view of a solved net2 state: terminal powers must
+    match line_flows, the S^2 identity must hold per line, and the
+    feeder sees pf < dpf under the solved distortion."""
+    s, net, dev, res = _solved("net2")
+    fl = hpfx.line_flows(net, s, res.V_m, res.V_a)
+    pf_idx = hpfx.line_power_indices(net, s, res.V_m, res.V_a, side="from")
+    pt_idx = hpfx.line_power_indices(net, s, res.V_m, res.V_a, side="to")
+
+    # total active power at each terminal = sum over harmonics of P_f/P_t
+    np.testing.assert_allclose(np.asarray(pf_idx.P),
+                               np.asarray(fl.P_f).sum(axis=0),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(pt_idx.P),
+                               np.asarray(fl.P_t).sum(axis=0),
+                               rtol=1e-12, atol=1e-15)
+    # both-terminals active power = per-line loss (all harmonics)
+    np.testing.assert_allclose(
+        np.asarray(pf_idx.P) + np.asarray(pt_idx.P),
+        np.asarray(fl.loss).sum(axis=0), rtol=1e-9, atol=1e-15)
+    # fundamental quantities match the h=1 row of the flow decomposition
+    np.testing.assert_allclose(np.asarray(pf_idx.P1), np.asarray(fl.P_f)[0],
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(pf_idx.Q1), np.asarray(fl.Q_f)[0],
+                               rtol=1e-12, atol=1e-15)
+    # S^2 resolution holds on every line
+    lhs = np.asarray(pf_idx.S) ** 2
+    rhs = (np.asarray(pf_idx.S1) ** 2 + np.asarray(pf_idx.D_I) ** 2
+           + np.asarray(pf_idx.D_V) ** 2 + np.asarray(pf_idx.S_H) ** 2)
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+    # thd_v at the from-terminal equals the bus THD_F of the solved state
+    thd = np.asarray(hpfx.get_thd(res.V_m).THD_F)
+    np.testing.assert_allclose(np.asarray(pf_idx.thd_v),
+                               thd[np.asarray(net.line_from)], rtol=1e-12)
+    # distortion strictly inflates apparent power wherever harmonic
+    # current actually flows (lines here carry reverse flow, so compare
+    # S against S1 and the factors in magnitude, not signed pf < dpf)
+    distorted = np.asarray(pf_idx.thd_i) > 1e-3
+    assert distorted.any()
+    assert (np.asarray(pf_idx.S)[distorted]
+            > np.asarray(pf_idx.S1)[distorted]).all()
+    assert (np.abs(np.asarray(pf_idx.P) / np.asarray(pf_idx.S))[distorted]
+            <= np.abs(np.asarray(pf_idx.P)
+                      / np.asarray(pf_idx.S1))[distorted]).all()
+
+    with pytest.raises(ValueError):
+        hpfx.line_power_indices(net, s, res.V_m, res.V_a, side="mid")
