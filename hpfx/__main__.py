@@ -274,6 +274,18 @@ def cmd_report(args) -> int:
               f"{float(fl.P_f[0, k]):>9.5f} {loss[0, k]:>10.6f} "
               f"{loss[1:, k].sum():>10.6f} {K[k]:>9.2f} "
               f"{float(repc.tdd):>8.2f} {ratio:>9.3f}")
+    if getattr(args, "p1459", False):
+        pi = hpfx.line_power_indices(net, s, res.V_m, res.V_a, side="from")
+        print("IEEE 1459 power decomposition (from-terminal, pu):")
+        print(f"{'line':>4} {'P':>9} {'Q1':>9} {'S':>9} {'S1':>9} "
+              f"{'D_I':>9} {'D_V':>9} {'S_H':>9} {'N':>9} "
+              f"{'pf':>7} {'dpf':>7}")
+        for k in range(net.n_lines):
+            print(f"{k:>4} {float(pi.P[k]):>9.5f} {float(pi.Q1[k]):>9.5f} "
+                  f"{float(pi.S[k]):>9.5f} {float(pi.S1[k]):>9.5f} "
+                  f"{float(pi.D_I[k]):>9.5f} {float(pi.D_V[k]):>9.5f} "
+                  f"{float(pi.S_H[k]):>9.5f} {float(pi.N[k]):>9.5f} "
+                  f"{float(pi.pf[k]):>7.4f} {float(pi.dpf[k]):>7.4f}")
     rep = hpfx.check_ieee519(res, s, v_kv=args.v_kv)
     print(f"IEEE-519 (individual<={rep.limit_individual}%, "
           f"THD<={rep.limit_thd}%):")
@@ -654,6 +666,10 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--en50160", action="store_true",
                     help="also apply the EN 50160 per-order voltage "
                     "limits")
+    pr.add_argument("--p1459", action="store_true",
+                    help="also print the IEEE 1459 power decomposition "
+                         "(S1/D_I/D_V/S_H/N, true vs displacement pf) "
+                         "at every from-terminal")
     pr.add_argument("--isc-il", dest="isc_il", type=float, default=20.0,
                     help="PCC short-circuit ratio Isc/IL for the "
                          "Table-2 current-limit class (default 20)")

@@ -260,3 +260,15 @@ def test_place_command(capsys):
     assert rc == 0
     assert "base worst THD_F" in out and "greedy bank" in out
     assert "worstTHD" in out
+
+
+def test_report_p1459_flag(capsys):
+    rc = main(["report", *NET2, "--p1459"])
+    out = capsys.readouterr().out
+    assert rc == 3                        # unchanged compliance verdict
+    assert "IEEE 1459" in out and "dpf" in out
+    # one row per line with both power factors populated
+    rows = [ln for ln in out.splitlines()
+            if ln.strip() and ln.split()[0].isdigit()
+            and "IEEE 1459" not in ln]
+    assert len(rows) >= 4
