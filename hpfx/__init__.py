@@ -22,6 +22,8 @@ from .ne_pipeline import (MeasurementSet, NortonFit, device_set_from_fit,
                           export_ne_csv, export_opendss_spectrum,
                           fit_norton_from_measurements, load_measurements_mat)
 from .lineskin import line_resistance, skin_ratio, skin_structures
+from .longline import (electrical_length, longline_factors,
+                       longline_structures)
 from .matpower import load_matpower, parse_matpower
 from .loadmodel import damped_structures, linear_load_admittance
 from .network import Network, load_network, network_from_arrays
@@ -100,6 +102,7 @@ __all__ = [
     "build_ybus", "fold_ydiag", "linear_load_admittance",
     "damped_structures",
     "line_resistance", "skin_ratio", "skin_structures",
+    "electrical_length", "longline_factors", "longline_structures",
     "SequenceSet", "sequence_components", "phase_components",
     "balanced_phases", "classify_orders", "triplen_mask",
     "neutral_current", "delta_blocked",

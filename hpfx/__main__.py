@@ -103,13 +103,23 @@ def cmd_solve(args) -> int:
     if getattr(args, "load_model", None):
         Y_diag = hpfx.linear_load_admittance(net, s, model=args.load_model)
     Y = None
+    Rh = None
     if getattr(args, "skin", None):
         if getattr(args, "seq_aware", False):
             raise SystemExit("--skin cannot combine with --seq-aware "
                              "(the sequence blend builds its own line "
                              "structures)")
-        Y = hpfx.skin_structures(net, s, model=args.skin,
-                                 alpha=args.skin_alpha, Y_diag=Y_diag)
+        Rh = hpfx.line_resistance(net, s, model=args.skin,
+                                  alpha=args.skin_alpha)
+    if getattr(args, "long_line", False):
+        if getattr(args, "seq_aware", False):
+            raise SystemExit("--long-line cannot combine with --seq-aware "
+                             "(the sequence blend builds its own line "
+                             "structures)")
+        Y = hpfx.longline_structures(net, s, Rh=Rh, Y_diag=Y_diag)
+        Y_diag = None
+    elif Rh is not None:
+        Y = hpfx.skin_structures(net, s, Rh=Rh, Y_diag=Y_diag)
         Y_diag = None
     t0 = time.perf_counter()
     if getattr(args, "seq_aware", False):
@@ -612,6 +622,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--skin-alpha", dest="skin_alpha", type=float,
                     default=0.5, help="exponent for --skin exponent "
                     "(default 0.5)")
+    ps.add_argument("--long-line", dest="long_line", action="store_true",
+                    help="exact distributed-parameter pi per harmonic "
+                         "(sinh/tanh long-line correction; composes "
+                         "with --skin)")
     ps.add_argument("--seq-aware", action="store_true",
                     help="solve triplen orders on the zero-sequence "
                          "network (hpfx.hpf_sequence)")

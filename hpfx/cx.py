@@ -153,6 +153,26 @@ def expj(ang) -> Cx:
     return Cx(jnp.cos(ang), jnp.sin(ang))
 
 
+def sqrt(w: Cx) -> Cx:
+    """Principal complex square root (branch cut on the negative real
+    axis, matching numpy): |w|^{1/2}·e^{j·arg(w)/2}."""
+    r = w.abs2() ** 0.25
+    return polar(r, 0.5 * jnp.arctan2(w.im, w.re))
+
+
+def sinh(w: Cx) -> Cx:
+    """Complex sinh via the real decomposition
+    sinh(a+jb) = sinh a·cos b + j·cosh a·sin b."""
+    return Cx(jnp.sinh(w.re) * jnp.cos(w.im),
+              jnp.cosh(w.re) * jnp.sin(w.im))
+
+
+def cosh(w: Cx) -> Cx:
+    """Complex cosh: cosh(a+jb) = cosh a·cos b + j·sinh a·sin b."""
+    return Cx(jnp.cosh(w.re) * jnp.cos(w.im),
+              jnp.sinh(w.re) * jnp.sin(w.im))
+
+
 def zeros(shape, dtype) -> Cx:
     return Cx(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 

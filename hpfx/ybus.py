@@ -44,7 +44,8 @@ from .cx import Cx
 from .network import Network
 
 
-def build_ybus(net: Network, settings: Settings, Rh=None) -> Cx:
+def build_ybus(net: Network, settings: Settings, Rh=None, *,
+               Ys: Cx = None, Ysh: Cx = None) -> Cx:
     """Return the dense (H, n, n) split-complex admittance tensor, one block
     per harmonic order in ``settings.harmonics``.
 
@@ -52,17 +53,23 @@ def build_ybus(net: Network, settings: Settings, Rh=None) -> Cx:
     and line — the hook for frequency-dependent conductor models
     (skin/proximity effect, :mod:`hpfx.lineskin`).  ``None`` keeps the
     reference's frequency-flat ``net.line_R`` (hcne_generalized.py:151-155).
+
+    ``Ys`` / ``Ysh`` (optional, split-complex (H, L)) replace the computed
+    per-line SERIES admittance and per-END pi shunt ``(G + j·h·B)/2``
+    outright — the hook for fully frequency-shaped branch models
+    (distributed-parameter long lines, :mod:`hpfx.longline`).  Tap/shift
+    couplings and bus shunts still apply on top.
     """
     rd = settings.real_dtype
     h = jnp.asarray(settings.harmonics, dtype=rd)[:, None]        # (H, 1)
     n = net.n
     _all = slice(None)
 
-    R = net.line_R if Rh is None else jnp.asarray(Rh, rd)  # (L,) or (H, L)
-    X = net.line_X                                                 # (L,)
-    Xh = X * h                                                     # (H, L)
-    d = R * R + Xh * Xh
-    Ys = Cx(R / d, -Xh / d)                                        # 1/(R+jXh)
+    Xh = net.line_X * h                                            # (H, L)
+    if Ys is None:
+        R = net.line_R if Rh is None else jnp.asarray(Rh, rd)
+        d = R * R + Xh * Xh
+        Ys = Cx(R / d, -Xh / d)                                    # 1/(R+jXh)
     tau = net.line_tau
     inv_t_ft = cx.expj(net.line_shift) * (1.0 / tau)   # 1/(tau·e^{-j·shift})
     inv_t_tf = cx.expj(-net.line_shift) * (1.0 / tau)
@@ -77,7 +84,9 @@ def build_ybus(net: Network, settings: Settings, Rh=None) -> Cx:
     Y = Y.at_add((_all, t, t), Ys)
 
     # pi-line shunt (G + j·h·B)/2 at each end
-    Ysh = Cx(jnp.broadcast_to(net.line_G / 2.0, Xh.shape), h * net.line_B / 2.0)
+    if Ysh is None:
+        Ysh = Cx(jnp.broadcast_to(net.line_G / 2.0, Xh.shape),
+                 h * net.line_B / 2.0)
     if settings.compat_shunt_bug:
         # reference quirk: shunt lands on bus *index* == endpoint 1-based ID;
         # endpoints whose ID exceeds the last index drop out (scatter 'drop')
@@ -150,21 +159,22 @@ class LineYbus(NamedTuple):
     t_idx: jnp.ndarray
 
 
-def build_line_ybus(net: Network, settings: Settings, Rh=None) -> LineYbus:
+def build_line_ybus(net: Network, settings: Settings, Rh=None, *,
+                    Ys: Cx = None, Ysh: Cx = None) -> LineYbus:
     """Assemble the line-structured form of the same physics as
     ``build_ybus`` (identical in exact arithmetic; see ``stable_matvec``).
-    ``Rh`` as in :func:`build_ybus`."""
+    ``Rh``/``Ys``/``Ysh`` as in :func:`build_ybus`."""
     rd = settings.real_dtype
     h = jnp.asarray(settings.harmonics, dtype=rd)[:, None]
     n = net.n
     H = len(settings.harmonics)
     _all = slice(None)
 
-    R = net.line_R if Rh is None else jnp.asarray(Rh, rd)
-    X = net.line_X
-    Xh = X * h
-    den = R * R + Xh * Xh
-    Ys = Cx(R / den, -Xh / den)
+    Xh = net.line_X * h
+    if Ys is None:
+        R = net.line_R if Rh is None else jnp.asarray(Rh, rd)
+        den = R * R + Xh * Xh
+        Ys = Cx(R / den, -Xh / den)
     tau = net.line_tau
     a_ff = 1.0 / (tau * tau)
     inv_tau = 1.0 / tau
@@ -172,8 +182,9 @@ def build_line_ybus(net: Network, settings: Settings, Rh=None) -> LineYbus:
 
     f, t = net.line_from, net.line_to
     d = cx.zeros((H, n), rd)
-    Ysh = Cx(jnp.broadcast_to(net.line_G / 2.0, Xh.shape),
-             h * net.line_B / 2.0)
+    if Ysh is None:
+        Ysh = Cx(jnp.broadcast_to(net.line_G / 2.0, Xh.shape),
+                 h * net.line_B / 2.0)
     if settings.compat_shunt_bug:
         f_sh = jnp.where(f + 1 < n, f + 1, n)
         t_sh = jnp.where(t + 1 < n, t + 1, n)
@@ -258,15 +269,16 @@ def stable_matvec(lineY: LineYbus, V_m, V_a) -> Cx:
     out = out.at_add((slice(None), t), flow_t)
     return out
 
-def line_ybus_pair(net: Network, settings: Settings, Rh=None):
+def line_ybus_pair(net: Network, settings: Settings, Rh=None, *,
+                   Ys: Cx = None, Ysh: Cx = None):
     """(full, fundamental-sliced) LineYbus pair for the stable mismatch,
     or (None, None) when Settings.stable_mismatch is off.  Built by the
     solver entry points alongside ``build_ybus`` so the two always
     describe the same system (a caller-overridden Y never gets a stale
-    line structure).  ``Rh`` as in :func:`build_ybus`."""
+    line structure).  ``Rh``/``Ys``/``Ysh`` as in :func:`build_ybus`."""
     if not settings.stable_mismatch:
         return None, None
-    full = build_line_ybus(net, settings, Rh=Rh)
+    full = build_line_ybus(net, settings, Rh=Rh, Ys=Ys, Ysh=Ysh)
     fund = LineYbus(Ys=full.Ys[:1], a_ff=full.a_ff, inv_tau=full.inv_tau,
                     shift=full.shift, d=full.d[:1],
                     f_idx=full.f_idx, t_idx=full.t_idx)

@@ -272,3 +272,14 @@ def test_report_p1459_flag(capsys):
             if ln.strip() and ln.split()[0].isdigit()
             and "IEEE 1459" not in ln]
     assert len(rows) >= 4
+
+
+def test_solve_long_line_flag(capsys):
+    # net2 lines have B=0 -> the corrected solve is identical physics
+    rc = main(["solve", *NET2, "--long-line"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "converged=True" in out
+    rc2 = main(["solve", *NET2, "--long-line", "--skin", "cigre_oh"])
+    assert rc2 == 0
+    with pytest.raises(SystemExit, match="--long-line cannot combine"):
+        main(["solve", *NET2, "--long-line", "--seq-aware"])
