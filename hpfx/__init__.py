@@ -22,6 +22,10 @@ from .ne_pipeline import (MeasurementSet, NortonFit, device_set_from_fit,
                           export_ne_csv, export_opendss_spectrum,
                           fit_norton_from_measurements, load_measurements_mat)
 from .lineskin import line_resistance, skin_ratio, skin_structures
+from .converters import (converter_device_set, converter_warm_start,
+                         six_pulse_spectrum,
+                         synth_waveform, table_spectrum,
+                         twelve_pulse_spectrum)
 from .longline import (electrical_length, longline_factors,
                        longline_structures)
 from .matpower import load_matpower, parse_matpower
@@ -103,6 +107,9 @@ __all__ = [
     "damped_structures",
     "line_resistance", "skin_ratio", "skin_structures",
     "electrical_length", "longline_factors", "longline_structures",
+    "converter_device_set", "converter_warm_start",
+    "six_pulse_spectrum", "twelve_pulse_spectrum",
+    "table_spectrum", "synth_waveform",
     "SequenceSet", "sequence_components", "phase_components",
     "balanced_phases", "classify_orders", "triplen_mask",
     "neutral_current", "delta_blocked",
