@@ -31,7 +31,8 @@ from .longline import (electrical_length, longline_factors,
 from .matpower import load_matpower, parse_matpower
 from .loadmodel import damped_structures, linear_load_admittance
 from .network import Network, load_network, network_from_arrays
-from .results import THD, HPFReport, get_thd, report, voltage_phasors
+from .results import (THD, HPFReport, WaveformMetrics, get_thd, report,
+                      voltage_phasors, waveform, waveform_metrics)
 from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
                     hpf_single, hpf_sweep, hpf_sweep_adaptive,
                     hpf_sweep_continuation, hpf_sweep_device,
@@ -134,6 +135,7 @@ __all__ = [
     "FundResult", "pf", "solve_fundamental",
     "HPFResult", "hpf", "solve_harmonic",
     "THD", "HPFReport", "get_thd", "report", "voltage_phasors",
+    "WaveformMetrics", "waveform", "waveform_metrics",
     "Scenarios", "SweepSummary", "hpf_single", "hpf_sweep",
     "hpf_sweep_adaptive", "hpf_sweep_continuation",
     "hpf_sweep_device",

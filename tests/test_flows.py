@@ -407,3 +407,48 @@ def test_line_power_indices_on_solved_network():
 
     with pytest.raises(ValueError):
         hpfx.line_power_indices(net, s, res.V_m, res.V_a, side="mid")
+
+
+def test_waveform_metrics_analytic():
+    """Crest/form/rms against closed-form sine + flat-top/peaked cases."""
+    import jax
+
+    hs = (1, 3)
+    # pure sine: crest = sqrt(2), form = pi/(2 sqrt(2)), rms = V1
+    V_m = jnp.asarray([[0.97], [0.0]])
+    V_a = jnp.zeros((2, 1))
+    wm = hpfx.waveform_metrics(V_m, V_a, hs)
+    assert float(wm.rms[0]) == pytest.approx(0.97, rel=1e-12)
+    assert float(wm.crest[0]) == pytest.approx(np.sqrt(2), rel=1e-5)
+    assert float(wm.form[0]) == pytest.approx(np.pi / (2 * np.sqrt(2)),
+                                              rel=1e-4)
+    # 3rd in antiphase at the peak flattens the top (crest < sqrt2);
+    # in phase it peaks the wave (crest > sqrt2)
+    flat = hpfx.waveform_metrics(jnp.asarray([[1.0], [0.1]]),
+                                 jnp.asarray([[0.0], [np.pi]]), hs)
+    peaky = hpfx.waveform_metrics(jnp.asarray([[1.0], [0.1]]),
+                                  jnp.asarray([[0.0], [0.0]]), hs)
+    assert float(flat.crest[0]) < np.sqrt(2) < float(peaky.crest[0])
+    # Parseval rms
+    assert float(flat.rms[0]) == pytest.approx(np.hypot(1.0, 0.1),
+                                               rel=1e-12)
+    # dense numpy oracle for the peak
+    th = np.linspace(0, 2 * np.pi, 1 << 16, endpoint=False)
+    v = np.sqrt(2) * (np.cos(th) + 0.1 * np.cos(3 * th))
+    assert float(peaky.peak[0]) == pytest.approx(np.abs(v).max(), rel=1e-6)
+    # jit-safety (batched)
+    f = jax.jit(lambda m, a: hpfx.waveform_metrics(m, a, hs))
+    out = f(jnp.ones((2, 5)), jnp.zeros((2, 5)))
+    assert out.crest.shape == (5,)
+
+
+def test_waveform_on_solved_network():
+    s, net, dev, res = _solved("net2")
+    theta, v = hpfx.waveform(res.V_m, res.V_a, s.harmonics, 512)
+    assert v.shape == (512, net.n)
+    wm = hpfx.waveform_metrics(res.V_m, res.V_a, s.harmonics)
+    # distorted buses deviate from the clean-sine crest; slack stays clean
+    assert abs(float(wm.crest[0]) - np.sqrt(2)) < 1e-3
+    assert np.abs(np.asarray(wm.crest[2:]) - np.sqrt(2)).min() > 0.01
+    # true rms >= fundamental rms everywhere
+    assert (np.asarray(wm.rms) >= np.asarray(res.V_m[0]) - 1e-12).all()
