@@ -89,3 +89,31 @@ def test_even_and_sparse_harmonic_sets():
     Y = hpfx.build_ybus(net, s).to_numpy()
     np.testing.assert_allclose(Y[1, 0, 1], -1 / (0.01 + 1j * 0.05 * 2))
     np.testing.assert_allclose(Y[2, 0, 1], -1 / (0.01 + 1j * 0.05 * 7))
+
+
+def test_interharmonic_orders():
+    """Non-integer (interharmonic) orders — cycloconverter/arc-furnace
+    sidebands — ride the whole stack: the harmonic axis is a float grid
+    everywhere (Ybus h-scaling, NE coupling, THD)."""
+    s = hpfx.Settings(harmonics=(1, 2.47, 5.0, 7.13), coupled=True)
+    net = hpfx.network_from_arrays(
+        bus_types=(SLACK, NONLINEAR), components=("g", "d"),
+        P=[0, 0.1], Q=[0, 0.05], X_sh=[0.001, 0],
+        line_from=[0], line_to=[1], R=[0.01], X=[0.05], settings=s)
+    rng = np.random.default_rng(0)
+    H = len(s.harmonics)
+    Y_N = 0.3 * (rng.normal(size=(H, H)) + 1j * rng.normal(size=(H, H)))
+    I_N = 0.05 * (rng.normal(size=H) + 1j * rng.normal(size=H))
+    dev = device_set_from_arrays(I_N, Y_N, coupled=True, settings=s)
+    res = hpfx.hpf(net, dev, s)
+    assert bool(res.converged)
+    # reactances scale with the exact non-integer order
+    Y = hpfx.build_ybus(net, s).to_numpy()
+    np.testing.assert_allclose(Y[1, 0, 1], -1 / (0.01 + 1j * 0.05 * 2.47))
+    np.testing.assert_allclose(Y[3, 0, 1], -1 / (0.01 + 1j * 0.05 * 7.13))
+    # frequency map follows
+    assert s.harmonics_freq[1] == pytest.approx(123.5)
+    # post-processing rides the float axis
+    assert float(hpfx.get_thd(res.V_m).THD_F[1]) > 0.01
+    wm = hpfx.waveform_metrics(res.V_m, res.V_a, s.harmonics, 4096)
+    assert np.isfinite(float(wm.crest[1]))
