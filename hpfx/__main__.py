@@ -59,8 +59,47 @@ def _load(args):
         net = hpfx.load_network(args.buses, args.lines, s)
     else:
         raise SystemExit("provide --buses/--lines or --matpower")
-    dev = hpfx.load_device_set(net, s, search_dirs=tuple(args.ne_dir))
+    if getattr(args, "converter", None):
+        dev = _converter_devices(args, net, s)
+    else:
+        dev = hpfx.load_device_set(net, s, search_dirs=tuple(args.ne_dir))
     return s, net, dev
+
+
+def _converter_devices(args, net, s):
+    """Build a DeviceSet from --converter BUS:KIND:I1[:ALPHA[:MU]] flags
+    (angles in degrees) — every nonlinear bus needs one."""
+    import numpy as np
+    import hpfx
+    by_bus = {}
+    for item in args.converter:
+        parts = item.split(":")
+        if len(parts) < 3:
+            raise SystemExit(f"--converter wants BUS:KIND:I1[:ALPHA[:MU]],"
+                             f" got {item!r}")
+        bus, kind, i1 = int(parts[0]), parts[1], float(parts[2])
+        alpha = np.deg2rad(float(parts[3])) if len(parts) > 3 else 0.0
+        mu = np.deg2rad(float(parts[4])) if len(parts) > 4 else 0.0
+        by_bus[bus] = {"kind": kind, "I1": i1, "alpha": alpha, "mu": mu}
+    nl_buses = list(range(net.m, net.n))
+    missing = [b for b in nl_buses if b not in by_bus]
+    extra = [b for b in by_bus if b not in nl_buses]
+    if missing or extra:
+        raise SystemExit(f"--converter must cover exactly the nonlinear "
+                         f"buses {nl_buses} (missing {missing}, "
+                         f"extra {extra})")
+    return hpfx.converter_device_set(net, s, [by_bus[b] for b in nl_buses])
+
+
+def _converter_v0(args, net, s, dev, Y=None):
+    """Exact linear harmonic seed when the devices came from --converter
+    (stiff current sources NaN from the flat start; hpfx.converters)."""
+    import hpfx
+    if not getattr(args, "converter", None):
+        return None
+    if getattr(args, "seq_aware", False):
+        return None          # the blended-Y seed isn't wired up
+    return hpfx.converter_warm_start(net, s, dev, Y=Y)
 
 
 def _add_common(p):
@@ -84,6 +123,11 @@ def _add_common(p):
     p.add_argument("--ne-dir", action="append",
                    default=None, help="extra NE-table search dir "
                    "(repeatable; the packaged tables are always searched)")
+    p.add_argument("--converter", action="append", default=None,
+                   metavar="BUS:KIND:I1[:ALPHA[:MU]]",
+                   help="analytic converter instead of NE tables "
+                   "(repeatable; KIND six_pulse|twelve_pulse, I1 pu, "
+                   "ALPHA/MU deg; must cover every nonlinear bus)")
 
 
 def cmd_solve(args) -> int:
@@ -136,6 +180,7 @@ def cmd_solve(args) -> int:
             record_trajectory=bool(args.vlog), I_bg=I_bg, Y_diag=Y_diag)
     else:
         res = hpfx.hpf(net, dev, s, Y=Y,
+                       V0=_converter_v0(args, net, s, dev, Y=Y),
                        record_trajectory=bool(args.vlog),
                        I_bg=I_bg, Y_diag=Y_diag)
     dt = time.perf_counter() - t0
@@ -262,7 +307,7 @@ def cmd_report(args) -> int:
     import hpfx
 
     s, net, dev = _load(args)
-    res = hpfx.hpf(net, dev, s)
+    res = hpfx.hpf(net, dev, s, V0=_converter_v0(args, net, s, dev))
     if not bool(np.asarray(res.converged)):
         print("HPF did not converge — no report")
         return 2

@@ -283,3 +283,17 @@ def test_solve_long_line_flag(capsys):
     assert rc2 == 0
     with pytest.raises(SystemExit, match="--long-line cannot combine"):
         main(["solve", *NET2, "--long-line", "--seq-aware"])
+
+
+def test_solve_converter_devices(capsys):
+    rc = main(["solve", *NET2, "--converter", "3:six_pulse:0.1:15:5"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "converged=True" in out
+    # report rides the same devices
+    rc2 = main(["report", *NET2, "--converter", "3:twelve_pulse:0.2"])
+    out2 = capsys.readouterr().out
+    assert rc2 in (0, 3) and "IEEE-519" in out2
+    with pytest.raises(SystemExit, match="must cover exactly"):
+        main(["solve", *NET2, "--converter", "2:six_pulse:0.1"])
+    with pytest.raises(SystemExit, match="BUS:KIND:I1"):
+        main(["solve", *NET2, "--converter", "2:six_pulse"])
