@@ -22,6 +22,7 @@ from .ne_pipeline import (MeasurementSet, NortonFit, device_set_from_fit,
                           export_ne_csv, export_opendss_spectrum,
                           fit_norton_from_measurements, load_measurements_mat)
 from .lineskin import line_resistance, skin_ratio, skin_structures
+from .activefilter import ActiveFilterSizing, size_active_filter
 from .converters import (converter_device_set, converter_warm_start,
                          six_pulse_spectrum,
                          synth_waveform, table_spectrum,
@@ -108,6 +109,7 @@ __all__ = [
     "damped_structures",
     "line_resistance", "skin_ratio", "skin_structures",
     "electrical_length", "longline_factors", "longline_structures",
+    "ActiveFilterSizing", "size_active_filter",
     "converter_device_set", "converter_warm_start",
     "six_pulse_spectrum", "twelve_pulse_spectrum",
     "table_spectrum", "synth_waveform",

@@ -413,6 +413,28 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_afilter(args) -> int:
+    import numpy as np
+    import hpfx
+
+    s, net, dev = _load(args)
+    out = hpfx.size_active_filter(
+        net, dev, s, bus=args.bus,
+        orders=[int(o) for o in args.orders] if args.orders else None,
+        residual=args.residual,
+        V0=_converter_v0(args, net, s, dev))
+    print(f"active filter at bus {args.bus}: THD {out.thd_before:.4f} -> "
+          f"{out.thd_after:.4f}, rating {out.rating_rms:.4f} pu rms "
+          f"({out.n_solves} HPF solves, misfit {out.misfit:.2e})")
+    ic = np.asarray(out.I_c.re) + 1j * np.asarray(out.I_c.im)
+    print(f"{'h':>4} {'|I_c| [pu]':>11} {'angle [deg]':>12}")
+    for k, h in enumerate(s.harmonics):
+        if abs(ic[k]) > 0:
+            print(f"{h:>4} {abs(ic[k]):>11.5f} "
+                  f"{np.degrees(np.angle(ic[k])):>12.2f}")
+    return 0 if bool(np.asarray(out.result.converged)) else 2
+
+
 def cmd_place(args) -> int:
     import numpy as np
     import hpfx
@@ -755,6 +777,19 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--lr", type=float, default=0.05)
     pf.add_argument("--x-cap0", dest="x_cap0", type=float, default=0.05)
     pf.set_defaults(fn=cmd_filter)
+
+    pa = sub.add_parser("afilter",
+                        help="size a shunt active filter (compensating "
+                             "injection spectrum + rating)")
+    _add_common(pa)
+    pa.add_argument("--bus", type=int, required=True,
+                    help="bus carrying the active filter")
+    pa.add_argument("--orders", type=int, nargs="+", default=None,
+                    help="orders to compensate (default: all solved)")
+    pa.add_argument("--residual", type=float, default=0.05,
+                    help="voltage fraction left at the targeted orders "
+                         "(default 0.05; exactly 0 is polar-singular)")
+    pa.set_defaults(fn=cmd_afilter)
 
     pp = sub.add_parser("place",
                         help="screen shunt-filter placements (one "

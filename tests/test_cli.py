@@ -297,3 +297,14 @@ def test_solve_converter_devices(capsys):
         main(["solve", *NET2, "--converter", "2:six_pulse:0.1"])
     with pytest.raises(SystemExit, match="BUS:KIND:I1"):
         main(["solve", *NET2, "--converter", "2:six_pulse"])
+
+
+def test_afilter_command(capsys):
+    rc = main(["afilter", *NET2, "--bus", "3", "--orders", "5", "7"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "active filter at bus 3" in out and "rating" in out
+    # exactly the two targeted orders in the spectrum table
+    rows = [ln for ln in out.splitlines()
+            if ln.strip().startswith(("5 ", "7 "))]
+    assert len(rows) == 2
