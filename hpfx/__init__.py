@@ -23,6 +23,7 @@ from .ne_pipeline import (MeasurementSet, NortonFit, device_set_from_fit,
                           fit_norton_from_measurements, load_measurements_mat)
 from .lineskin import line_resistance, skin_ratio, skin_structures
 from .activefilter import ActiveFilterSizing, size_active_filter
+from .opendss import device_spectra_at_nominal, export_opendss_case
 from .converters import (converter_device_set, converter_warm_start,
                          six_pulse_spectrum,
                          synth_waveform, table_spectrum,
@@ -110,6 +111,7 @@ __all__ = [
     "line_resistance", "skin_ratio", "skin_structures",
     "electrical_length", "longline_factors", "longline_structures",
     "ActiveFilterSizing", "size_active_filter",
+    "export_opendss_case", "device_spectra_at_nominal",
     "converter_device_set", "converter_warm_start",
     "six_pulse_spectrum", "twelve_pulse_spectrum",
     "table_spectrum", "synth_waveform",

@@ -435,6 +435,17 @@ def cmd_afilter(args) -> int:
     return 0 if bool(np.asarray(out.result.converged)) else 2
 
 
+def cmd_export(args) -> int:
+    import hpfx
+
+    s, net, dev = _load(args)
+    n_def = hpfx.export_opendss_case(net, dev, s, args.dss)
+    print(f"wrote {n_def} OpenDSS element definitions to {args.dss} "
+          f"({net.n} buses, {net.n_lines} branches, "
+          f"{net.n_nonlinear} device spectra)")
+    return 0
+
+
 def cmd_place(args) -> int:
     import numpy as np
     import hpfx
@@ -790,6 +801,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="voltage fraction left at the targeted orders "
                          "(default 0.05; exactly 0 is polar-singular)")
     pa.set_defaults(fn=cmd_afilter)
+
+    px = sub.add_parser("export",
+                        help="write the case as a runnable OpenDSS "
+                             ".dss script (harmonics-mode solve)")
+    _add_common(px)
+    px.add_argument("--dss", required=True, help="output .dss path")
+    px.set_defaults(fn=cmd_export)
 
     pp = sub.add_parser("place",
                         help="screen shunt-filter placements (one "

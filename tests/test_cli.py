@@ -308,3 +308,12 @@ def test_afilter_command(capsys):
     rows = [ln for ln in out.splitlines()
             if ln.strip().startswith(("5 ", "7 "))]
     assert len(rows) == 2
+
+
+def test_export_opendss_command(tmp_path, capsys):
+    dss = tmp_path / "case.dss"
+    rc = main(["export", *NET2, "--dss", str(dss)])
+    out = capsys.readouterr().out
+    assert rc == 0 and "OpenDSS element definitions" in out
+    txt = dss.read_text()
+    assert "New Circuit.hpfx" in txt and "Solve mode=harmonics" in txt
