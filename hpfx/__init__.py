@@ -88,8 +88,9 @@ from .sensitivity import (FilterParams, LineParams, ScenarioParams,
 from .studies import (PercentileComplianceReport, PlanningLevelReport,
                       QuantileAssessment, assess_quantiles,
                       check_planning_levels, daily_profile,
-                      percentile_compliance, profile_scenarios,
-                      run_timeseries, summarize_quantiles)
+                      metric_quantiles, percentile_compliance,
+                      profile_scenarios, run_timeseries,
+                      summarize_quantiles)
 from .threephase import (AllocationStudy, PhaseFlows, ThreePhaseResult,
                          abc_admittance, allocation_study,
                          line_phase_flows, phase_injections,
@@ -130,6 +131,7 @@ __all__ = [
     "device_outage_scenarios",
     "QuantileAssessment", "PlanningLevelReport",
     "PercentileComplianceReport", "assess_quantiles",
+    "metric_quantiles",
     "summarize_quantiles", "check_planning_levels", "profile_scenarios",
     "run_timeseries", "percentile_compliance", "daily_profile",
     "DeviceSet", "AnalyticDeviceSet", "DeviceLibrary", "load_device_set",

@@ -128,6 +128,27 @@ def summarize_quantiles(result: HPFResult, settings: Settings, *,
         n_samples=int(conv.shape[0]))
 
 
+def metric_quantiles(result: HPFResult, settings: Settings, metric, *,
+                     quantiles: Sequence[float] = (0.5, 0.95, 0.99)):
+    """Quantiles of ANY per-scenario metric over a solved batched sweep
+    — the generic companion of :func:`summarize_quantiles` for
+    quantities beyond THD (crest factor, IEEE 1459 power factors,
+    line-flow quantities...).
+
+    ``metric(V_m (H, n), V_a (H, n)) -> array`` is vmapped over the
+    batch; non-converged scenarios are masked out of the statistics.
+    Returns ``(Q, ...)`` with the quantile axis first.  Example::
+
+        crest_q = metric_quantiles(
+            sweep, s, lambda m, a: waveform_metrics(m, a, s.harmonics).crest)
+    """
+    q = jnp.asarray(quantiles, jnp.float64
+                    if jax.config.jax_enable_x64 else jnp.float32)
+    vals = jax.vmap(metric)(result.V_m, result.V_a)
+    conv = jnp.asarray(result.converged, bool)
+    return jnp.nanquantile(_masked_rows(vals, conv), q, axis=0)
+
+
 class PlanningLevelReport(NamedTuple):
     """Per-order planning-level check of a percentile assessment.
 

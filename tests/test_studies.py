@@ -161,3 +161,29 @@ def test_daily_profile_shape():
     assert prof.min() >= 0.7 - 1e-12 and prof.max() <= 1.15 + 1e-12
     # the peak lands at the requested hour (t = hour/24*T)
     assert abs(int(np.argmax(prof)) - int(19.0 / 24 * 96)) <= 1
+
+
+def test_metric_quantiles_generic(net2):
+    """Crest-factor quantiles over a sweep: vmapped metric + convergence
+    masking must agree with a per-scenario numpy loop."""
+    s, net, dev = net2
+    B = 12
+    rng = np.random.default_rng(5)
+    scen = hpfx.Scenarios(
+        p_scale=jnp.asarray(rng.uniform(0.9, 1.1, B), s.real_dtype),
+        injection_scale=jnp.asarray(rng.uniform(0.3, 1.2, B),
+                                    s.real_dtype))
+    sweep = hpfx.solve.hpf_sweep(net, dev, s, scen)
+    metric = lambda m, a: hpfx.waveform_metrics(m, a, s.harmonics).crest
+    q = hpfx.metric_quantiles(sweep, s, metric, quantiles=(0.5, 0.95))
+    assert q.shape == (2, net.n)
+    conv = np.asarray(sweep.converged, bool)
+    rows = np.stack([np.asarray(metric(sweep.V_m[b], sweep.V_a[b]))
+                     for b in range(B) if conv[b]])
+    np.testing.assert_allclose(np.asarray(q)[0],
+                               np.quantile(rows, 0.5, axis=0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(q)[1],
+                               np.quantile(rows, 0.95, axis=0),
+                               rtol=1e-12)
+    # quantile of a clean-sine bus stays at sqrt(2)
+    assert abs(float(q[1, 0]) - np.sqrt(2)) < 1e-3
