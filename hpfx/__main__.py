@@ -418,20 +418,25 @@ def cmd_afilter(args) -> int:
     import hpfx
 
     s, net, dev = _load(args)
+    buses = args.bus[0] if len(args.bus) == 1 else list(args.bus)
     out = hpfx.size_active_filter(
-        net, dev, s, bus=args.bus,
+        net, dev, s, bus=buses,
         orders=[int(o) for o in args.orders] if args.orders else None,
         residual=args.residual,
         V0=_converter_v0(args, net, s, dev))
-    print(f"active filter at bus {args.bus}: THD {out.thd_before:.4f} -> "
-          f"{out.thd_after:.4f}, rating {out.rating_rms:.4f} pu rms "
-          f"({out.n_solves} HPF solves, misfit {out.misfit:.2e})")
-    ic = np.asarray(out.I_c.re) + 1j * np.asarray(out.I_c.im)
-    print(f"{'h':>4} {'|I_c| [pu]':>11} {'angle [deg]':>12}")
-    for k, h in enumerate(s.harmonics):
-        if abs(ic[k]) > 0:
-            print(f"{h:>4} {abs(ic[k]):>11.5f} "
-                  f"{np.degrees(np.angle(ic[k])):>12.2f}")
+    t0, t1 = np.atleast_1d(out.thd_before), np.atleast_1d(out.thd_after)
+    rat = np.atleast_1d(out.rating_rms)
+    ic = np.atleast_2d(np.asarray(out.I_c.re) + 1j * np.asarray(out.I_c.im))
+    for j, b in enumerate(np.atleast_1d(buses)):
+        print(f"active filter at bus {b}: THD {t0[j]:.4f} -> "
+              f"{t1[j]:.4f}, rating {rat[j]:.4f} pu rms")
+    print(f"({out.n_solves} HPF solves, misfit {out.misfit:.2e})")
+    print(f"{'bus':>4} {'h':>4} {'|I_c| [pu]':>11} {'angle [deg]':>12}")
+    for j, b in enumerate(np.atleast_1d(buses)):
+        for k, h in enumerate(s.harmonics):
+            if abs(ic[j, k]) > 0:
+                print(f"{b:>4} {h:>4} {abs(ic[j, k]):>11.5f} "
+                      f"{np.degrees(np.angle(ic[j, k])):>12.2f}")
     return 0 if bool(np.asarray(out.result.converged)) else 2
 
 
@@ -793,8 +798,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="size a shunt active filter (compensating "
                              "injection spectrum + rating)")
     _add_common(pa)
-    pa.add_argument("--bus", type=int, required=True,
-                    help="bus carrying the active filter")
+    pa.add_argument("--bus", type=int, required=True, nargs="+",
+                    help="bus(es) carrying the active filter "
+                         "(several = one co-sized bank)")
     pa.add_argument("--orders", type=int, nargs="+", default=None,
                     help="orders to compensate (default: all solved)")
     pa.add_argument("--residual", type=float, default=0.05,

@@ -46,9 +46,10 @@ __all__ = ["ActiveFilterSizing", "size_active_filter"]
 
 
 class ActiveFilterSizing(NamedTuple):
-    """``I_c``: (H,) compensating spectrum at the bus (I_bg sign
-    convention — positive injects INTO the bus; zeros at uncompensated
-    orders).  ``I_bg``: the (H, n) array ready for ``hpf(...,
+    """``I_c``: (H,) compensating spectrum at the bus — (n_b, H) and
+    per-bus ``rating_rms``/``thd_*`` arrays when a bus LIST was sized
+    (I_bg sign convention — positive injects INTO the bus; zeros at
+    uncompensated orders).  ``I_bg``: the (H, n) array ready for ``hpf(...,
     I_bg=...)`` / further composition (includes any pre-existing
     background).  ``rating_rms``: the filter's current rating
     ``sqrt(Σ_h |I_c,h|²)`` [pu].  ``thd_before``/``thd_after``: THD_F
@@ -70,9 +71,11 @@ def size_active_filter(net: Network, devices, settings: Settings,
                        residual: float = 0.05, steps: int = 20,
                        bound: float = 100.0, V0=None,
                        tol: float = 1e-12) -> ActiveFilterSizing:
-    """Size a shunt active filter at ``bus``: the injection spectrum
-    collapsing every targeted harmonic voltage to ``residual``·V_h
-    (complex target at the base phase — the COMPLEX residual keeps the
+    """Size a shunt active filter at ``bus`` (an int, or a list of
+    buses for a CO-SIZED bank — one LM fit over every compensator's
+    spectrum jointly, each bus targeting its own voltage): the
+    injection spectrum collapsing every targeted harmonic voltage to
+    ``residual``·V_h (complex target at the base phase — the COMPLEX residual keeps the
     fit nearly linear in the parameters, unlike the magnitude-only
     estimator: the network response to I_c is linear and only the
     device reaction is not).
@@ -95,8 +98,13 @@ def size_active_filter(net: Network, devices, settings: Settings,
     rd = settings.real_dtype
     hs = [int(h) for h in settings.harmonics]
     H, n, m, c = len(hs), net.n, net.m, net.c
-    if not 0 <= int(bus) < n:
-        raise ValueError(f"bus {bus} out of range (n={n})")
+    single = np.isscalar(bus) or isinstance(bus, (int, np.integer))
+    buses = [int(bus)] if single else [int(b) for b in bus]
+    for b in buses:
+        if not 0 <= b < n:
+            raise ValueError(f"bus {b} out of range (n={n})")
+    if len(set(buses)) != len(buses):
+        raise ValueError(f"duplicate buses in {buses}")
     if orders is None:
         orders = tuple(hs[1:])
     orders = tuple(int(o) for o in orders)
@@ -105,29 +113,30 @@ def size_active_filter(net: Network, devices, settings: Settings,
             raise ValueError(f"order {o} not compensatable (fundamental "
                              f"or outside the harmonic grid)")
     k_idx = jnp.asarray([hs.index(o) for o in orders], jnp.int32)
-    bus = int(bus)
+    nb = len(buses)
+    bus_j = jnp.asarray(buses, jnp.int32)
 
     base = hpf(net, devices, settings, V0=V0)
     if not bool(np.asarray(base.converged)):
         raise RuntimeError("base HPF does not converge — nothing to size "
                            "against")
-    thd0 = float(get_thd(base.V_m).THD_F[bus])
+    thd0 = np.asarray(get_thd(base.V_m).THD_F)[buses]     # (nb,)
 
     # complex target: the base phasors scaled at the compensated rows
-    Vb = cx.polar(base.V_m[:, bus], base.V_a[:, bus])     # (H,)
+    Vb = cx.polar(base.V_m[:, bus_j], base.V_a[:, bus_j])  # (H, nb)
     tgt = Cx(Vb.re[k_idx] * float(residual),
-             Vb.im[k_idx] * float(residual))              # (K,)
+             Vb.im[k_idx] * float(residual))               # (K, nb)
 
-    def make_ibg(th):
-        i = Cx(jnp.zeros(H, rd).at[k_idx].set(th[:, 0]),
-               jnp.zeros(H, rd).at[k_idx].set(th[:, 1]))
+    def make_ibg(th):                                      # th (nb, K, 2)
         z = jnp.zeros((H, n), rd)
-        return Cx(z.at[:, bus].set(i.re), z.at[:, bus].set(i.im))
+        re = z.at[k_idx[None, :], bus_j[:, None]].add(th[:, :, 0])
+        im = z.at[k_idx[None, :], bus_j[:, None]].add(th[:, :, 1])
+        return Cx(re, im)
 
     def project(th):
         return jnp.clip(th, -float(bound), float(bound))
 
-    theta = jnp.zeros((len(orders), 2), rd)
+    theta = jnp.zeros((nb, len(orders), 2), rd)
 
     @jax.jit
     def solve(th, V0):
@@ -154,8 +163,9 @@ def size_active_filter(net: Network, devices, settings: Settings,
 
         def r_of_x(x):
             Vm2, Va2 = update_harmonic_voltages(V_m, V_a, x, H, n, c)
-            V = cx.polar(Vm2[k_idx, bus], Va2[k_idx, bus])
-            return jnp.concatenate([V.re - tgt.re, V.im - tgt.im])
+            V = cx.polar(Vm2[:, bus_j][k_idx], Va2[:, bus_j][k_idx])
+            return jnp.concatenate([(V.re - tgt.re).ravel(),
+                                    (V.im - tgt.im).ravel()])
 
         r = r_of_x(x_star)
         J = jax.jacfwd(r_of_x)(x_star) @ dx_cols
@@ -165,15 +175,21 @@ def size_active_filter(net: Network, devices, settings: Settings,
     fit = _lm_fit(theta, project, solve, solve_cold, rj_at,
                   steps=steps, lm_lambda0=1e-3, tol=tol, rd=rd)
 
-    th = np.asarray(fit.scales)
-    i_c = np.zeros(H, complex)
-    i_c[np.asarray(k_idx)] = th[:, 0] + 1j * th[:, 1]
-    I_c = cx.from_numpy(i_c, rd)
-    I_bg = cx.zeros((H, n), rd).at_add((slice(None), bus), I_c)
+    th = np.asarray(fit.scales)                            # (nb, K, 2)
+    i_c = np.zeros((nb, H), complex)
+    i_c[:, np.asarray(k_idx)] = th[:, :, 0] + 1j * th[:, :, 1]
+    I_c = cx.from_numpy(i_c[0] if single else i_c, rd)
+    bg = np.zeros((H, n), complex)
+    for j, b in enumerate(buses):
+        bg[:, b] += i_c[j]
+    I_bg = cx.from_numpy(bg, rd)
     res = hpf(net, devices, settings, V0=V0, I_bg=I_bg)
-    thd1 = float(get_thd(res.V_m).THD_F[bus])
-    rating = float(np.sqrt((np.abs(i_c) ** 2).sum()))
-    return ActiveFilterSizing(I_c=I_c, I_bg=I_bg, rating_rms=rating,
-                              thd_before=thd0, thd_after=thd1,
-                              result=res, misfit=float(fit.misfit),
-                              n_solves=int(fit.n_solves))
+    thd1 = np.asarray(get_thd(res.V_m).THD_F)[buses]
+    rating = np.sqrt((np.abs(i_c) ** 2).sum(axis=1))
+    return ActiveFilterSizing(
+        I_c=I_c, I_bg=I_bg,
+        rating_rms=float(rating[0]) if single else rating,
+        thd_before=float(thd0[0]) if single else thd0,
+        thd_after=float(thd1[0]) if single else thd1,
+        result=res, misfit=float(fit.misfit),
+        n_solves=int(fit.n_solves))

@@ -104,3 +104,20 @@ def test_sizer_input_validation():
         size_active_filter(net, dev, s, bus=3, orders=[1])
     with pytest.raises(ValueError, match="not compensatable"):
         size_active_filter(net, dev, s, bus=3, orders=[4])
+
+
+def test_cosized_bank_two_buses():
+    """Bus-list sizing: one joint LM fit, each bus hitting its own
+    residual target (the single-bus path is the len-1 special case)."""
+    s, net, dev = make_setup(("net2", 25, True))
+    out = size_active_filter(net, dev, s, bus=[2, 3], residual=0.05)
+    assert bool(np.asarray(out.result.converged))
+    assert out.I_c.shape == (2, len(s.harmonics))
+    assert out.rating_rms.shape == (2,) and (out.rating_rms > 0).all()
+    base = hpfx.hpf(net, dev, s)
+    vb = np.asarray(base.V_m)[1:, [2, 3]]
+    va = np.asarray(out.result.V_m)[1:, [2, 3]]
+    np.testing.assert_allclose(va, 0.05 * vb, rtol=1e-3)
+    assert (out.thd_after < 0.1 * out.thd_before).all()
+    with pytest.raises(ValueError, match="duplicate"):
+        size_active_filter(net, dev, s, bus=[3, 3])

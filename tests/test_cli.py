@@ -304,10 +304,10 @@ def test_afilter_command(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "active filter at bus 3" in out and "rating" in out
-    # exactly the two targeted orders in the spectrum table
-    rows = [ln for ln in out.splitlines()
-            if ln.strip().startswith(("5 ", "7 "))]
-    assert len(rows) == 2
+    # exactly the two targeted orders in the spectrum table (bus, h, ...)
+    rows = [ln.split() for ln in out.splitlines()
+            if ln.strip().startswith("3 ")]
+    assert [r[1] for r in rows] == ["5", "7"]
 
 
 def test_export_opendss_command(tmp_path, capsys):
@@ -317,3 +317,11 @@ def test_export_opendss_command(tmp_path, capsys):
     assert rc == 0 and "OpenDSS element definitions" in out
     txt = dss.read_text()
     assert "New Circuit.hpfx" in txt and "Solve mode=harmonics" in txt
+
+
+def test_afilter_bank_cli(capsys):
+    rc = main(["afilter", *NET2, "--bus", "2", "3", "--orders", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "active filter at bus 2" in out
+    assert "active filter at bus 3" in out
