@@ -24,7 +24,8 @@ from .ne_pipeline import (MeasurementSet, NortonFit, device_set_from_fit,
 from .lineskin import line_resistance, skin_ratio, skin_structures
 from .activefilter import ActiveFilterSizing, size_active_filter
 from .opendss import device_spectra_at_nominal, export_opendss_case
-from .converters import (converter_device_set, converter_warm_start,
+from .converters import (NotchReport, converter_device_set,
+                         converter_warm_start, notch_analysis,
                          six_pulse_spectrum,
                          synth_waveform, table_spectrum,
                          twelve_pulse_spectrum)
@@ -114,6 +115,7 @@ __all__ = [
     "ActiveFilterSizing", "size_active_filter",
     "export_opendss_case", "device_spectra_at_nominal",
     "converter_device_set", "converter_warm_start",
+    "NotchReport", "notch_analysis",
     "six_pulse_spectrum", "twelve_pulse_spectrum",
     "table_spectrum", "synth_waveform",
     "SequenceSet", "sequence_components", "phase_components",

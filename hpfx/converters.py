@@ -49,7 +49,7 @@ populates every order.
 from __future__ import annotations
 
 from collections.abc import Mapping
-from typing import Sequence, Union
+from typing import NamedTuple, Sequence, Union
 
 import numpy as np
 
@@ -59,7 +59,8 @@ from .network import Network
 
 __all__ = ["six_pulse_spectrum", "twelve_pulse_spectrum", "table_spectrum",
            "converter_device_set", "converter_warm_start",
-           "synth_waveform"]
+           "synth_waveform", "NotchReport", "notch_analysis",
+           "NOTCH_LIMITS"]
 
 
 def _sinc(x):
@@ -211,6 +212,81 @@ def converter_warm_start(net: Network, settings: Settings,
     V_m = jnp.concatenate([jnp.ones((1, n), rd), V_h.abs()])
     V_a = jnp.concatenate([jnp.zeros((1, n), rd), V_h.angle()])
     return V_m, V_a
+
+
+#: IEEE Std 519 notching limits by application class at the PCC:
+#: (max depth %, max notch area V·µs referenced to a 480 V system —
+#: scale by V/480 above 480 V).  Verify against your standard edition.
+NOTCH_LIMITS = {
+    "special": (10.0, 16400.0),
+    "general": (20.0, 22800.0),
+    "dedicated": (50.0, 36500.0),
+}
+
+
+class NotchReport(NamedTuple):
+    """Commutation-notch quantities at the observation bus.
+
+    ``depth_pct``: notch depth as % of the instantaneous line-line
+    voltage (100 at the converter bus; elsewhere scaled by the
+    reactance divider).  ``width_us``: notch width = commutation angle
+    μ in time units.  ``area_vus``: notch area in volt-microseconds on
+    the physical voltage base.  ``limit_*``/``compliant``: the selected
+    IEEE-519 application-class check."""
+    depth_pct: float
+    width_us: float
+    area_vus: float
+    divider: float
+    limit_depth_pct: float
+    limit_area_vus: float
+    compliant: bool
+
+
+def notch_analysis(net: Network, settings: Settings, converter_bus: int,
+                   *, alpha: float, mu: float,
+                   observe_bus: int = None,
+                   v_class: str = "general") -> NotchReport:
+    """Line-commutation voltage-notch screening (IEEE 519's notching
+    limits — the one distortion mechanism a harmonic-domain solve
+    cannot see, because a notch is a sub-cycle transient whose spectrum
+    spreads far above the solved orders).
+
+    Physics: during commutation the bridge momentarily shorts two
+    phases through the path reactance, collapsing the line-line voltage
+    at the converter bus; at any other bus the notch appears scaled by
+    the fundamental-frequency reactance divider, computed here from the
+    passive nodal impedance matrix as
+    ``|Z_transfer(obs, conv)| / |Z_driving(conv)|`` (exactly the
+    upstream-fraction X_s/(X_s + X_t) on a radial feeder, and the
+    correct generalization on meshed ones).  Notch voltage uses the
+    standard approximation ``V_N = √2·V_LL·sin(α + μ/2)·divider`` and
+    width ``t_N = μ/ω``; ``settings.base_voltage`` is taken as the
+    line-line system voltage.
+    """
+    if v_class not in NOTCH_LIMITS:
+        raise ValueError(f"unknown v_class {v_class!r}: use one of "
+                         f"{tuple(NOTCH_LIMITS)}")
+    if observe_bus is None:
+        observe_bus = converter_bus
+    from .impedance import impedance_scan
+    Z = impedance_scan(net, settings)                  # passive, grounded
+    zc = complex(float(Z.re[0, converter_bus, converter_bus]),
+                 float(Z.im[0, converter_bus, converter_bus]))
+    zt = complex(float(Z.re[0, observe_bus, converter_bus]),
+                 float(Z.im[0, observe_bus, converter_bus]))
+    div = abs(zt) / max(abs(zc), 1e-30)
+    depth = 100.0 * div
+    w = 2.0 * np.pi * settings.net_freq
+    width_us = float(mu) / w * 1e6
+    v_ll = settings.base_voltage
+    v_notch = np.sqrt(2.0) * v_ll * abs(np.sin(alpha + mu / 2.0)) * div
+    area = v_notch * width_us
+    lim_d, lim_a480 = NOTCH_LIMITS[v_class]
+    lim_a = lim_a480 * max(v_ll / 480.0, 1.0)
+    return NotchReport(depth_pct=depth, width_us=width_us,
+                       area_vus=float(area), divider=div,
+                       limit_depth_pct=lim_d, limit_area_vus=lim_a,
+                       compliant=bool(depth <= lim_d and area <= lim_a))
 
 
 def synth_waveform(spectrum, harmonics, n: int = 4096):

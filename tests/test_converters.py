@@ -182,3 +182,56 @@ def test_synth_waveform_round_trip():
     back = (2.0 / len(theta)) * np.exp(
         -1j * np.outer(np.asarray(hs, float), theta)) @ wave
     np.testing.assert_allclose(back, spec, atol=1e-12)
+
+
+def test_notch_analysis_radial_divider():
+    """Radial feeder: the notch divider at the mid bus equals the
+    upstream-reactance fraction X_up/(X_up + X_down) analytically."""
+    from hpfx.converters import notch_analysis
+
+    s = hpfx.settings_for_hmax(5, coupled=False)
+    net = _three_bus(s)                      # slack -0- 1 -2 (converter)
+    alpha, mu = np.deg2rad(25.0), np.deg2rad(12.0)
+    rep_c = notch_analysis(net, s, 2, alpha=alpha, mu=mu)
+    rep_m = notch_analysis(net, s, 2, alpha=alpha, mu=mu, observe_bus=1)
+    # at the converter bus: the full notch
+    assert rep_c.depth_pct == pytest.approx(100.0, rel=1e-9)
+    # mid bus: impedance divider with the slack an ideal (grounded)
+    # source — upstream is line 0 alone, total the series chain:
+    # |0.5+2j| / |1.5+6j| = exactly 1/3 on this proportional feeder
+    assert rep_m.divider == pytest.approx(1.0 / 3.0, rel=1e-9)
+    # width is the commutation angle in time units: 12 deg of 20 ms
+    assert rep_m.width_us == pytest.approx(12.0 / 360.0 * 20000.0,
+                                           rel=1e-12)
+    # area consistency: V_N * t_N
+    v_n = np.sqrt(2) * s.base_voltage * np.sin(alpha + mu / 2) \
+        * rep_m.divider
+    assert rep_m.area_vus == pytest.approx(v_n * rep_m.width_us,
+                                           rel=1e-12)
+    # class plumbing: dedicated is looser than special
+    rep_s = notch_analysis(net, s, 2, alpha=alpha, mu=mu,
+                           observe_bus=1, v_class="special")
+    rep_d = notch_analysis(net, s, 2, alpha=alpha, mu=mu,
+                           observe_bus=1, v_class="dedicated")
+    assert rep_s.limit_depth_pct < rep_d.limit_depth_pct
+    with pytest.raises(ValueError, match="unknown v_class"):
+        notch_analysis(net, s, 2, alpha=alpha, mu=mu, v_class="x")
+
+
+def test_notch_compliance_moves_with_distance():
+    """The notch shrinks upstream: depth and area fall monotonically
+    toward the source, and a deep local notch can violate 'general'
+    while the upstream PCC complies."""
+    from hpfx.converters import notch_analysis
+
+    s = hpfx.settings_for_hmax(5, coupled=False)
+    net = _three_bus(s)
+    alpha, mu = np.deg2rad(30.0), np.deg2rad(15.0)
+    reps = [notch_analysis(net, s, 2, alpha=alpha, mu=mu, observe_bus=b)
+            for b in (2, 1, 0)]
+    depths = [r.depth_pct for r in reps]
+    assert depths[0] > depths[1] > depths[2]
+    areas = [r.area_vus for r in reps]
+    assert areas[0] > areas[1] > areas[2]
+    # converter bus violates the general depth limit (100% > 20%)
+    assert not reps[0].compliant
