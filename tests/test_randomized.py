@@ -86,3 +86,40 @@ def test_ybus_row_sums_are_shunts():
         safe = np.where(xsh != 0, xsh, 1.0)
         expect = np.where((xsh != 0) & (h != 1), 1 / (1j * safe * h), 0)
         np.testing.assert_allclose(rowsum, expect, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_postprocessing_invariants_random_state(seed):
+    """Post-processing identities hold at ARBITRARY (even unconverged)
+    states on random feeders: per-harmonic energy balance of line_flows,
+    the IEEE 1459 S² resolution, waveform Parseval/crest bounds."""
+    s, net, dev, V_m, V_a = _random_case(seed, h_max=13, n_buses=10)
+    V_m = jnp.abs(V_m) + 0.05         # physical magnitudes for the checks
+
+    # energy balance: bus injections (dense Y) == line losses, per h
+    fl = hpfx.line_flows(net, s, V_m, V_a)
+    Y = hpfx.build_ybus(net, s)
+    V = np.asarray(V_m) * np.exp(1j * np.asarray(V_a))
+    Yc = np.asarray(Y.re) + 1j * np.asarray(Y.im)
+    inj = (V * np.einsum("hij,hj->hi", Yc, V).conj()).real.sum(axis=1)
+    np.testing.assert_allclose(inj, np.asarray(fl.loss).sum(axis=1),
+                               rtol=1e-9, atol=1e-12)
+
+    # IEEE 1459: exact S² resolution and D_H ≥ 0 at every terminal
+    pi = hpfx.line_power_indices(net, s, V_m, V_a)
+    lhs = np.asarray(pi.S) ** 2
+    rhs = (np.asarray(pi.S1) ** 2 + np.asarray(pi.D_I) ** 2
+           + np.asarray(pi.D_V) ** 2 + np.asarray(pi.S_H) ** 2)
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+    assert (np.asarray(pi.N) >= -1e-12).all()
+    assert (np.abs(np.asarray(pi.pf)) <= 1 + 1e-12).all()
+
+    # waveform: Parseval rms; crest ≥ 1 with equality only for DC
+    wm = hpfx.waveform_metrics(V_m, V_a, s.harmonics)
+    np.testing.assert_allclose(np.asarray(wm.rms),
+                               np.sqrt((np.asarray(V_m) ** 2).sum(0)),
+                               rtol=1e-12)
+    assert (np.asarray(wm.crest) >= 1.0 - 1e-9).all()
+    # peak bound: peak <= sqrt(2) * sum |V_h| (triangle inequality)
+    assert (np.asarray(wm.peak) <=
+            np.sqrt(2) * np.abs(np.asarray(V_m)).sum(0) + 1e-12).all()
