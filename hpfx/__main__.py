@@ -329,6 +329,15 @@ def cmd_report(args) -> int:
               f"{float(fl.P_f[0, k]):>9.5f} {loss[0, k]:>10.6f} "
               f"{loss[1:, k].sum():>10.6f} {K[k]:>9.2f} "
               f"{float(repc.tdd):>8.2f} {ratio:>9.3f}")
+    if getattr(args, "waveshape", False):
+        wm = hpfx.waveform_metrics(res.V_m, res.V_a, s.harmonics)
+        print("waveshape (RMS-phasor convention; sine crest = 1.414):")
+        print(f"{'bus':>4} {'true rms':>9} {'peak':>8} {'crest':>7} "
+              f"{'form':>7}")
+        for i in range(net.n):
+            print(f"{i:>4} {float(wm.rms[i]):>9.5f} "
+                  f"{float(wm.peak[i]):>8.4f} {float(wm.crest[i]):>7.4f} "
+                  f"{float(wm.form[i]):>7.4f}")
     if getattr(args, "p1459", False):
         pi = hpfx.line_power_indices(net, s, res.V_m, res.V_a, side="from")
         print("IEEE 1459 power decomposition (from-terminal, pu):")
@@ -763,6 +772,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--en50160", action="store_true",
                     help="also apply the EN 50160 per-order voltage "
                     "limits")
+    pr.add_argument("--waveshape", action="store_true",
+                    help="also print true RMS / peak / crest / form "
+                         "factors per bus")
     pr.add_argument("--p1459", action="store_true",
                     help="also print the IEEE 1459 power decomposition "
                          "(S1/D_I/D_V/S_H/N, true vs displacement pf) "

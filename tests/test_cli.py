@@ -325,3 +325,20 @@ def test_afilter_bank_cli(capsys):
     assert rc == 0
     assert "active filter at bus 2" in out
     assert "active filter at bus 3" in out
+
+
+def test_report_waveshape_flag(capsys):
+    rc = main(["report", *NET2, "--waveshape"])
+    out = capsys.readouterr().out
+    assert rc == 3 and "waveshape" in out and "crest" in out
+    lines = out.splitlines()
+    start = next(i for i, l in enumerate(lines) if "waveshape" in l)
+    rows = []
+    for l in lines[start + 2:]:
+        if not (l.strip() and l.split()[0].isdigit()):
+            break
+        rows.append(l.split())
+    crest = [float(r[3]) for r in rows]
+    assert len(crest) == 4
+    assert abs(crest[0] - 1.414) < 0.01       # clean slack
+    assert max(crest) > 2.0                   # distorted feeder
