@@ -31,6 +31,7 @@ from .converters import (NotchReport, converter_device_set,
                          twelve_pulse_spectrum)
 from .longline import (electrical_length, longline_factors,
                        longline_structures)
+from .warmstart import harmonic_linear_seed, norton_warm_start
 from .matpower import load_matpower, parse_matpower
 from .loadmodel import damped_structures, linear_load_admittance
 from .network import Network, load_network, network_from_arrays
@@ -115,6 +116,7 @@ __all__ = [
     "ActiveFilterSizing", "size_active_filter",
     "export_opendss_case", "device_spectra_at_nominal",
     "converter_device_set", "converter_warm_start",
+    "harmonic_linear_seed", "norton_warm_start",
     "NotchReport", "notch_analysis",
     "six_pulse_spectrum", "twelve_pulse_spectrum",
     "table_spectrum", "synth_waveform",
