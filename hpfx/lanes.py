@@ -746,10 +746,90 @@ def _sweep_setup(net: Network, devices, settings: Settings, scenarios,
 
 
 @highest_precision
+def _linear_seed_lanes(su: "_SweepSetup", net: Network,
+                       settings: Settings):
+    """Exact-linear Norton seed (hpfx.warmstart) computed IN-PROGRAM in
+    the lane layout — the harmonic current-balance rows are linear in
+    rectangular coordinates, so one (H−1)·n block solve per lane lands
+    phase 1 on the exact harmonic solution at the just-solved
+    fundamental (hcne_generalized.py:326-357; see hpfx/warmstart.py for
+    the block system).  Reuses the setup's lane-major fundamental —
+    zero redundant work vs the standalone ``norton_warm_start``.
+
+    Returns the (H, n, B) phase-1 initial state.  Requires Norton
+    LaneDevices (analytic devices keep the cold start).
+    """
+    H, n, m = settings.n_harmonics, net.n, net.m
+    K, rd = H - 1, settings.real_dtype
+    dev, inj = su.dev, su.inj_db                      # inj: (n_nl, B)
+    B = inj.shape[-1]
+    eyeN = jnp.eye(n, dtype=rd)
+    eyeK = jnp.eye(K, dtype=rd)
+
+    # shared network block diagonal δ_hp·Y_h → (h, i, p, j)
+    blockdiag = lambda Yh: eyeK[:, None, :, None] * Yh[:, :, None, :]
+
+    # per-lane device coupling, scaled like _injections_lanes
+    # (I_inj = inj·I_N − inj·Y_N·V): D[h, p, i, b] on nonlinear buses
+    def scatter(Cb_re, Cb_im):
+        # Cb: (n_nl, K, K, B) — device-major coupling rows/cols ≥ 1
+        z = jnp.zeros((K, K, n, B), rd)
+        return (z.at[:, :, m:, :].set(jnp.moveaxis(Cb_re, 0, 2)),
+                z.at[:, :, m:, :].set(jnp.moveaxis(Cb_im, 0, 2)))
+
+    YN, IN = dev.Y_N, dev.I_N
+    s_ = inj[:, None, None, :] if dev.coupled else inj[:, None, :]
+    if dev.coupled:
+        C = YN[:, 1:, 1:] if dev.batched else \
+            Cx(YN.re[:, 1:, 1:, None], YN.im[:, 1:, 1:, None])
+        D_re, D_im = scatter(C.re * s_, C.im * s_)
+    else:
+        Cd = YN[:, 1:] if dev.batched else \
+            Cx(YN.re[:, 1:, None], YN.im[:, 1:, None])   # (n_nl, K, B)
+        i = jnp.arange(K)
+        z = jnp.zeros((K, K, n, B), rd)
+        D_re = z.at[i, i, m:, :].set(jnp.moveaxis(Cd.re * s_, 0, 1))
+        D_im = z.at[i, i, m:, :].set(jnp.moveaxis(Cd.im * s_, 0, 1))
+
+    # A[b] = blockdiag(Y) − δ_ij·D  → (B, K·n, K·n) split-complex
+    def assemble(Ypart, D):
+        Dt = jnp.swapaxes(D, 1, 2)                    # (h, i, p, b)
+        t = Dt[:, :, :, None, :] * eyeN[None, :, None, :, None]
+        full = blockdiag(Ypart)[..., None] - t        # (K, n, K, n, B)
+        return jnp.moveaxis(full.reshape(K * n, K * n, B), -1, 0)
+
+    A = Cx(assemble(su.Y.re[1:], D_re), assemble(su.Y.im[1:], D_im))
+
+    fund = su.fund
+    V1 = cx.polar(fund.V_m, fund.V_a)                 # (n, B)
+    V1nl = V1[m:]                                     # (n_nl, B)
+    I1 = IN[:, 1:] if dev.batched else \
+        Cx(IN.re[:, 1:, None], IN.im[:, 1:, None])    # (n_nl, K, B)
+    si = inj[:, None, :]
+    rhs_nl = -(I1 * si)                               # (n_nl, K, B)
+    if dev.coupled:
+        col0 = YN[:, 1:, 0] if dev.batched else \
+            Cx(YN.re[:, 1:, 0, None], YN.im[:, 1:, 0, None])
+        rhs_nl = rhs_nl + (col0 * si) * V1nl[:, None, :]
+    rhs = cx.zeros((K, n, B), rd).at_set(
+        (slice(None), slice(m, None), slice(None)),
+        Cx(jnp.moveaxis(rhs_nl.re, 0, 1), jnp.moveaxis(rhs_nl.im, 0, 1)))
+    rhs_b = Cx(jnp.moveaxis(rhs.re.reshape(K * n, B), -1, 0),
+               jnp.moveaxis(rhs.im.reshape(K * n, B), -1, 0))
+
+    x = cx.solve(A, rhs_b)                            # (B, K·n)
+    Vh = Cx(jnp.moveaxis(x.re.reshape(B, K, n), 0, -1),
+            jnp.moveaxis(x.im.reshape(B, K, n), 0, -1))   # (K, n, B)
+    V_m = jnp.concatenate([fund.V_m[None], Vh.abs()])
+    V_a = jnp.concatenate([fund.V_a[None], Vh.angle()])
+    return V_m, V_a
+
+
 def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
                              scenarios, phase_iters: int = 24,
                              rescue_width: Optional[int] = None,
-                             vsharding=None) -> HPFResult:
+                             vsharding=None, warm: str = "cold",
+                             V0=None) -> HPFResult:
     """Two-phase adaptive sweep + deterministic knife-edge rescue as ONE
     device program — no host round-trip between phases.
 
@@ -787,10 +867,24 @@ def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
     B = scenarios.p_scale.shape[0]
     p1 = min(phase_iters, settings.max_iter_h)
 
+    # phase-1 initial state: cold flat start (the reference's), an
+    # explicit V0 (batch-major (B, H, n), fundamental row replaced by
+    # the program's own fundamental solve — the solve_harmonic rule), or
+    # the in-program exact-linear Norton seed (warm="linear"); the cold
+    # state keeps its roles in the floor-aware threshold and the
+    # knife-edge cold-restart rescue either way
+    if V0 is not None:
+        Vm1 = jnp.moveaxis(V0[0], 0, -1).at[0].set(su.fund.V_m)
+        Va1 = jnp.moveaxis(V0[1], 0, -1).at[0].set(su.fund.V_a)
+    elif warm == "linear" and isinstance(su.dev, LaneDevices):
+        Vm1, Va1 = _linear_seed_lanes(su, net, settings)
+    else:
+        Vm1, Va1 = su.cold_V_m, su.cold_V_a
+
     s1 = settings.with_(max_iter_h=p1)
     V_m, V_a, err, n_iter, hist1 = nr_trip_lanes(
         su.Y, su.lineY, su.S, su.dev, su.inj_db,
-        su.cold_V_m, su.cold_V_a, s1, su.consts, su.thresh, vc=su.vc)
+        Vm1, Va1, s1, su.consts, su.thresh, vc=su.vc)
     conv = err <= su.thresh
     hist = jnp.full((settings.max_iter_h, B), jnp.nan, rd) \
         .at[:p1].set(hist1)

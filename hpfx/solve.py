@@ -296,7 +296,8 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
 
 def hpf_sweep_device(net: Network, devices, settings: Settings,
                      scenarios: Scenarios, phase_iters: int = 16,
-                     jitted=None, rescue: bool = True) -> HPFResult:
+                     jitted=None, rescue: bool = True,
+                     warm: str = "cold") -> HPFResult:
     """Single-program device-side adaptive sweep with a host-side
     deterministic straggler rescue.
 
@@ -315,6 +316,13 @@ def hpf_sweep_device(net: Network, devices, settings: Settings,
     ``jitted``: optional pre-jitted adaptive-lanes program (so callers
     timing repeated sweeps share one cache entry); must accept
     ``(net, devices, scenarios=...)``.
+
+    ``warm="linear"``: compute the exact-linear Norton seed
+    (hpfx.warmstart) IN-PROGRAM as the phase-1 initial state — one
+    (H−1)·n block solve per lane replaces most of the Newton trips
+    (f64: 10-21 trips → 3 on net2/net3 at every harmonic depth); the
+    floor-aware threshold and the knife-edge cold-restart rescue keep
+    using the cold state.
     """
     import numpy as np
 
@@ -322,7 +330,8 @@ def hpf_sweep_device(net: Network, devices, settings: Settings,
         from .lanes import hpf_sweep_adaptive_lanes
         jitted = jax.jit(partial(hpf_sweep_adaptive_lanes,
                                  settings=settings,
-                                 phase_iters=phase_iters))
+                                 phase_iters=phase_iters,
+                                 warm=warm))
     out = jitted(net, devices, scenarios=scenarios)
     if rescue and not bool(np.asarray(out.converged).all()):
         out = _rescue_sweep(
@@ -334,7 +343,8 @@ def hpf_sweep_device(net: Network, devices, settings: Settings,
 
 def hpf_sweep_stream(net: Network, devices, settings: Settings,
                      scenario_batches, phase_iters: int = 16,
-                     depth: int = 2, rescue: bool = True, jitted=None):
+                     depth: int = 2, rescue: bool = True, jitted=None,
+                     warm: str = "cold"):
     """Pipelined sweep executor: generator over scenario batches that
     keeps ``depth`` sweeps in flight on the device queue.
 
@@ -374,7 +384,8 @@ def hpf_sweep_stream(net: Network, devices, settings: Settings,
         from .lanes import hpf_sweep_adaptive_lanes
         jitted = jax.jit(partial(hpf_sweep_adaptive_lanes,
                                  settings=settings,
-                                 phase_iters=phase_iters))
+                                 phase_iters=phase_iters,
+                                 warm=warm))
     depth = max(1, int(depth))
 
     def _finish(sc, out):

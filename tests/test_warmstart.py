@@ -89,6 +89,40 @@ def test_covers_converter_current_sources():
                                np.asarray(Vm_ref[1:]), rtol=0, atol=1e-10)
 
 
+def test_device_sweep_warm_linear_matches_cold():
+    """hpf_sweep_device(warm="linear") — the in-program lanes seed —
+    reaches the cold schedule's fixed points with fewer trips."""
+    from hpfx.solve import hpf_sweep_device
+    s, net, dev = make_setup(("net2", 25, True))
+    s = s.with_(solver="arrow", layout="lanes")
+    B = 16
+    rng = np.random.default_rng(3)
+    sc = Scenarios(p_scale=jnp.asarray(rng.uniform(0.7, 1.3, B)),
+                   q_scale=jnp.asarray(rng.uniform(0.7, 1.3, B)),
+                   injection_scale=jnp.asarray(rng.uniform(0.5, 1.5, B)))
+    rc = hpf_sweep_device(net, dev, s, sc)
+    rw = hpf_sweep_device(net, dev, s, sc, warm="linear")
+    assert bool(jnp.all(rc.converged)) and bool(jnp.all(rw.converged))
+    np.testing.assert_allclose(np.asarray(rw.V_m), np.asarray(rc.V_m),
+                               rtol=0, atol=1e-6)
+    assert float(np.mean(rw.n_iter)) < float(np.mean(rc.n_iter))
+
+
+def test_explicit_v0_threads_through_device_sweep():
+    """hpf_sweep_adaptive_lanes(V0=...) takes the batch-major seed."""
+    from hpfx.lanes import hpf_sweep_adaptive_lanes
+    s, net, dev = make_setup(("net2", 5, True))
+    s = s.with_(solver="arrow", layout="lanes")
+    sc = Scenarios.uniform(4, jnp.float64)
+    V0 = norton_warm_start(net, dev, s, sc)
+    rc = hpf_sweep_adaptive_lanes(net, dev, s, sc)
+    rw = hpf_sweep_adaptive_lanes(net, dev, s, sc, V0=V0)
+    assert bool(jnp.all(rw.converged))
+    np.testing.assert_allclose(np.asarray(rw.V_m), np.asarray(rc.V_m),
+                               rtol=0, atol=1e-6)
+    assert int(np.max(rw.n_iter)) <= int(np.max(rc.n_iter))
+
+
 def test_rejects_non_device_set():
     s, net, dev = make_setup(("net2", 5, False))
     sc = Scenarios.uniform(1, jnp.float64)

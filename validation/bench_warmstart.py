@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import hpfx
-from hpfx.solve import Scenarios, hpf_sweep_adaptive
+from hpfx.solve import Scenarios, hpf_sweep_adaptive, hpf_sweep_device
 from hpfx.utils.cache import enable_persistent_cache
 from hpfx.warmstart import norton_warm_start
 
@@ -70,6 +70,12 @@ def run(name, k):
     if name == "warm":
         V0 = norton_warm_start(net, dev, s, scen)
         out = hpf_sweep_adaptive(net, dev, s, scen, V0=V0)
+    elif name == "colddev":
+        out = hpf_sweep_device(net, dev, s, scen)
+    elif name == "warmdev":
+        # the fused variant: seed computed IN-PROGRAM (lanes layout),
+        # single dispatch for seed + both phases + rescue
+        out = hpf_sweep_device(net, dev, s, scen, warm="linear")
     else:
         out = hpf_sweep_adaptive(net, dev, s, scen)
     conv = np.asarray(out.converged)       # host materialization = sync
@@ -79,7 +85,8 @@ def run(name, k):
     return dt, float(conv.mean()), int(conv.sum()), it
 
 
-VARIANTS = ["flat", "warm"]
+VARIANTS = os.environ.get(
+    "HPFX_WS_VARIANTS", "flat,warm,colddev,warmdev").split(",")
 for name in VARIANTS:
     t0 = time.perf_counter()
     run(name, 999)
