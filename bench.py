@@ -54,6 +54,13 @@ CONTDEV_STAGES = int(os.environ.get("HPFX_BENCH_CONTDEV", "0"))
 # overflows there (conv 0.87 vs 1.000 at B=2048).  "1" = everywhere
 # (A/B), "0" = host-driven everywhere.
 ADAPTDEV_MODE = os.environ.get("HPFX_BENCH_ADAPTDEV", "net2")
+# phase-1 initial state of the device-side adaptive stage: "linear" =
+# in-program exact-linear Norton seed (hpfx.warmstart; the harmonic
+# rows are linear in rectangular coordinates, so one (H-1)*n block
+# solve replaces most Newton trips), "cold" = the reference's flat
+# start.  Default set by the interleaved TPU A/B
+# (validation/bench_warmstart.py, BENCH_NOTES round 4).
+WARM = os.environ.get("HPFX_BENCH_WARMSTART", "cold")
 # seconds granted to the TPU-availability preflight probe (see
 # _tpu_preflight); 0 disables the probe and the CPU fallback entirely
 PREFLIGHT_S = int(os.environ.get("HPFX_BENCH_PREFLIGHT", "300"))
@@ -296,7 +303,7 @@ def bench_net(net, dev, s, batch: int, repeats: int,
         from hpfx.lanes import hpf_sweep_adaptive_lanes
         from hpfx.solve import hpf_sweep_device
         _ja = jax.jit(_partial(hpf_sweep_adaptive_lanes, settings=s,
-                               phase_iters=phase_iters))
+                               phase_iters=phase_iters, warm=WARM))
         run = lambda sc: hpf_sweep_device(net, dev, s, sc,
                                           phase_iters=phase_iters,
                                           jitted=_ja)
@@ -340,7 +347,7 @@ def bench_stream(net, dev, s, batch: int, n_batches: int = 4,
     from hpfx.solve import hpf_sweep_stream
 
     jitted = jax.jit(_partial(hpf_sweep_adaptive_lanes, settings=s,
-                              phase_iters=phase_iters))
+                              phase_iters=phase_iters, warm=WARM))
 
     def scen(k):
         return Scenarios(

@@ -207,7 +207,8 @@ def _rescue_sweep(settings: Settings, scenarios: Scenarios, out: HPFResult,
 def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
                        scenarios: Scenarios, phase_iters: int = 16,
                        phase2_settings: Optional[Settings] = None,
-                       V0=None, rescue: bool = True, Y=None) -> HPFResult:
+                       V0=None, rescue: bool = True, Y=None,
+                       warm: str = "cold") -> HPFResult:
     """Two-phase sweep that avoids straggler lockstep.
 
     The batched while-loop runs every scenario until the *slowest* one
@@ -238,6 +239,12 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
 
     def run_r(sub, V0_):
         return hpf_sweep(net, devices, settings, sub, V0=V0_, Y=Y)
+
+    if V0 is None and warm == "linear":
+        # exact-linear Norton seed (hpfx.warmstart) as the phase-1 start;
+        # the rescue passes keep their flat-restart semantics
+        from .warmstart import norton_warm_start
+        V0 = norton_warm_start(net, devices, settings, scenarios, Y=Y)
 
     s1 = settings.with_(max_iter_h=min(phase_iters, settings.max_iter_h))
     r1 = hpf_sweep(net, devices, s1, scenarios, V0=V0, Y=Y)
