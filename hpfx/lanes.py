@@ -745,7 +745,6 @@ def _sweep_setup(net: Network, devices, settings: Settings, scenarios,
                        consts, thresh, vc)
 
 
-@highest_precision
 def _linear_seed_lanes(su: "_SweepSetup", net: Network,
                        settings: Settings):
     """Exact-linear Norton seed (hpfx.warmstart) computed IN-PROGRAM in
@@ -791,14 +790,15 @@ def _linear_seed_lanes(su: "_SweepSetup", net: Network,
         D_re = z.at[i, i, m:, :].set(jnp.moveaxis(Cd.re * s_, 0, 1))
         D_im = z.at[i, i, m:, :].set(jnp.moveaxis(Cd.im * s_, 0, 1))
 
-    # A[b] = blockdiag(Y) − δ_ij·D  → (B, K·n, K·n) split-complex
+    # A = blockdiag(Y) − δ_ij·D, kept LANE-MAJOR (K·n, K·n, B)
     def assemble(Ypart, D):
         Dt = jnp.swapaxes(D, 1, 2)                    # (h, i, p, b)
         t = Dt[:, :, :, None, :] * eyeN[None, :, None, :, None]
         full = blockdiag(Ypart)[..., None] - t        # (K, n, K, n, B)
-        return jnp.moveaxis(full.reshape(K * n, K * n, B), -1, 0)
+        return full.reshape(K * n, K * n, B)
 
-    A = Cx(assemble(su.Y.re[1:], D_re), assemble(su.Y.im[1:], D_im))
+    Ar = assemble(su.Y.re[1:], D_re)
+    Ai = assemble(su.Y.im[1:], D_im)
 
     fund = su.fund
     V1 = cx.polar(fund.V_m, fund.V_a)                 # (n, B)
@@ -814,17 +814,24 @@ def _linear_seed_lanes(su: "_SweepSetup", net: Network,
     rhs = cx.zeros((K, n, B), rd).at_set(
         (slice(None), slice(m, None), slice(None)),
         Cx(jnp.moveaxis(rhs_nl.re, 0, 1), jnp.moveaxis(rhs_nl.im, 0, 1)))
-    rhs_b = Cx(jnp.moveaxis(rhs.re.reshape(K * n, B), -1, 0),
-               jnp.moveaxis(rhs.im.reshape(K * n, B), -1, 0))
 
-    x = cx.solve(A, rhs_b)                            # (B, K·n)
-    Vh = Cx(jnp.moveaxis(x.re.reshape(B, K, n), 0, -1),
-            jnp.moveaxis(x.im.reshape(B, K, n), 0, -1))   # (K, n, B)
+    # real block embedding, solved by the lane-parallel kernel path
+    # (Pallas GJ with equilibration on TPU, XLA LU on CPU) — operands
+    # stay lane-minor end to end, matching the trip's own solves
+    N = K * n
+    top = jnp.concatenate([Ar, -Ai], axis=1)
+    bot = jnp.concatenate([Ai, Ar], axis=1)
+    A_real = jnp.concatenate([top, bot], axis=0)      # (2N, 2N, B)
+    b_real = jnp.concatenate([rhs.re.reshape(N, B),
+                              rhs.im.reshape(N, B)], axis=0)[:, None, :]
+    x = batched_solve_lanes(A_real, b_real)[:, 0, :]  # (2N, B)
+    Vh = Cx(x[:N].reshape(K, n, B), x[N:].reshape(K, n, B))
     V_m = jnp.concatenate([fund.V_m[None], Vh.abs()])
     V_a = jnp.concatenate([fund.V_a[None], Vh.angle()])
     return V_m, V_a
 
 
+@highest_precision
 def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
                              scenarios, phase_iters: int = 24,
                              rescue_width: Optional[int] = None,

@@ -43,6 +43,7 @@ from .cx import Cx
 from .devices import DeviceSet
 from .fundamental import solve_fundamental
 from .network import Network
+from .utils.precision import highest_precision
 from .ybus import resolve_ybus
 
 __all__ = ["harmonic_linear_seed", "norton_warm_start"]
@@ -98,6 +99,7 @@ def harmonic_linear_seed(Y: Cx, net: Network, settings: Settings,
 
 
 @partial(jax.jit, static_argnames=("settings",))
+@highest_precision
 def norton_warm_start(net: Network, devices: DeviceSet, settings: Settings,
                       scenarios, Y=None, I_bg: Cx | None = None):
     """Batched exact-linear harmonic seed — pass as ``V0`` to

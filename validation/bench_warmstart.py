@@ -55,9 +55,20 @@ net = hpfx.load_network(os.path.join(DATA, f"{NET}_buses.csv"),
 dev = hpfx.load_device_set(net, s)
 
 
+SPREAD = os.environ.get("HPFX_WS_SPREAD", "bench")
+
+
 def draws(k):
-    rng = np.random.default_rng(1000 + k)
     rd = s.real_dtype
+    if SPREAD == "bench":
+        # the driver bench's own net2-stage distribution (bench.py
+        # spread=(0.8, 1.2, 0.6, 1.4), linspace + per-rep offset) — the
+        # headline the A/B is deciding about
+        return Scenarios(
+            p_scale=jnp.asarray(np.linspace(0.8, 1.2, B) + 1e-4 * k, rd),
+            q_scale=jnp.asarray(np.linspace(0.8, 1.2, B), rd),
+            injection_scale=jnp.asarray(np.linspace(0.6, 1.4, B), rd))
+    rng = np.random.default_rng(1000 + k)     # SPREAD="hard": wide uniform
     return Scenarios(
         p_scale=jnp.asarray(rng.uniform(0.6, 1.4, B), rd),
         q_scale=jnp.asarray(rng.uniform(0.6, 1.4, B), rd),
