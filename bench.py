@@ -310,7 +310,8 @@ def bench_net(net, dev, s, batch: int, repeats: int,
     else:
         run = lambda sc: hpf_sweep_adaptive(net, dev, s, sc,
                                             phase_iters=phase_iters,
-                                            phase2_settings=s2)
+                                            phase2_settings=s2,
+                                            warm=WARM)
 
     res = run(scen(-1))              # warmup/compile
     np.asarray(res.V_m)              # real device sync
