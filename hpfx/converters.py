@@ -209,7 +209,13 @@ def converter_warm_start(net: Network, settings: Settings,
     I_full = I_full.at_set((slice(None), slice(m, None)), devices.I_N.T)
     V_h = _cx.solve(Yd[1:], -I_full[1:])                  # (H-1, n)
     import jax.numpy as jnp
-    V_m = jnp.concatenate([jnp.ones((1, n), rd), V_h.abs()])
+
+    # sourceless orders solve to exactly V_h = 0 — a polar-singular NR
+    # start (the angle-Jacobian column vanishes; CLAUDE.md #39/#40);
+    # floor them a hair off zero like hpfx.warmstart does
+    from .warmstart import _floor_seed_mag
+    V_m = jnp.concatenate([jnp.ones((1, n), rd),
+                           _floor_seed_mag(V_h.abs(), settings)])
     V_a = jnp.concatenate([jnp.zeros((1, n), rd), V_h.angle()])
     return V_m, V_a
 

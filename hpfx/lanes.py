@@ -817,16 +817,47 @@ def _linear_seed_lanes(su: "_SweepSetup", net: Network,
 
     # real block embedding, solved by the lane-parallel kernel path
     # (Pallas GJ with equilibration on TPU, XLA LU on CPU) — operands
-    # stay lane-minor end to end, matching the trip's own solves
+    # stay lane-minor end to end, matching the trip's own solves.
+    # The embedded matrix is (2N, 2N, B); at big dims × driver batches
+    # that alone is multiple GB (net1 h51 B=2048: ~8 GB), so the
+    # assemble+solve is chunked over the lane axis to a ~2 GiB budget —
+    # a no-op at the bench shapes (net2 B=16384 is ~0.6 GB).
     N = K * n
-    top = jnp.concatenate([Ar, -Ai], axis=1)
-    bot = jnp.concatenate([Ai, Ar], axis=1)
-    A_real = jnp.concatenate([top, bot], axis=0)      # (2N, 2N, B)
-    b_real = jnp.concatenate([rhs.re.reshape(N, B),
-                              rhs.im.reshape(N, B)], axis=0)[:, None, :]
-    x = batched_solve_lanes(A_real, b_real)[:, 0, :]  # (2N, B)
+
+    def solve_lanes(D_re, D_im, rhs_re, rhs_im):
+        Ar = assemble(su.Y.re[1:], D_re)
+        Ai = assemble(su.Y.im[1:], D_im)
+        top = jnp.concatenate([Ar, -Ai], axis=1)
+        bot = jnp.concatenate([Ai, Ar], axis=1)
+        A_real = jnp.concatenate([top, bot], axis=0)  # (2N, 2N, chunk)
+        b_real = jnp.concatenate([rhs_re.reshape(N, -1),
+                                  rhs_im.reshape(N, -1)],
+                                 axis=0)[:, None, :]
+        return batched_solve_lanes(A_real, b_real)[:, 0, :]
+
+    bytes_per_lane = (2 * N) * (2 * N) * jnp.dtype(rd).itemsize
+    chunk = int(max(1, min(B, (1 << 31) // bytes_per_lane)))
+    if chunk >= B:
+        x = solve_lanes(D_re, D_im, rhs.re, rhs.im)   # (2N, B)
+    else:
+        nb = -(-B // chunk)
+        pad = nb * chunk - B
+
+        def tochunks(a):
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+            return jnp.moveaxis(
+                a.reshape(a.shape[:-1] + (nb, chunk)), -2, 0)
+
+        x = jax.lax.map(
+            lambda t: solve_lanes(*t),
+            (tochunks(D_re), tochunks(D_im),
+             tochunks(rhs.re), tochunks(rhs.im)))     # (nb, 2N, chunk)
+        x = jnp.moveaxis(x, 0, -2).reshape(2 * N, nb * chunk)[:, :B]
+
+    from .warmstart import _floor_seed_mag
     Vh = Cx(x[:N].reshape(K, n, B), x[N:].reshape(K, n, B))
-    V_m = jnp.concatenate([fund.V_m[None], Vh.abs()])
+    V_m = jnp.concatenate([fund.V_m[None],
+                           _floor_seed_mag(Vh.abs(), settings)])
     V_a = jnp.concatenate([fund.V_a[None], Vh.angle()])
     return V_m, V_a
 

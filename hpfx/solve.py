@@ -339,6 +339,13 @@ def hpf_sweep_device(net: Network, devices, settings: Settings,
                                  settings=settings,
                                  phase_iters=phase_iters,
                                  warm=warm))
+    elif warm != "cold":
+        import warnings
+        warnings.warn(
+            "hpf_sweep_device: `warm` is baked into the compiled program "
+            "— a caller-supplied `jitted` takes precedence and this "
+            "warm=%r is ignored; bake warm= into the jitted partial"
+            % warm, stacklevel=2)
     out = jitted(net, devices, scenarios=scenarios)
     if rescue and not bool(np.asarray(out.converged).all()):
         out = _rescue_sweep(
@@ -393,6 +400,13 @@ def hpf_sweep_stream(net: Network, devices, settings: Settings,
                                  settings=settings,
                                  phase_iters=phase_iters,
                                  warm=warm))
+    elif warm != "cold":
+        import warnings
+        warnings.warn(
+            "hpf_sweep_stream: `warm` is baked into the compiled program "
+            "— a caller-supplied `jitted` takes precedence and this "
+            "warm=%r is ignored; bake warm= into the jitted partial"
+            % warm, stacklevel=2)
     depth = max(1, int(depth))
 
     def _finish(sc, out):

@@ -49,6 +49,21 @@ from .ybus import resolve_ybus
 __all__ = ["harmonic_linear_seed", "norton_warm_start"]
 
 
+def _floor_seed_mag(V_m_h, settings: Settings):
+    """Floor seeded harmonic magnitudes away from the polar singularity.
+
+    A harmonic order with no source (e.g. triplen rows of a spectrum
+    with zeros) has the exact linear solution V_h = 0 — a polar-singular
+    NR start: the angle-Jacobian column scales with V_m and vanishes,
+    risking inf/NaN steps (CLAUDE.md #39/#40).  Only rows that solved to
+    ~exact fp zero are lifted (a zero RHS block solves to exactly 0);
+    legitimately-small sourced magnitudes are untouched, so the seed
+    stays exact on every sourced row (test_seed_zeroes_harmonic_rows).
+    """
+    eps = jnp.asarray(1e-2 * settings.v_init_h, V_m_h.dtype)
+    return jnp.where(V_m_h < 1e-20, eps, V_m_h)
+
+
 def harmonic_linear_seed(Y: Cx, net: Network, settings: Settings,
                          devices: DeviceSet, V1: Cx,
                          I_bg: Cx | None = None) -> Cx:
@@ -141,8 +156,19 @@ def norton_warm_start(net: Network, devices: DeviceSet, settings: Settings,
         dev_s = devices.scale(i_s)
         V1 = cx.polar(fund.V_m, fund.V_a)
         Vh = harmonic_linear_seed(Yd, net, settings, dev_s, V1, I_bg=I_bg)
-        V_m = jnp.concatenate([fund.V_m[None], Vh.abs()])
+        V_m = jnp.concatenate([fund.V_m[None],
+                               _floor_seed_mag(Vh.abs(), settings)])
         V_a = jnp.concatenate([fund.V_a[None], Vh.angle()])
         return V_m, V_a
 
-    return jax.vmap(one)(scenarios.p_scale, q, inj)
+    # chunk the vmap when the per-scenario (K·n)² block matrices would
+    # blow past ~2 GiB at once (net1 h51 B=2048 is ~8 GB unchunked);
+    # no-op at the bench shapes
+    B = scenarios.p_scale.shape[0]
+    Kn = (settings.n_harmonics - 1) * net.n
+    per = 8 * Kn * Kn * jnp.dtype(settings.real_dtype).itemsize
+    bs = int(max(1, min(B, (1 << 31) // per)))
+    if bs >= B:
+        return jax.vmap(one)(scenarios.p_scale, q, inj)
+    return jax.lax.map(lambda t: one(*t), (scenarios.p_scale, q, inj),
+                       batch_size=bs)
