@@ -54,13 +54,22 @@ CONTDEV_STAGES = int(os.environ.get("HPFX_BENCH_CONTDEV", "0"))
 # overflows there (conv 0.87 vs 1.000 at B=2048).  "1" = everywhere
 # (A/B), "0" = host-driven everywhere.
 ADAPTDEV_MODE = os.environ.get("HPFX_BENCH_ADAPTDEV", "net2")
-# phase-1 initial state of the device-side adaptive stage: "linear" =
-# in-program exact-linear Norton seed (hpfx.warmstart; the harmonic
-# rows are linear in rectangular coordinates, so one (H-1)*n block
-# solve replaces most Newton trips), "cold" = the reference's flat
-# start.  Default set by the interleaved TPU A/B
-# (validation/bench_warmstart.py, BENCH_NOTES round 4).
+# phase-1 initial state of the HOST-driven sweep stages: "linear" =
+# exact-linear Norton seed (hpfx.warmstart), "cold" = the reference's
+# flat start.  Stays cold by default: on the host schedule the seed is
+# a separate program (own dispatch + duplicate fundamental solve) and
+# net1-class f32 trip counts are floor-hover-dominated (19.2 -> 15.2,
+# BENCH_NOTES round 4) — and a seed program at net1/h99/n128 dims would
+# be a NEW first-dispatch window in the driver path (CLAUDE.md #27/#30).
 WARM = os.environ.get("HPFX_BENCH_WARMSTART", "cold")
+# phase-1 initial state of the DEVICE-SIDE adaptive stages (the net2
+# headline + stream): the seed is computed IN-PROGRAM (hpfx.lanes
+# _linear_seed_lanes — one (H-1)*n block solve per lane, no extra
+# dispatch).  Default "linear" per the round-5 interleaved headline A/B
+# (validation/bench_ws_headline.py: 34.9-39.0k vs 9.3-20.6k
+# conv-solves/s at B=16384, conv 1.000 both, trips 14.1 -> 2.65 max 3,
+# every rep; BENCH_NOTES round 5).
+WARM_DEV = os.environ.get("HPFX_BENCH_WARMSTART_DEV", "linear")
 # seconds granted to the TPU-availability preflight probe (see
 # _tpu_preflight); 0 disables the probe and the CPU fallback entirely
 PREFLIGHT_S = int(os.environ.get("HPFX_BENCH_PREFLIGHT", "300"))
@@ -303,7 +312,7 @@ def bench_net(net, dev, s, batch: int, repeats: int,
         from hpfx.lanes import hpf_sweep_adaptive_lanes
         from hpfx.solve import hpf_sweep_device
         _ja = jax.jit(_partial(hpf_sweep_adaptive_lanes, settings=s,
-                               phase_iters=phase_iters, warm=WARM))
+                               phase_iters=phase_iters, warm=WARM_DEV))
         run = lambda sc: hpf_sweep_device(net, dev, s, sc,
                                           phase_iters=phase_iters,
                                           jitted=_ja)
@@ -348,7 +357,7 @@ def bench_stream(net, dev, s, batch: int, n_batches: int = 4,
     from hpfx.solve import hpf_sweep_stream
 
     jitted = jax.jit(_partial(hpf_sweep_adaptive_lanes, settings=s,
-                              phase_iters=phase_iters, warm=WARM))
+                              phase_iters=phase_iters, warm=WARM_DEV))
 
     def scen(k):
         return Scenarios(

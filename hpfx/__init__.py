@@ -42,8 +42,8 @@ from .solve import (Scenarios, SweepSummary, hosting_capacity_sweep,
                     hpf_sweep_continuation, hpf_sweep_device,
                     hpf_sweep_stream, summarize_thd)
 from .arrow import arrow_solve, build_arrow_pieces, make_arrow_index
-from .background import (background_from_harmonics, current_source,
-                         grid_source, shunt_admittance)
+from .background import (background_from_harmonics, background_sweep,
+                         current_source, grid_source, shunt_admittance)
 from .capacity import (HostingCapacityResult, compliance_fraction,
                        find_hosting_capacity, monte_carlo_scenarios,
                        scale_scenarios)
@@ -182,7 +182,8 @@ __all__ = [
     "plan_filter_bank", "dominant_orders", "filter_ydiag",
     "EstimateResult", "estimate_injections",
     "BackgroundEstimate", "estimate_background",
-    "background_from_harmonics", "current_source", "grid_source",
+    "background_from_harmonics", "background_sweep", "current_source",
+    "grid_source",
     "shunt_admittance",
     "HostingCapacityResult", "find_hosting_capacity",
     "compliance_fraction", "monte_carlo_scenarios", "scale_scenarios",

@@ -136,3 +136,29 @@ def background_from_harmonics(net: Network, settings: Settings,
                         jnp.asarray(ang, settings.real_dtype))
         return current_source(settings, net.n, i_bg, bus)
     return grid_source(net, settings, mag, ang, bus)
+
+
+def background_sweep(net: Network, devices, settings: Settings, I_bg: Cx,
+                     scenarios=None, phase_iters: int = 16,
+                     rescue: bool = True):
+    """Batched background-distortion study with the full adaptive
+    schedule and deterministic straggler rescue.
+
+    ``I_bg``: per-scenario (B, H, n) split-complex Norton injections
+    (fundamental rows zero — see the module conventions).  ``scenarios``:
+    optional :class:`hpfx.solve.Scenarios` load/injection scales riding
+    the same batch axis (defaults to all-ones).  Every phase and rescue
+    pass — self-warm-start, cold restart, and the f64 knife-edge
+    fallback — threads the matching ``I_bg`` rows, so the study carries
+    the same deterministic-convergence contract as the plain sweeps
+    (the round-4 vmapped study recorded conv 0.963 f32 at B=4096 with
+    no rescue; the same draws are conv 1.000 in f64 — BENCH_NOTES
+    "background-distortion study timing").
+    """
+    from .solve import Scenarios, hpf_sweep_adaptive
+    B = I_bg.re.shape[0]
+    if scenarios is None:
+        scenarios = Scenarios.uniform(B, settings.real_dtype)
+    return hpf_sweep_adaptive(net, devices, settings, scenarios,
+                              phase_iters=phase_iters, rescue=rescue,
+                              I_bg=I_bg)

@@ -70,7 +70,7 @@ def _expand(scale, like):
 
 def _solve_scenario(Y, net: Network, devices, settings: Settings,
                     p_scale, q_scale, inj_scale, mix=None, V0=None,
-                    lineY=None, lineY_f=None) -> HPFResult:
+                    lineY=None, lineY_f=None, I_bg=None) -> HPFResult:
     net_s = dataclasses.replace(
         net,
         bus_P=net.bus_P * _expand(p_scale, net.bus_P),
@@ -80,11 +80,12 @@ def _solve_scenario(Y, net: Network, devices, settings: Settings,
     dev_s = devices.scale(inj_scale)   # DeviceSet or AnalyticDeviceSet
     fund = solve_fundamental(Y[0], net_s, settings, lineY=lineY_f)
     return solve_harmonic(Y, fund, net_s, dev_s, settings, V0=V0,
-                          lineY=lineY)
+                          lineY=lineY, I_bg=I_bg)
 
 
 def hpf_sweep_unjitted(net: Network, devices, settings: Settings,
-                       scenarios: Scenarios, V0=None, Y=None) -> HPFResult:
+                       scenarios: Scenarios, V0=None, Y=None,
+                       I_bg=None) -> HPFResult:
     """Unjitted body of :func:`hpf_sweep` — the structured entry point for
     callers that need their own ``jax.jit`` wrapping (hpfx.parallel wraps
     it with mesh ``out_shardings``).  Call :func:`hpf_sweep` otherwise.
@@ -97,7 +98,11 @@ def hpf_sweep_unjitted(net: Network, devices, settings: Settings,
     carries per-bus type blends.  ``V0``: optional batched (V_m, V_a) warm
     starts.  ``Y``: optional precomputed admittance tensor overriding
     ``build_ybus`` (the Kron-reduced sweep path, where the dense reduced
-    blocks replace the line-built ones).
+    blocks replace the line-built ones).  ``I_bg``: optional
+    PER-SCENARIO background injections, a split-complex (B, H, n) batch
+    (hpfx.background) — batched background-distortion studies ride the
+    full sweep/rescue machinery this way (forces the vmap layout; the
+    lanes fast path does not thread a background term).
     """
     from .devices import DeviceLibrary
     from .lanes import hpf_sweep_lanes, supports_lanes
@@ -107,7 +112,8 @@ def hpf_sweep_unjitted(net: Network, devices, settings: Settings,
             "Scenarios.device_mix requires passing a DeviceLibrary as "
             "devices (and a DeviceLibrary requires a device_mix to assign "
             "types to buses)")
-    if settings.layout != "vmap" and supports_lanes(devices, settings, net) \
+    if I_bg is None and settings.layout != "vmap" \
+            and supports_lanes(devices, settings, net) \
             and (settings.layout == "lanes"
                  or jax.default_backend() == "tpu"):
         # lane-major fast path: batch carried on the last (lane) axis
@@ -129,12 +135,12 @@ def hpf_sweep_unjitted(net: Network, devices, settings: Settings,
     va = None if V0 is None else V0[1]
     ax = lambda x: None if x is None else 0
     return jax.vmap(
-        lambda p, qq, i, mx, vm_, va_: _solve_scenario(
+        lambda p, qq, i, mx, vm_, va_, bg: _solve_scenario(
             Y, net, devices, settings, p, qq, i, mix=mx,
             V0=None if vm_ is None else (vm_, va_),
-            lineY=lineY, lineY_f=lineY_f),
-        in_axes=(0, 0, 0, ax(mix), ax(vm), ax(va)),
-    )(scenarios.p_scale, q, inj, mix, vm, va)
+            lineY=lineY, lineY_f=lineY_f, I_bg=bg),
+        in_axes=(0, 0, 0, ax(mix), ax(vm), ax(va), ax(I_bg)),
+    )(scenarios.p_scale, q, inj, mix, vm, va, I_bg)
 
 
 hpf_sweep = partial(jax.jit, static_argnames=("settings",))(
@@ -146,8 +152,52 @@ def _take_scen(scenarios: Scenarios, idx) -> Scenarios:
                        for x in scenarios))
 
 
+def _to64(tree):
+    """Cast every floating leaf of a pytree to f64 (ints/bools kept) —
+    host round-trip included, so TPU-resident operands become CPU f64."""
+    import numpy as np
+
+    def cast(x):
+        a = np.asarray(x)
+        return jnp.asarray(a.astype(np.float64) if a.dtype.kind == "f"
+                           else a)
+
+    return jax.tree.map(cast, tree)
+
+
+def _f64_resolve(net: Network, devices, settings: Settings,
+                 sub: Scenarios, Y=None, I_bg=None) -> HPFResult:
+    """Re-solve a (small) scenario subset cold in f64 on the CPU backend.
+
+    The knife-edge f32 class (CLAUDE.md #24) converges in f64 on the
+    same draws (measured: the round-4 background study's conv-0.963 f32
+    set is conv 1.000 in f64) — so the last rescue resort is simply more
+    precision.  Runs under ``jax.experimental.enable_x64`` pinned to a
+    CPU device, then returns the result cast back to the caller's dtype;
+    ``converged`` reflects the f64 criterion (thresh_h on the true
+    residual — strictly stronger evidence than the f32 floor-aware
+    test).  Intended for O(1..10) stragglers: the CPU solve is ms-scale
+    at fixture dims."""
+    import numpy as np
+
+    cpu = jax.devices("cpu")[0]
+    s64 = settings.with_(dtype="float64")
+    with jax.enable_x64(), jax.default_device(cpu):
+        r = hpf_sweep(_to64(net), _to64(devices), s64, _to64(sub),
+                      Y=None if Y is None else _to64(Y),
+                      I_bg=None if I_bg is None else _to64(I_bg))
+        r = jax.tree.map(np.asarray, r)
+    rd = settings.real_dtype
+
+    def back(x):
+        a = np.asarray(x)
+        return jnp.asarray(a.astype(rd) if a.dtype.kind == "f" else a)
+
+    return jax.tree.map(back, r)
+
+
 def _rescue_sweep(settings: Settings, scenarios: Scenarios, out: HPFResult,
-                  run) -> HPFResult:
+                  run, run64=None, take=None) -> HPFResult:
     """Deterministic straggler rescue shared by the adaptive and
     continuation sweeps: re-solve scenarios left unconverged with a fresh
     iteration budget, in two passes —
@@ -166,8 +216,29 @@ def _rescue_sweep(settings: Settings, scenarios: Scenarios, out: HPFResult,
     straggler) for call-count-independent shapes, like the adaptive
     sweep's phase 2.  ``run(sub_scenarios, V0)`` must return an HPFResult
     with err_hist width == settings.max_iter_h.
+
+    ``run64``: optional third pass — anything surviving BOTH passes (the
+    knife-edge f32 class, CLAUDE.md #24, whose convergence is decided by
+    batch-composition fp noise) is re-solved cold in f64 via this
+    callable (``run64(sub_scenarios) -> HPFResult``; see
+    :func:`_f64_resolve`).  The merged ``converged`` then reflects the
+    f64 criterion for those rows.  ``take``: index->subset function for
+    the batch carrier (defaults to Scenarios slicing) so non-Scenarios
+    sweeps (e.g. background-injection batches) reuse this rescue.
     """
     import numpy as np
+
+    if take is None:
+        take = lambda idx: _take_scen(scenarios, idx)  # noqa: E731
+
+    def _merge(out, idx, res_r, cast=None):
+        return out._replace(
+            V_m=out.V_m.at[idx].set(res_r.V_m),
+            V_a=out.V_a.at[idx].set(res_r.V_a),
+            err=out.err.at[idx].set(res_r.err),
+            n_iter=out.n_iter.at[idx].set(out.n_iter[idx] + res_r.n_iter),
+            err_hist=out.err_hist.at[idx].set(res_r.err_hist),
+            converged=out.converged.at[idx].set(res_r.converged))
 
     B = out.V_m.shape[0]
     rd = settings.real_dtype
@@ -182,7 +253,7 @@ def _rescue_sweep(settings: Settings, scenarios: Scenarios, out: HPFResult,
         bucket = min(1 << (int(pend.size) - 1).bit_length(), B)
         pend_p = np.concatenate(
             [pend, np.full(bucket - pend.size, pend[0], pend.dtype)])
-        sub = _take_scen(scenarios, pend_p)
+        sub = take(pend_p)
         idx = jnp.asarray(pend_p)
         if use_self:
             Vm0, Va0 = out.V_m[idx], out.V_a[idx]
@@ -193,14 +264,17 @@ def _rescue_sweep(settings: Settings, scenarios: Scenarios, out: HPFResult,
         else:
             Vm0 = jnp.broadcast_to(flat_m, (bucket,) + flat_m.shape)
             Va0 = jnp.broadcast_to(flat_a, (bucket,) + flat_a.shape)
-        res_r = run(sub, (Vm0, Va0))
-        out = out._replace(
-            V_m=out.V_m.at[idx].set(res_r.V_m),
-            V_a=out.V_a.at[idx].set(res_r.V_a),
-            err=out.err.at[idx].set(res_r.err),
-            n_iter=out.n_iter.at[idx].set(out.n_iter[idx] + res_r.n_iter),
-            err_hist=out.err_hist.at[idx].set(res_r.err_hist),
-            converged=out.converged.at[idx].set(res_r.converged))
+        out = _merge(out, idx, run(sub, (Vm0, Va0)))
+    if run64 is not None \
+            and jnp.dtype(settings.real_dtype) != jnp.dtype(np.float64):
+        pend = np.where(~np.asarray(out.converged))[0]
+        if pend.size:
+            # bucket like the passes above so the CPU f64 program
+            # compiles once per power-of-two straggler count
+            bucket = min(1 << (int(pend.size) - 1).bit_length(), B)
+            pend_p = np.concatenate(
+                [pend, np.full(bucket - pend.size, pend[0], pend.dtype)])
+            out = _merge(out, jnp.asarray(pend_p), run64(take(pend_p)))
     return out
 
 
@@ -208,7 +282,7 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
                        scenarios: Scenarios, phase_iters: int = 16,
                        phase2_settings: Optional[Settings] = None,
                        V0=None, rescue: bool = True, Y=None,
-                       warm: str = "cold") -> HPFResult:
+                       warm: str = "cold", I_bg=None) -> HPFResult:
     """Two-phase sweep that avoids straggler lockstep.
 
     The batched while-loop runs every scenario until the *slowest* one
@@ -234,20 +308,45 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
     (dense Cx or a (Y, lineY, lineY_f) triple — see
     :func:`hpfx.ybus.resolve_ybus`; damped/sequence-aware systems ride
     the adaptive schedule this way).
+
+    ``I_bg``: optional per-scenario (B, H, n) background injections
+    (hpfx.background) — every phase and rescue pass (f64 fallback
+    included) threads the matching rows, so batched background studies
+    get the same deterministic-convergence contract as plain sweeps.
     """
     import numpy as np
 
-    def run_r(sub, V0_):
-        return hpf_sweep(net, devices, settings, sub, V0=V0_, Y=Y)
+    def _bg_take(idx):
+        return jax.tree.map(lambda x: x[jnp.asarray(idx)], I_bg)
+
+    def take(idx):
+        sub = _take_scen(scenarios, idx)
+        return (sub, _bg_take(idx)) if I_bg is not None else sub
+
+    def _unpack(subt):
+        return subt if I_bg is not None else (subt, None)
+
+    def run_r(subt, V0_):
+        sub, bg = _unpack(subt)
+        return hpf_sweep(net, devices, settings, sub, V0=V0_, Y=Y,
+                         I_bg=bg)
+
+    def run64(subt):
+        sub, bg = _unpack(subt)
+        return _f64_resolve(net, devices, settings, sub, Y=Y, I_bg=bg)
 
     if V0 is None and warm == "linear":
+        if I_bg is not None:
+            raise ValueError("warm='linear' with a batched I_bg is not "
+                             "supported — pass V0 explicitly or use the "
+                             "cold start")
         # exact-linear Norton seed (hpfx.warmstart) as the phase-1 start;
         # the rescue passes keep their flat-restart semantics
         from .warmstart import norton_warm_start
         V0 = norton_warm_start(net, devices, settings, scenarios, Y=Y)
 
     s1 = settings.with_(max_iter_h=min(phase_iters, settings.max_iter_h))
-    r1 = hpf_sweep(net, devices, s1, scenarios, V0=V0, Y=Y)
+    r1 = hpf_sweep(net, devices, s1, scenarios, V0=V0, Y=Y, I_bg=I_bg)
     pending = np.where(~np.asarray(r1.converged))[0]
     if pending.size == 0 or s1.max_iter_h == settings.max_iter_h:
         if s1.max_iter_h < settings.max_iter_h:
@@ -258,7 +357,8 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
             r1 = r1._replace(err_hist=hist.at[:, : s1.max_iter_h]
                              .set(r1.err_hist))
         if rescue and pending.size:
-            r1 = _rescue_sweep(settings, scenarios, r1, run_r)
+            r1 = _rescue_sweep(settings, scenarios, r1, run_r,
+                               run64=run64, take=take)
         return r1
 
     # bucket the re-solve batch to the next power of two (padding with
@@ -277,7 +377,8 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
     V0 = (r1.V_m[pend_p], r1.V_a[pend_p])
     base2 = settings if phase2_settings is None else phase2_settings
     s2 = base2.with_(max_iter_h=settings.max_iter_h - s1.max_iter_h)
-    r2 = hpf_sweep(net, devices, s2, sub, V0=V0, Y=Y)
+    r2 = hpf_sweep(net, devices, s2, sub, V0=V0, Y=Y,
+                   I_bg=None if I_bg is None else _bg_take(pend_p))
 
     idx = jnp.asarray(pend_p)
     # full-width residual histories: phase-1 rows NaN-padded to max_iter_h;
@@ -297,7 +398,8 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
         converged=r1.converged.at[idx].set(r2.converged),
         fund=r1.fund)
     if rescue:
-        merged = _rescue_sweep(settings, scenarios, merged, run_r)
+        merged = _rescue_sweep(settings, scenarios, merged, run_r,
+                               run64=run64, take=take)
     return merged
 
 
@@ -351,7 +453,8 @@ def hpf_sweep_device(net: Network, devices, settings: Settings,
         out = _rescue_sweep(
             settings, scenarios, out,
             lambda sub, V0_: hpf_sweep(net, devices, settings, sub,
-                                       V0=V0_))
+                                       V0=V0_),
+            run64=lambda sub: _f64_resolve(net, devices, settings, sub))
     return out
 
 
@@ -414,7 +517,9 @@ def hpf_sweep_stream(net: Network, devices, settings: Settings,
             out = _rescue_sweep(
                 settings, sc, out,
                 lambda sub, V0_: hpf_sweep(net, devices, settings, sub,
-                                           V0=V0_))
+                                           V0=V0_),
+                run64=lambda sub: _f64_resolve(net, devices, settings,
+                                               sub))
         # materialize the voltages so a consumer's timing of this
         # generator measures completed transfers, not enqueued work
         # (block_until_ready does not synchronize on the tunneled relay;
@@ -546,10 +651,13 @@ def hpf_sweep_continuation(net: Network, devices, settings: Settings,
         return out
 
     # deterministic straggler rescue (shared with hpf_sweep_adaptive):
-    # self-warm-start pass then cold-restart pass, see _rescue_sweep.
-    # Stage-level adaptive rescue is disabled inside `run` (the merged
-    # result gets this one rescue instead).
-    return _rescue_sweep(settings, scenarios, out, run)
+    # self-warm-start pass then cold-restart pass, then the f64
+    # knife-edge fallback, see _rescue_sweep.  Stage-level adaptive
+    # rescue is disabled inside `run` (the merged result gets this one
+    # rescue instead).
+    return _rescue_sweep(settings, scenarios, out, run,
+                         run64=lambda sub: _f64_resolve(
+                             net, devices, settings, sub))
 
 
 @partial(jax.jit, static_argnames=("settings",))

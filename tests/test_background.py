@@ -145,3 +145,59 @@ def test_direct_current_spectrum():
     assert np.count_nonzero(got) == 1
     res = hpfx.hpf(net, dev, s, I_bg=I_direct)
     assert bool(res.converged)
+
+
+def test_background_sweep_matches_vmapped_hpf():
+    """background_sweep (the adaptive-schedule batched study) reaches the
+    same fixed points as directly vmapping hpf over I_bg rows."""
+    import jax
+    from hpfx.harmonic import hpf
+
+    s, net, dev = make_setup(("net2", 25, True))
+    s = s.with_(solver="arrow", stable_mismatch=True)
+    B, H, n = 4, s.n_harmonics, net.n
+    rng = np.random.default_rng(7)
+    full = np.zeros((B, H, n), complex)
+    x_sh = float(np.asarray(net.bus_Xsh)[0])
+    orders = np.asarray(s.harmonics, float)
+    mag = rng.uniform(0, 0.02, (B, H))
+    ang = rng.uniform(0, 2 * np.pi, (B, H))
+    i = mag * np.exp(1j * ang) / (1j * x_sh * orders)
+    i[:, 0] = 0.0
+    full[:, :, 0] = i
+    I_bg = cx.Cx(jnp.asarray(full.real, s.real_dtype),
+                 jnp.asarray(full.imag, s.real_dtype))
+
+    r = hpfx.background_sweep(net, dev, s, I_bg)
+    assert bool(np.all(np.asarray(r.converged)))
+
+    direct = jax.jit(jax.vmap(lambda ibg: hpf(net, dev, s, I_bg=ibg)))(I_bg)
+    np.testing.assert_allclose(np.asarray(r.V_m), np.asarray(direct.V_m),
+                               rtol=0, atol=1e-9)
+
+
+def test_background_sweep_f64_knife_edge_rescue():
+    """Rescue engagement: an f32 threshold below the f32 evaluation
+    floor defeats both f32 rescue passes; the f64 fallback must still
+    deliver conv 1.000 (the round-4 background study's conv-0.963 class,
+    VERDICT round-4 item 3)."""
+    import os
+
+    from conftest import DATA
+    s = hpfx.settings_for_hmax(25, coupled=True).with_(
+        solver="arrow", stable_mismatch=True, dtype="float32",
+        floor_kappa=0.0, thresh_h=3e-8)
+    net = hpfx.load_network(os.path.join(DATA, "net2_buses.csv"),
+                            os.path.join(DATA, "net2_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+    B, H, n = 4, s.n_harmonics, net.n
+    full = np.zeros((B, H, n), complex)
+    full[:, 2, 0] = 0.01 / (1j * float(np.asarray(net.bus_Xsh)[0]) * 5)
+    I_bg = cx.Cx(jnp.asarray(full.real, jnp.float32),
+                 jnp.asarray(full.imag, jnp.float32))
+    r = hpfx.background_sweep(net, dev, s, I_bg)
+    assert bool(np.all(np.asarray(r.converged)))
+    assert r.V_m.dtype == jnp.float32
+    # the f64 pass really ran: the achieved residual beats anything f32
+    # evaluation can certify at this scale
+    assert float(np.max(np.asarray(r.err))) < 3e-8
