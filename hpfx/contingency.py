@@ -363,3 +363,119 @@ def screen_device_outages(net: Network, devices, settings: Settings, *,
         sel, np.zeros(len(sel), bool), np.asarray(res.converged),
         np.asarray(res.n_iter, np.int32), thd, base_thd,
         np.asarray(jnp.min(res.V_m[:, 0, :], axis=1)))
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _solve_line_outage_sweep(net: Network, devices, settings: Settings,
+                             stacks, p_scale, q_scale, inj_scale):
+    """(outage × scenario) cross as ONE compiled program: outer vmap
+    over the stacked surviving-line arrays, inner vmap over the
+    load/injection draws — the batch the TPU actually wants (K·S wide)
+    instead of the K-wide screen that leaves the chip idle
+    (round-4 measurement: 150 outages/s TPU vs 148 CPU at K=23)."""
+
+    def one_outage(*lines):
+        net_k = dataclasses.replace(net, **dict(zip(_LINE_FIELDS, lines)))
+
+        def one_scen(p, q, i):
+            net_s = dataclasses.replace(
+                net_k,
+                bus_P=net_k.bus_P * p,
+                bus_Q=net_k.bus_Q * q)
+            res = hpf(net_s, devices.scale(i), settings)
+            thd = get_thd(res.V_m).THD_F
+            return (res.converged, res.n_iter, jnp.max(thd),
+                    jnp.min(res.V_m[0]))
+
+        return jax.vmap(one_scen)(p_scale, q_scale, inj_scale)
+
+    return jax.vmap(one_outage)(*stacks)
+
+
+class ContingencySweepReport(NamedTuple):
+    """(outage × scenario) screen outcome; K outages, S scenarios.
+
+    ``converged`` (K, S); ``worst_thd`` (K, S): worst-bus THD_F per
+    (outage, draw); ``base_worst`` (S,): intact network under the same
+    draws; ``delta_q`` (K,): the ``quantile`` over draws of the
+    worst-bus THD increase (the planning-level ranking axis — "under
+    this outage, distortion rises by at least this much in q of load
+    situations"); ``conv_frac`` (K,); islanded rows NaN/False.
+    ``ranking``: outage positions by descending ``delta_q``.
+    """
+    outages: Tuple[int, ...]
+    islanded: np.ndarray
+    converged: np.ndarray
+    n_iter: np.ndarray
+    worst_thd: np.ndarray
+    base_worst: np.ndarray
+    delta_q: np.ndarray
+    conv_frac: np.ndarray
+    ranking: np.ndarray
+
+
+def screen_line_outages_sweep(net: Network, devices, settings: Settings,
+                              scenarios: Scenarios, *,
+                              outages: Optional[Sequence[int]] = None,
+                              quantile: float = 0.95
+                              ) -> ContingencySweepReport:
+    """N-1 line screen crossed with a scenario sweep: every (outage,
+    load/injection draw) pair solves in one vmapped full-HPF program.
+
+    The single-case screen answers "does outage k worsen distortion at
+    nominal load"; planning needs "in what fraction of operating points"
+    — and the K·S-wide batch is also what makes the screen a TPU
+    workload (the reference has no topology variation at all: its Ybus
+    is built once, hcne_generalized.py:132-171).  ``scenarios``: the
+    (S,) load/injection draws (hpfx.solve.Scenarios; device_mix not
+    supported here).  ``quantile``: ranking quantile over draws.
+    """
+    if scenarios.device_mix is not None:
+        raise ValueError("screen_line_outages_sweep does not support "
+                         "device_mix scenarios")
+    sel = list(range(net.n_lines)) if outages is None else \
+        [int(k) for k in outages]
+    bad = [k for k in sel if not 0 <= k < net.n_lines]
+    if bad:
+        raise ValueError(f"line indices {bad} out of range "
+                         f"(0..{net.n_lines - 1})")
+    q = scenarios.q_scale if scenarios.q_scale is not None \
+        else scenarios.p_scale
+    inj = scenarios.injection_scale if scenarios.injection_scale \
+        is not None else jnp.ones_like(scenarios.p_scale)
+    S = scenarios.p_scale.shape[0]
+
+    # intact network under the same draws (the delta baseline)
+    base = hpf_sweep(net, devices, settings, scenarios)
+    base_thd = get_thd(jnp.moveaxis(base.V_m, 0, -1)).THD_F  # (n, S)
+    base_worst = np.asarray(jnp.max(base_thd, axis=0))       # (S,)
+
+    isl_all = islanded_lines(net)
+    islanded = np.asarray([isl_all[k] for k in sel])
+    solvable = [k for k, isl in zip(sel, islanded) if not isl]
+
+    K = len(sel)
+    conv = np.zeros((K, S), bool)
+    n_iter = np.zeros((K, S), np.int32)
+    worst = np.full((K, S), np.nan)
+    if solvable:
+        stacks = _stacked_outage_lines(net, solvable)
+        c, it, w, _ = _solve_line_outage_sweep(
+            net, devices, settings, stacks, scenarios.p_scale, q, inj)
+        pos = [sel.index(k) for k in solvable]
+        conv[pos] = np.asarray(c)
+        n_iter[pos] = np.asarray(it)
+        worst[pos] = np.asarray(w)
+
+    with np.errstate(invalid="ignore"):
+        delta = worst - base_worst[None, :]
+        delta_q = np.nanquantile(
+            np.where(conv, delta, np.nan), float(quantile), axis=1)
+    conv_frac = conv.mean(axis=1)
+    order = np.argsort(np.where(islanded | (conv_frac == 0),
+                                -np.inf, delta_q))[::-1]
+    return ContingencySweepReport(
+        outages=tuple(int(o) for o in sel), islanded=islanded,
+        converged=conv, n_iter=n_iter, worst_thd=worst,
+        base_worst=base_worst, delta_q=delta_q, conv_frac=conv_frac,
+        ranking=order)

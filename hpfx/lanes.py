@@ -37,6 +37,7 @@ only changes the batch layout.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -865,7 +866,7 @@ def _linear_seed_lanes(su: "_SweepSetup", net: Network,
 @highest_precision
 def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
                              scenarios, phase_iters: int = 24,
-                             rescue_width: Optional[int] = None,
+                             rescue_width=None,
                              vsharding=None, warm: str = "cold",
                              V0=None) -> HPFResult:
     """Two-phase adaptive sweep + deterministic knife-edge rescue as ONE
@@ -897,7 +898,14 @@ def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
     the host twin's data-dependent straggler bucket: should stragglers
     ever exceed it, the excess lanes keep their phase-1 state and are
     honestly reported unconverged (never silently wrong).
-    ``vsharding`` as in :func:`hpf_sweep_lanes`.
+
+    ``rescue_width`` may also be a TUPLE of widths: the program then
+    compiles one rescue block per width and ``lax.switch``es to the
+    smallest that covers the phase-1 straggler count — the device-only
+    answer to straggler-heavy configs (net1-class f32 batches leave
+    ~270 stragglers at B=2048, overflowing the 128-lane default;
+    round-4 A/B).  Include ``B`` as the widest bucket for a coverage
+    guarantee.  ``vsharding`` as in :func:`hpf_sweep_lanes`.
     """
     su = _sweep_setup(net, devices, settings, scenarios,
                       vsharding=vsharding)
@@ -927,75 +935,105 @@ def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
     hist = jnp.full((settings.max_iter_h, B), jnp.nan, rd) \
         .at[:p1].set(hist1)
 
-    K = min(B, rescue_width if rescue_width is not None
-            else max(128, B // 16))
-    # unconverged lanes first (stable: deterministic padding choice)
-    bad = jnp.argsort(conv.astype(rd), stable=True)[:K]
-    was_bad = ~conv[bad]
-    g = lambda x: jnp.take(x, bad, axis=-1)
-    S_k = Cx(g(su.S.re), g(su.S.im))
-    inj_k = g(su.inj_db)
-    dev_k = su.dev
-    if isinstance(su.dev, LaneDevices) and su.dev.batched:
-        dev_k = LaneDevices(
-            I_N=Cx(g(su.dev.I_N.re), g(su.dev.I_N.im)),
-            Y_N=Cx(g(su.dev.Y_N.re), g(su.dev.Y_N.im)),
-            coupled=su.dev.coupled, batched=True)
-    thresh_k = g(su.thresh)
-    coldVm_k, coldVa_k = g(su.cold_V_m), g(su.cold_V_a)
+    def _rescue_block(K, hist):
+        """Gathered straggler rescue at static width ``K``: phase-2
+        self-warm continuation + cold-restart pass, scattered back to
+        full width.  Returns the full-width (V_m, V_a, err, n_iter,
+        conv, hist)."""
+        # unconverged lanes first (stable: deterministic padding choice)
+        bad = jnp.argsort(conv.astype(rd), stable=True)[:K]
+        was_bad = ~conv[bad]
+        g = lambda x: jnp.take(x, bad, axis=-1)
+        S_k = Cx(g(su.S.re), g(su.S.im))
+        inj_k = g(su.inj_db)
+        dev_k = su.dev
+        if isinstance(su.dev, LaneDevices) and su.dev.batched:
+            dev_k = LaneDevices(
+                I_N=Cx(g(su.dev.I_N.re), g(su.dev.I_N.im)),
+                Y_N=Cx(g(su.dev.Y_N.re), g(su.dev.Y_N.im)),
+                coupled=su.dev.coupled, batched=True)
+        thresh_k = g(su.thresh)
+        coldVm_k, coldVa_k = g(su.cold_V_m), g(su.cold_V_a)
 
-    Vmk, Vak = g(V_m), g(V_a)
-    errk, nitk, convk = g(err), g(n_iter), conv[bad]
+        Vmk, Vak = g(V_m), g(V_a)
+        errk, nitk, convk = g(err), g(n_iter), conv[bad]
 
-    def rescue_pass(s_pass, Vm0, Va0, state):
+        def rescue_pass(s_pass, Vm0, Va0, state):
+            Vmk, Vak, errk, nitk, convk = state
+            # converged gather-padding stays inactive: threshold lifted
+            # to its achieved error
+            thresh_r = jnp.where(convk, jnp.maximum(thresh_k, errk),
+                                 thresh_k)
+            Vm2, Va2, err2, nit2, hist2 = nr_trip_lanes(
+                su.Y, su.lineY, S_k, dev_k, inj_k, Vm0, Va0, s_pass,
+                su.consts, thresh_r, vc=su.vc)
+            redo = ~convk
+            Vmk = jnp.where(redo[None, None, :], Vm2, Vmk)
+            Vak = jnp.where(redo[None, None, :], Va2, Vak)
+            errk = jnp.where(redo, err2, errk)
+            nitk = nitk + jnp.where(redo, nit2, 0)
+            convk = convk | (redo & (err2 <= thresh_r))
+            return (Vmk, Vak, errk, nitk, convk), redo, hist2
+
+        state = (Vmk, Vak, errk, nitk, convk)
+        if p1 < settings.max_iter_h:
+            # phase 2: continue warm from the phase-1 state (cold where
+            # it went non-finite — a NaN state no-ops the trip at
+            # iteration 0).  The seed passes through cleanup_voltages
+            # exactly like the host twin's (hpf_sweep_adaptive phase-2
+            # V0 is a finished hpf_sweep result, i.e. post-cleanup) —
+            # cleanup is idempotent, so the two schedules stay
+            # fp-identical when their gather widths coincide
+            finite = (jnp.isfinite(Vmk).all(axis=(0, 1))
+                      & jnp.isfinite(Vak).all(axis=(0, 1)))
+            use_self = (finite | convk)[None, None, :]
+            Vmc, Vac = cleanup_voltages(Vmk, Vak)
+            s2 = settings.with_(max_iter_h=settings.max_iter_h - p1)
+            state, redo, hist2 = rescue_pass(
+                s2, jnp.where(use_self, Vmc, coldVm_k),
+                jnp.where(use_self, Vac, coldVa_k), state)
+            hist = hist.at[p1:, bad].set(
+                jnp.where(redo[None, :], hist2, hist[p1:, bad]))
+
+        # cold-restart rescue with a fresh full budget for anything
+        # STILL stuck; its history replaces the whole row (a restart,
+        # not a resume)
+        state, redo, hist3 = rescue_pass(settings, coldVm_k, coldVa_k,
+                                         state)
+        hist = hist.at[:, bad].set(
+            jnp.where(redo[None, :], hist3, hist[:, bad]))
         Vmk, Vak, errk, nitk, convk = state
-        # converged gather-padding stays inactive: threshold lifted to
-        # its achieved error
-        thresh_r = jnp.where(convk, jnp.maximum(thresh_k, errk), thresh_k)
-        Vm2, Va2, err2, nit2, hist2 = nr_trip_lanes(
-            su.Y, su.lineY, S_k, dev_k, inj_k, Vm0, Va0, s_pass,
-            su.consts, thresh_r, vc=su.vc)
-        redo = ~convk
-        Vmk = jnp.where(redo[None, None, :], Vm2, Vmk)
-        Vak = jnp.where(redo[None, None, :], Va2, Vak)
-        errk = jnp.where(redo, err2, errk)
-        nitk = nitk + jnp.where(redo, nit2, 0)
-        convk = convk | (redo & (err2 <= thresh_r))
-        return (Vmk, Vak, errk, nitk, convk), redo, hist2
 
-    state = (Vmk, Vak, errk, nitk, convk)
-    if p1 < settings.max_iter_h:
-        # phase 2: continue warm from the phase-1 state (cold where it
-        # went non-finite — a NaN state no-ops the trip at iteration 0).
-        # The seed passes through cleanup_voltages exactly like the host
-        # twin's (hpf_sweep_adaptive phase-2 V0 is a finished hpf_sweep
-        # result, i.e. post-cleanup) — cleanup is idempotent, so the two
-        # schedules stay fp-identical when their gather widths coincide
-        finite = (jnp.isfinite(Vmk).all(axis=(0, 1))
-                  & jnp.isfinite(Vak).all(axis=(0, 1)))
-        use_self = (finite | convk)[None, None, :]
-        Vmc, Vac = cleanup_voltages(Vmk, Vak)
-        s2 = settings.with_(max_iter_h=settings.max_iter_h - p1)
-        state, redo, hist2 = rescue_pass(
-            s2, jnp.where(use_self, Vmc, coldVm_k),
-            jnp.where(use_self, Vac, coldVa_k), state)
-        hist = hist.at[p1:, bad].set(
-            jnp.where(redo[None, :], hist2, hist[p1:, bad]))
+        sc = lambda full, kk, mask: full.at[..., bad].set(
+            jnp.where(mask, kk, jnp.take(full, bad, axis=-1)))
+        return (sc(V_m, Vmk, was_bad[None, None, :]),
+                sc(V_a, Vak, was_bad[None, None, :]),
+                sc(err, errk, was_bad),
+                sc(n_iter, nitk, was_bad),
+                sc(conv, convk, was_bad),
+                hist)
 
-    # cold-restart rescue with a fresh full budget for anything STILL
-    # stuck; its history replaces the whole row (a restart, not a resume)
-    state, redo, hist3 = rescue_pass(settings, coldVm_k, coldVa_k, state)
-    hist = hist.at[:, bad].set(
-        jnp.where(redo[None, :], hist3, hist[:, bad]))
-    Vmk, Vak, errk, nitk, convk = state
-
-    sc = lambda full, kk, mask: full.at[..., bad].set(
-        jnp.where(mask, kk, jnp.take(full, bad, axis=-1)))
-    V_m = sc(V_m, Vmk, was_bad[None, None, :])
-    V_a = sc(V_a, Vak, was_bad[None, None, :])
-    err = sc(err, errk, was_bad)
-    n_iter = sc(n_iter, nitk, was_bad)
-    conv = sc(conv, convk, was_bad)
+    if isinstance(rescue_width, (tuple, list)):
+        # bucketed widths: pick the smallest static width that covers
+        # the phase-1 straggler count via lax.switch — every branch
+        # compiles, the chosen one executes.  The widest bucket should
+        # be >= the worst plausible straggler count (include B for a
+        # guarantee); overflow beyond the widest bucket degrades like
+        # the single-width case (honestly-unconverged excess lanes).
+        widths = sorted({min(B, max(1, int(w))) for w in rescue_width})
+        n_bad = jnp.sum(~conv)
+        if len(widths) == 1:
+            V_m, V_a, err, n_iter, conv, hist = \
+                _rescue_block(widths[0], hist)
+        else:
+            idx = sum((n_bad > w).astype(jnp.int32)
+                      for w in widths[:-1])
+            V_m, V_a, err, n_iter, conv, hist = lax.switch(
+                idx, [partial(_rescue_block, w) for w in widths], hist)
+    else:
+        K = min(B, rescue_width if rescue_width is not None
+                else max(128, B // 16))
+        V_m, V_a, err, n_iter, conv, hist = _rescue_block(K, hist)
 
     V_m, V_a = cleanup_voltages(V_m, V_a)
     res = _lanes_result(V_m, V_a, err, n_iter, hist, su.thresh, su.fund)

@@ -406,7 +406,8 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
 def hpf_sweep_device(net: Network, devices, settings: Settings,
                      scenarios: Scenarios, phase_iters: int = 16,
                      jitted=None, rescue: bool = True,
-                     warm: str = "cold") -> HPFResult:
+                     warm: str = "cold",
+                     rescue_width=None) -> HPFResult:
     """Single-program device-side adaptive sweep with a host-side
     deterministic straggler rescue.
 
@@ -431,16 +432,27 @@ def hpf_sweep_device(net: Network, devices, settings: Settings,
     (H−1)·n block solve per lane replaces most of the Newton trips
     (f64: 10-21 trips → 3 on net2/net3 at every harmonic depth); the
     floor-aware threshold and the knife-edge cold-restart rescue keep
-    using the cold state.
+    using the cold state.  Measured on the driver headline (net2
+    B=16384, round-5 interleaved A/B): 34.9-39.0k vs 9.3-20.6k cold
+    conv-solves/s at conv 1.000.
+
+    ``rescue_width``: forwarded to the lanes program — an int overrides
+    the static gather width, a TUPLE enables bucketed widths
+    (lax.switch to the smallest covering bucket), the device-only
+    answer for straggler-heavy configs (net1-class B=2048 leaves ~270
+    stragglers, overflowing the 128-lane default).
     """
     import numpy as np
 
     if jitted is None:
         from .lanes import hpf_sweep_adaptive_lanes
+        if rescue_width is not None and isinstance(rescue_width, list):
+            rescue_width = tuple(rescue_width)
         jitted = jax.jit(partial(hpf_sweep_adaptive_lanes,
                                  settings=settings,
                                  phase_iters=phase_iters,
-                                 warm=warm))
+                                 warm=warm,
+                                 rescue_width=rescue_width))
     elif warm != "cold":
         import warnings
         warnings.warn(

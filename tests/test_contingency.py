@@ -188,3 +188,54 @@ def test_base_divergence_raises():
     s, net, dev = make_setup(("net1", 5, True))  # the DIVERGED config
     with pytest.raises(ValueError, match="did not converge"):
         cg.screen_line_outages(net, dev, s, outages=[0])
+
+
+def test_line_outage_sweep_matches_single_screen(net2c):
+    """screen_line_outages_sweep at S=1 uniform draws reproduces the
+    single-case screen's per-outage worst THD and deltas."""
+    from hpfx.solve import Scenarios
+
+    s, net, dev = net2c
+    single = cg.screen_line_outages(net, dev, s)
+    sweep = cg.screen_line_outages_sweep(
+        net, dev, s, Scenarios.uniform(1, s.real_dtype), quantile=0.5)
+    assert sweep.converged.shape == (net.n_lines, 1)
+    assert bool(sweep.converged.all())
+    np.testing.assert_allclose(sweep.worst_thd[:, 0], single.worst_thd,
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(sweep.delta_q, single.delta_thd,
+                               rtol=0, atol=1e-9)
+    np.testing.assert_array_equal(sweep.ranking, single.ranking)
+
+
+def test_line_outage_sweep_cross(net2c):
+    """The (outage x scenario) cross: per-pair convergence, monotone
+    base deltas, and the quantile ranking axis."""
+    from hpfx.solve import Scenarios
+
+    s, net, dev = net2c
+    S = 4
+    sc = Scenarios(p_scale=jnp.linspace(0.9, 1.1, S),
+                   q_scale=jnp.linspace(0.9, 1.1, S),
+                   injection_scale=jnp.linspace(0.8, 1.2, S))
+    rep = cg.screen_line_outages_sweep(net, dev, s, sc, quantile=0.95)
+    assert rep.worst_thd.shape == (net.n_lines, S)
+    assert rep.base_worst.shape == (S,)
+    assert bool(rep.converged.all())
+    assert np.all(rep.conv_frac == 1.0)
+    # every solved pair produced a physical THD
+    assert np.all(np.isfinite(rep.worst_thd))
+    # ranking sorts by descending delta_q
+    dq = rep.delta_q[rep.ranking]
+    assert np.all(np.diff(dq[np.isfinite(dq)]) <= 1e-12)
+
+
+def test_line_outage_sweep_rejects_device_mix(net2c):
+    from hpfx.solve import Scenarios
+
+    s, net, dev = net2c
+    sc = Scenarios(p_scale=jnp.ones(2), q_scale=jnp.ones(2),
+                   injection_scale=jnp.ones(2),
+                   device_mix=jnp.ones((2, net.n_nonlinear, 1)))
+    with pytest.raises(ValueError):
+        cg.screen_line_outages_sweep(net, dev, s, sc)

@@ -475,3 +475,40 @@ def test_hpf_sweep_stream_matches_device_sweep():
         assert np.asarray(r.converged).all()
         r_ref = hpf_sweep_device(net, dev, s, batch(k), jitted=f_narrow)
         assert _phasor_dist(r, r_ref) < 1e-12
+
+
+def test_adaptive_lanes_bucketed_rescue_widths():
+    """rescue_width as a tuple: lax.switch picks the smallest bucket
+    covering the straggler count.  phase_iters=1 leaves ~everything
+    unconverged, overflowing a width-2 bucket — the single narrow width
+    must under-converge honestly while the bucketed program escalates to
+    the full-width bucket and converges everything (VERDICT round-4
+    item 4)."""
+    from functools import partial
+
+    import jax
+    from hpfx.lanes import hpf_sweep_adaptive_lanes
+
+    s, net, dev = _setup("net2", 25, True)
+    s = s.with_(layout="lanes", solver="arrow")
+    B = 16
+    scen = Scenarios(p_scale=jnp.linspace(0.85, 1.15, B),
+                     q_scale=jnp.linspace(0.85, 1.15, B),
+                     injection_scale=jnp.linspace(0.7, 1.3, B))
+
+    run = lambda **kw: jax.jit(partial(hpf_sweep_adaptive_lanes,
+                                       settings=s, phase_iters=1,
+                                       **kw))(net, dev, scenarios=scen)
+    narrow = run(rescue_width=2)
+    assert not bool(np.asarray(narrow.converged).all())
+
+    bucketed = run(rescue_width=(2, B))
+    assert bool(np.asarray(bucketed.converged).all())
+
+    # when stragglers FIT the chosen bucket, the bucketed program is
+    # fp-identical to the single width of that size
+    wide = run(rescue_width=B)
+    np.testing.assert_array_equal(np.asarray(bucketed.V_m),
+                                  np.asarray(wide.V_m))
+    np.testing.assert_array_equal(np.asarray(bucketed.n_iter),
+                                  np.asarray(wide.n_iter))

@@ -62,12 +62,22 @@ def main():
                            phase_iters=24))
     f512 = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
                            phase_iters=24, rescue_width=512))
+    # bucketed widths (round 5): lax.switch to the smallest bucket
+    # covering the straggler count — the device-only generalization;
+    # wrapped in hpf_sweep_device so the deterministic host rescue +
+    # f64 knife-edge fallback close whatever the lanes program leaves
+    fbkt = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
+                           phase_iters=24,
+                           rescue_width=(128, 512, 2048)))
     variants = {
         "host_adaptive": lambda sc: hpf_sweep_adaptive(
             net, dev, s, sc, phase_iters=24, phase2_settings=s2),
         "device+rescue": lambda sc: hpf_sweep_device(
             net, dev, s, sc, phase_iters=24, jitted=f128),
         "device_w512": lambda sc: f512(net, dev, scenarios=sc),
+        "device_bucketed": lambda sc: hpf_sweep_device(
+            net, dev, s, sc, phase_iters=24, jitted=fbkt),
+        "device_bucketed_raw": lambda sc: fbkt(net, dev, scenarios=sc),
     }
     for name, fn in variants.items():
         t0 = time.perf_counter()
