@@ -157,6 +157,54 @@ import jax.numpy as jnp  # noqa: E402
 import hpfx  # noqa: E402
 from hpfx.utils.cache import enable_persistent_cache  # noqa: E402
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_MARKER_DIR = os.environ.get("HPFX_CACHE_DIR") or os.path.join(
+    _REPO, ".jax_cache")
+_PRIMER = {"proc": None}
+
+
+def _marker(name: str) -> str:
+    return os.path.join(_MARKER_DIR, name)
+
+
+def _await_primed(names, wait_s: float):
+    """Self-priming stage gate (round-4 VERDICT item 2).
+
+    The gated stages (n128/h99/sens/assess/contsweep) must only run
+    where their programs' first-dispatch windows are already paid — a
+    watchdog firing mid-first-dispatch is the documented runtime-wedge
+    cause (CLAUDE.md #30).  Round 4 gated them on side-marker files,
+    which desynchronized from the executable cache and silently dropped
+    three stages from the official record.  Now, when markers are
+    missing, bench SPAWNS the priming pass itself — a detached
+    `validation/precompile.py --execute-missing` subprocess (never
+    killed; on timeout it is abandoned and keeps priming for the next
+    run) — and waits a bounded time for it to finish.  Stages run only
+    when their marker exists AND no primer is mid-flight (a concurrent
+    primer would corrupt the stage timings on the shared chip).
+
+    Returns the set of marker names whose stages may run.
+    """
+    import subprocess
+    missing = [n for n in names if not os.path.exists(_marker(n))]
+    if not missing:
+        return set(names)
+    if _PRIMER["proc"] is None:
+        os.makedirs(_MARKER_DIR, exist_ok=True)
+        log = open(os.path.join(_MARKER_DIR, "primer.log"), "ab")
+        _PRIMER["proc"] = subprocess.Popen(
+            [sys.executable,
+             os.path.join(_REPO, "validation", "precompile.py"),
+             "--execute-missing"],
+            stdout=log, stderr=subprocess.STDOUT, start_new_session=True)
+    proc = _PRIMER["proc"]
+    deadline = time.monotonic() + max(0.0, wait_s)
+    while time.monotonic() < deadline and proc.poll() is None:
+        time.sleep(5)
+    if proc.poll() is None:
+        return set()          # primer mid-flight: no gated stage runs
+    return {n for n in names if os.path.exists(_marker(n))}
+
 # persistent executable cache: warm runs skip the 20-200 s first
 # compiles, keeping the whole run well inside the watchdog budget
 # (validation/precompile.py primes it compile-only; HPFX_CACHE_DIR=""
@@ -387,6 +435,102 @@ def bench_stream(net, dev, s, batch: int, n_batches: int = 4,
                 n_batches=n_batches)
 
 
+def bench_studies_stages(batch: int = 4096, T: int = 1008,
+                         repeats: int = 2):
+    """Percentile assessment + quasi-static timeseries throughput
+    (hpfx.studies) at the shapes validation/bench_studies.py measured in
+    round 4 (8.5k assessed-solves/s, 7.75k steps/s — BENCH_NOTES
+    "studies + contingency"); same timing discipline as the solver
+    stages."""
+    import numpy as np
+
+    s = hpfx.settings_for_hmax(25, coupled=True).with_(
+        solver="arrow", stable_mismatch=True, big_solve=BIG_SOLVE)
+    net = hpfx.load_network(os.path.join(DATA, "net2_buses.csv"),
+                            os.path.join(DATA, "net2_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+
+    def assess(k):
+        scen = hpfx.monte_carlo_scenarios(k, batch, net, s, inj_spread=0.3)
+        t0 = time.perf_counter()
+        qa = hpfx.assess_quantiles(net, dev, s, scen,
+                                   sweep=hpf_sweep_adaptive)
+        np.asarray(qa.thd_q)
+        return time.perf_counter() - t0, qa.converged_frac
+
+    assess(-1)                                  # warm (programs cached)
+    at, ac = [], 1.0
+    for k in range(repeats):
+        dt, c = assess(k)
+        at.append(dt)
+        ac = min(ac, c)
+
+    def tseries(k):
+        prof = hpfx.daily_profile(T, base=0.7 + 0.002 * k, peak=1.15)
+        t0 = time.perf_counter()
+        ts = hpfx.run_timeseries(net, dev, s, prof, inj_profile=prof,
+                                 chunk=T, sweep=hpf_sweep_adaptive)
+        pc = hpfx.percentile_compliance(ts, s)
+        np.asarray(pc.thd_p)
+        return time.perf_counter() - t0, pc.converged_frac
+
+    tseries(-1)
+    tt, tc = [], 1.0
+    for k in range(repeats):
+        dt, c = tseries(k)
+        tt.append(dt)
+        tc = min(tc, c)
+    return {
+        "studies_assess_solves_per_sec": round(ac * batch / min(at), 1),
+        "studies_assess_convergence": round(ac, 4),
+        "studies_assess_batch": batch,
+        "timeseries_steps_per_sec": round(T / min(tt), 1),
+        "timeseries_convergence": round(tc, 4),
+        "timeseries_steps": T,
+    }
+
+
+def bench_contingency_sweep(S: int = 128, repeats: int = 2):
+    """(outage x scenario) N-1 line screen on net1 H<=5 uncoupled —
+    every (outage, draw) pair one lane of a single vmapped full-HPF
+    program (hpfx.contingency.screen_line_outages_sweep)."""
+    import numpy as np
+
+    from hpfx import contingency as cg
+
+    s = hpfx.settings_for_hmax(5, coupled=False).with_(
+        stable_mismatch=True)
+    net = hpfx.load_network(os.path.join(DATA, "net1_buses.csv"),
+                            os.path.join(DATA, "net1_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+
+    def run(k):
+        scen = Scenarios(
+            p_scale=jnp.asarray(np.linspace(0.9, 1.1, S) + 1e-4 * k,
+                                jnp.float32),
+            q_scale=jnp.asarray(np.linspace(0.9, 1.1, S), jnp.float32),
+            injection_scale=jnp.asarray(np.linspace(0.8, 1.2, S),
+                                        jnp.float32))
+        t0 = time.perf_counter()
+        rep = cg.screen_line_outages_sweep(net, dev, s, scen)
+        return time.perf_counter() - t0, rep
+
+    run(-1)                                     # warm
+    times, conv = [], 1.0
+    n_pairs = 0
+    for k in range(repeats):
+        dt, rep = run(k)
+        times.append(dt)
+        solved = ~rep.islanded
+        conv = min(conv, float(rep.converged[solved].mean()))
+        n_pairs = int(solved.sum()) * S
+    return {
+        "contingency_pairs_per_sec": round(conv * n_pairs / min(times), 1),
+        "contingency_convergence": round(conv, 4),
+        "contingency_pairs": n_pairs,
+    }
+
+
 def main():
     n_dev = len(jax.devices())
     per_chip_target = TARGET_V5E8 / 8.0 * n_dev
@@ -510,11 +654,22 @@ def main():
             "tpu_unavailable" if CPU_FALLBACK else "insufficient_time")
         MAIN_RESULT = result()
 
-    n128_marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache", "n128_primed")
+    # ---- gated stages: self-priming (see _await_primed) --------------
+    # reserve enough of the watchdog budget to actually RUN the gated
+    # stages after the priming wait (~540 s warm for all six)
+    remaining = signal.alarm(0)
+    signal.alarm(max(remaining, 1))
+    primed = set()
+    if not CPU_FALLBACK:
+        all_markers = ["sens_primed", "assess_primed", "contsweep_primed"]
+        if not SKIP_NET1:
+            all_markers += ["n128_primed", "h99_primed"]
+        primed = _await_primed(all_markers,
+                               wait_s=max(0, remaining - 700))
+
     remaining = signal.alarm(0)
     if not SKIP_NET1 and not CPU_FALLBACK and remaining > 420 \
-            and os.path.exists(n128_marker):
+            and "n128_primed" in primed:
         signal.alarm(remaining)
         syn128 = bench_synthetic(128, 30, 25, batch=128,
                                  spread=(0.95, 1.05, 0.8, 1.1))
@@ -528,8 +683,8 @@ def main():
         signal.alarm(max(remaining, 1))
         extras["synthetic_n128_skipped"] = (
             "tpu_unavailable" if CPU_FALLBACK
-            else "insufficient_time" if os.path.exists(n128_marker)
-            else "first_dispatch_unprimed")
+            else "insufficient_time" if "n128_primed" in primed
+            else "priming_in_progress")
         MAIN_RESULT = result()
 
     # the full depth of the reference's own device data: smps_NE.csv
@@ -539,11 +694,9 @@ def main():
     # kernel shapes, so the stage is marker-gated exactly like
     # synthetic_n128 (first-dispatch windows are paid once by
     # `python validation/precompile.py --execute-h99`)
-    h99_marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".jax_cache", "h99_primed")
     remaining = signal.alarm(0)
     if not SKIP_NET1 and not CPU_FALLBACK and remaining > 420 \
-            and os.path.exists(h99_marker):
+            and "h99_primed" in primed:
         signal.alarm(remaining)
         h99 = bench_config("net1", 99, SOLVER_NET1, 64, 2,
                            phase2_solver="arrow", phase_iters=30)
@@ -557,8 +710,8 @@ def main():
         signal.alarm(max(remaining, 1))
         extras["net1_h99_skipped"] = (
             "tpu_unavailable" if CPU_FALLBACK
-            else "insufficient_time" if os.path.exists(h99_marker)
-            else "first_dispatch_unprimed")
+            else "insufficient_time" if "h99_primed" in primed
+            else "priming_in_progress")
         MAIN_RESULT = result()
 
     # differentiability throughput: the batched IFT gradient program
@@ -567,11 +720,9 @@ def main():
     # first-dispatch windows are paid by a completed
     # `python validation/bench_sensitivity.py` run (round-4 TPU timings:
     # 8.2-9.9k grads/s at B=1024).
-    sens_marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache", "sens_primed")
     remaining = signal.alarm(0)
     if not CPU_FALLBACK and remaining > 240 \
-            and os.path.exists(sens_marker):
+            and "sens_primed" in primed:
         signal.alarm(remaining)
         gr = bench_grads(1024, repeats=3)
         extras.update({
@@ -585,8 +736,42 @@ def main():
         signal.alarm(max(remaining, 1))
         extras["sweep_sensitivity_skipped"] = (
             "tpu_unavailable" if CPU_FALLBACK
-            else "insufficient_time" if os.path.exists(sens_marker)
-            else "first_dispatch_unprimed")
+            else "insufficient_time" if "sens_primed" in primed
+            else "priming_in_progress")
+        MAIN_RESULT = result()
+
+    # percentile study + quasi-static timeseries throughput (round-4
+    # capabilities, promoted into the driver record per round-4 VERDICT
+    # item 7; programs primed by precompile.prime_assess_execute)
+    remaining = signal.alarm(0)
+    if not CPU_FALLBACK and remaining > 240 and "assess_primed" in primed:
+        signal.alarm(remaining)
+        st = bench_studies_stages()
+        extras.update(st)
+        MAIN_RESULT = result()
+    else:
+        signal.alarm(max(remaining, 1))
+        extras["studies_skipped"] = (
+            "tpu_unavailable" if CPU_FALLBACK
+            else "insufficient_time" if "assess_primed" in primed
+            else "priming_in_progress")
+        MAIN_RESULT = result()
+
+    # (outage x scenario) N-1 contingency screen — the TPU-wide batch
+    # (round-4 VERDICT item 6; K*S ~ 2.7k vmapped full-HPF solves)
+    remaining = signal.alarm(0)
+    if not CPU_FALLBACK and remaining > 180 \
+            and "contsweep_primed" in primed:
+        signal.alarm(remaining)
+        ct = bench_contingency_sweep()
+        extras.update(ct)
+        MAIN_RESULT = result()
+    else:
+        signal.alarm(max(remaining, 1))
+        extras["contingency_skipped"] = (
+            "tpu_unavailable" if CPU_FALLBACK
+            else "insufficient_time" if "contsweep_primed" in primed
+            else "priming_in_progress")
         MAIN_RESULT = result()
 
     signal.alarm(0)

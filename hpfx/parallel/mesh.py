@@ -246,7 +246,8 @@ def hpf_sweep_adaptive_sharded(net: Network, devices,
                                settings: Settings,
                                scenarios: Scenarios, mesh: Mesh,
                                phase_iters: int = 24,
-                               rescue_width=None) -> HPFResult:
+                               rescue_width=None,
+                               warm: str = "cold") -> HPFResult:
     """Single-program adaptive sweep on a scenario (or scenario ×
     harmonic) mesh.
 
@@ -271,7 +272,8 @@ def hpf_sweep_adaptive_sharded(net: Network, devices,
     vspec = NamedSharding(mesh, P(hax, None, SCENARIO_AXIS))
     fn = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=settings,
                          phase_iters=phase_iters,
-                         rescue_width=rescue_width, vsharding=vspec))
+                         rescue_width=rescue_width, vsharding=vspec,
+                         warm=warm))
     res = fn(net, devices, scenarios=scenarios)
     if res.V_m.shape[0] != B:
         res = jax.tree.map(lambda x: x[:B], res)

@@ -104,14 +104,17 @@ def prime_contdev(net_name, h_max, solver, batch, stages):
                     net, dev, scenarios=scen_struct(batch))
 
 
-def prime_adaptdev(net_name, h_max, solver, batch, phase_iters=24):
-    """The single-program device-side adaptive sweep (bench.py
-    HPFX_BENCH_ADAPTDEV=1 A/B path)."""
+def prime_adaptdev(net_name, h_max, solver, batch, phase_iters=24,
+                   warms=("cold", "linear")):
+    """The single-program device-side adaptive sweep (bench.py's
+    headline path) — both phase-1 starts: the flat cold start and the
+    in-program exact-linear Norton seed (the round-5 bench default)."""
     s, net, dev = setup(net_name, h_max, solver)
-    f = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
-                        phase_iters=phase_iters))
-    compile_one(f"{net_name}_h{h_max}_B{batch} adaptdev", f,
-                net, dev, scenarios=scen_struct(batch))
+    for w in warms:
+        f = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
+                            phase_iters=phase_iters, warm=w))
+        compile_one(f"{net_name}_h{h_max}_B{batch} adaptdev[{w}]", f,
+                    net, dev, scenarios=scen_struct(batch))
 
 
 def prime_h99_execute():
@@ -182,6 +185,126 @@ def prime_n128_execute():
         f.write(time.strftime("%Y-%m-%dT%H:%M:%S\n"))
 
 
+def _write_marker(name):
+    from hpfx.utils.cache import DEFAULT_DIR
+    marker_dir = os.environ.get("HPFX_CACHE_DIR") or DEFAULT_DIR
+    os.makedirs(marker_dir, exist_ok=True)
+    with open(os.path.join(marker_dir, name), "w") as f:
+        f.write(time.strftime("%Y-%m-%dT%H:%M:%S\n"))
+
+
+def prime_sens_execute():
+    """Pay the sweep_sensitivity jacfwd programs' first-dispatch windows
+    at bench.py's exact shapes (B=1024 net2 H<=25) and write the marker
+    that un-gates the sweep_sensitivity stage."""
+    import numpy as np
+
+    from hpfx.sensitivity import sweep_sensitivity
+    from hpfx.solve import hpf_sweep
+
+    s = hpfx.settings_for_hmax(25, coupled=True).with_(
+        solver="arrow", stable_mismatch=True, big_solve="panel")
+    net = hpfx.load_network(os.path.join(DATA, "net2_buses.csv"),
+                            os.path.join(DATA, "net2_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+    B = 1024
+    scen = Scenarios(
+        p_scale=jnp.asarray(np.linspace(0.8, 1.2, B), jnp.float32),
+        q_scale=jnp.asarray(np.linspace(0.8, 1.2, B), jnp.float32),
+        injection_scale=jnp.asarray(np.linspace(0.6, 1.4, B), jnp.float32))
+    t0 = time.perf_counter()
+    print("priming sweep_sensitivity (do not kill)...", flush=True)
+    sweep = jax.jit(partial(hpf_sweep, net, dev, settings=s))
+    sr = sweep(scenarios=scen)
+    np.asarray(sr.V_m)
+    g = jax.jit(lambda r, sc: sweep_sensitivity(net, dev, s, r, sc))(
+        sr, scen)
+    jax.tree.map(lambda x: np.asarray(x), g.grad)
+    print(f"  sens primed in {time.perf_counter()-t0:.0f}s", flush=True)
+    _write_marker("sens_primed")
+
+
+def prime_assess_execute():
+    """Pay the studies stages' first-dispatch windows (assess at B=4096
+    — the per-device (B, n_nl) program whose cold window measured 923 s
+    post-migration — and the T=1008 timeseries chunk program) and write
+    the marker for bench.py's assess/timeseries stages."""
+    import numpy as np
+
+    from hpfx.solve import hpf_sweep_adaptive
+
+    s = hpfx.settings_for_hmax(25, coupled=True).with_(
+        solver="arrow", stable_mismatch=True, big_solve="panel")
+    net = hpfx.load_network(os.path.join(DATA, "net2_buses.csv"),
+                            os.path.join(DATA, "net2_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+    t0 = time.perf_counter()
+    print("priming assess/timeseries (do not kill)...", flush=True)
+    scen = hpfx.monte_carlo_scenarios(0, 4096, net, s, inj_spread=0.3)
+    qa = hpfx.assess_quantiles(net, dev, s, scen,
+                               sweep=hpf_sweep_adaptive)
+    np.asarray(qa.thd_q)
+    prof = hpfx.daily_profile(1008, base=0.7, peak=1.15)
+    ts = hpfx.run_timeseries(net, dev, s, prof, inj_profile=prof,
+                             chunk=1008, sweep=hpf_sweep_adaptive)
+    np.asarray(hpfx.percentile_compliance(ts, s).thd_p)
+    print(f"  assess primed in {time.perf_counter()-t0:.0f}s", flush=True)
+    _write_marker("assess_primed")
+
+
+def prime_contsweep_execute():
+    """Pay the (outage x scenario) contingency program's first dispatch
+    (net1 H<=5 uncoupled, S=128 draws — K*S ~ 2.7k-wide vmapped full-HPF
+    batch) and write the marker for bench.py's contingency stage."""
+    import numpy as np
+
+    from hpfx import contingency as cg
+    from hpfx.solve import Scenarios as Sc
+
+    s = hpfx.settings_for_hmax(5, coupled=False).with_(
+        stable_mismatch=True)
+    net = hpfx.load_network(os.path.join(DATA, "net1_buses.csv"),
+                            os.path.join(DATA, "net1_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+    S = 128
+    scen = Sc(p_scale=jnp.asarray(np.linspace(0.9, 1.1, S), jnp.float32),
+              q_scale=jnp.asarray(np.linspace(0.9, 1.1, S), jnp.float32),
+              injection_scale=jnp.asarray(np.linspace(0.8, 1.2, S),
+                                          jnp.float32))
+    t0 = time.perf_counter()
+    print("priming contingency sweep (do not kill)...", flush=True)
+    rep = cg.screen_line_outages_sweep(net, dev, s, scen)
+    print(f"  contsweep primed in {time.perf_counter()-t0:.0f}s "
+          f"(conv_frac min {float(rep.conv_frac.min()):.3f})", flush=True)
+    _write_marker("contsweep_primed")
+
+
+#: marker name -> execute-primer, ordered cheapest-first so a bounded
+#: wait un-gates as many stages as possible (bench.py _await_primer)
+EXECUTE_PRIMERS = (
+    ("sens_primed", prime_sens_execute),
+    ("assess_primed", prime_assess_execute),
+    ("contsweep_primed", prime_contsweep_execute),
+    ("n128_primed", prime_n128_execute),
+    ("h99_primed", prime_h99_execute),
+)
+
+
+def prime_missing_execute():
+    """Run every execute-primer whose marker is absent (cheapest first).
+    The self-sufficiency path for bench.py: when a gated stage's marker
+    is missing, bench spawns THIS (detached, never killed) and waits a
+    bounded time — so a cold machine self-primes instead of silently
+    dropping stages from the official record (round-4 VERDICT item 2)."""
+    from hpfx.utils.cache import DEFAULT_DIR
+    marker_dir = os.environ.get("HPFX_CACHE_DIR") or DEFAULT_DIR
+    for name, fn in EXECUTE_PRIMERS:
+        if os.path.exists(os.path.join(marker_dir, name)):
+            print(f"{name}: present", flush=True)
+            continue
+        fn()
+
+
 def main():
     t0 = time.perf_counter()
     print(f"backend: {jax.default_backend()}", flush=True)
@@ -190,6 +313,18 @@ def main():
         return
     if "--execute-h99" in sys.argv:
         prime_h99_execute()
+        return
+    if "--execute-sens" in sys.argv:
+        prime_sens_execute()
+        return
+    if "--execute-assess" in sys.argv:
+        prime_assess_execute()
+        return
+    if "--execute-contsweep" in sys.argv:
+        prime_contsweep_execute()
+        return
+    if "--execute-missing" in sys.argv:
+        prime_missing_execute()
         return
     # bench.py stage programs (HPFX_BENCH_* defaults)
     prime_config("net2", 25, "arrow", 16384, "dense",
