@@ -47,10 +47,12 @@ from .background import (background_from_harmonics, background_sweep,
 from .capacity import (HostingCapacityResult, compliance_fraction,
                        find_hosting_capacity, monte_carlo_scenarios,
                        scale_scenarios)
-from .contingency import (ContingencyReport, ResonanceShiftReport,
-                          device_outage_scenarios, islanded_lines,
-                          outage_impedance_shift, screen_device_outages,
-                          screen_line_outages, screen_shunt_outages)
+from .contingency import (ContingencyReport, ContingencySweepReport,
+                          ResonanceShiftReport, device_outage_scenarios,
+                          islanded_lines, outage_impedance_shift,
+                          screen_device_outages, screen_line_outages,
+                          screen_line_outages_sweep,
+                          screen_shunt_outages)
 from .estimate import (BackgroundEstimate, EstimateResult,
                        estimate_background, estimate_injections)
 from .extended import (ControlledDeviceSet, ExtendedResult, hpf_extended,
@@ -131,6 +133,7 @@ __all__ = [
     "PhaseFlows", "line_phase_flows",
     "ContingencyReport", "ResonanceShiftReport", "islanded_lines",
     "outage_impedance_shift", "screen_line_outages",
+    "screen_line_outages_sweep", "ContingencySweepReport",
     "screen_shunt_outages", "screen_device_outages",
     "device_outage_scenarios",
     "QuantileAssessment", "PlanningLevelReport",

@@ -648,6 +648,41 @@ def cmd_contingency(args) -> int:
         amp = rep.amplification[~rep.islanded]
         return 3 if amp.size and np.nanmax(amp) > args.alert \
             and args.alert > 0 else 0
+    if args.type == "line" and args.draws > 1:
+        # (outage x scenario) cross: rank by the quantile over draws of
+        # the worst-bus THD increase (planning-level screen)
+        import jax.numpy as jnp
+
+        from .solve import Scenarios
+        S = args.draws
+        rng = np.random.default_rng(args.seed)
+        rd = s.real_dtype
+        scen = Scenarios(
+            p_scale=jnp.asarray(rng.uniform(*args.load_range, S), rd),
+            q_scale=jnp.asarray(rng.uniform(*args.load_range, S), rd),
+            injection_scale=jnp.asarray(
+                rng.uniform(*args.inj_range, S), rd))
+        rep = hpfx.screen_line_outages_sweep(
+            net, dev, s, scen, outages=args.element,
+            quantile=args.quantile)
+        dt = time.perf_counter() - t0
+        K = len(rep.outages)
+        print(f"N-1 line-outage x scenario screen: {K} outages x {S} "
+              f"draws, base worst-bus THD_F p{int(100 * args.quantile)} "
+              f"{float(np.quantile(rep.base_worst, args.quantile)):.4f}"
+              f"  ({dt:.2f}s incl. compile)")
+        print(f"{'rank':>5} {'line':>7} {'status':>10} "
+              f"{'dTHD q':>9} {'conv':>6}")
+        for r, pos in enumerate(rep.ranking):
+            if rep.islanded[pos]:
+                print(f"{r:>5} {rep.outages[pos]:>7} {'ISLANDED':>10} "
+                      f"{'-':>9} {'-':>6}")
+            else:
+                print(f"{r:>5} {rep.outages[pos]:>7} {'ok':>10} "
+                      f"{rep.delta_q[pos]:>+9.4f} "
+                      f"{rep.conv_frac[pos]:>6.3f}")
+        dq = rep.delta_q[~rep.islanded]
+        return 3 if dq.size and np.nanmax(dq) > args.alert else 0
     if args.type == "line":
         rep = hpfx.screen_line_outages(net, dev, s, outages=args.element)
         label = "line"
@@ -940,6 +975,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rank line outages by driving-point-impedance "
                          "amplification (resonance shift) instead of "
                          "solved THD")
+    pn.add_argument("--draws", type=int, default=1,
+                    help=">1 crosses every line outage with this many "
+                         "random load/injection draws in one batched "
+                         "program and ranks by the --quantile of the "
+                         "THD increase over draws")
+    pn.add_argument("--quantile", type=float, default=0.95)
+    pn.add_argument("--seed", type=int, default=0)
+    pn.add_argument("--load-range", type=float, nargs=2,
+                    default=(0.9, 1.1), metavar=("LO", "HI"))
+    pn.add_argument("--inj-range", type=float, nargs=2,
+                    default=(0.8, 1.2), metavar=("LO", "HI"))
     pn.set_defaults(fn=cmd_contingency)
     return p
 
