@@ -20,8 +20,8 @@ MODS = ["network", "config", "ybus", "devices", "fundamental", "harmonic",
         "loadmodel", "sequence", "threephase", "modes", "iec", "studies",
         "contingency", "capacity", "estimate", "background", "sensitivity",
         "extended", "kron", "generators", "simulate", "ne_pipeline",
-        "trajlog", "checkpoint", "matpower", "opendss", "cx", "placement",
-        "parallel.mesh"]
+        "trajlog", "checkpoint", "warmstart", "matpower", "opendss", "cx",
+        "placement", "parallel.mesh"]
 
 
 def main():
