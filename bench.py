@@ -458,8 +458,8 @@ def bench_studies_stages(batch: int = 4096, T: int = 1008,
         np.asarray(qa.thd_q)
         return time.perf_counter() - t0, qa.converged_frac
 
-    assess(-1)                                  # warm (programs cached)
-    at, ac = [], 1.0
+    assess(999)                  # warm (negative seeds are rejected by
+    at, ac = [], 1.0             # the rng — warm with a disjoint draw)
     for k in range(repeats):
         dt, c = assess(k)
         at.append(dt)
@@ -474,7 +474,7 @@ def bench_studies_stages(batch: int = 4096, T: int = 1008,
         np.asarray(pc.thd_p)
         return time.perf_counter() - t0, pc.converged_frac
 
-    tseries(-1)
+    tseries(999)
     tt, tc = [], 1.0
     for k in range(repeats):
         dt, c = tseries(k)
@@ -493,7 +493,13 @@ def bench_studies_stages(batch: int = 4096, T: int = 1008,
 def bench_contingency_sweep(S: int = 128, repeats: int = 2):
     """(outage x scenario) N-1 line screen on net1 H<=5 uncoupled —
     every (outage, draw) pair one lane of a single vmapped full-HPF
-    program (hpfx.contingency.screen_line_outages_sweep)."""
+    program (hpfx.contingency.screen_line_outages_sweep).
+
+    The recorded convergence is < 1 BY PHYSICS, not solver weakness:
+    outage 22 leaves a weakened topology on which the highest-injection
+    draws have no power-flow solution (f64 reproduces the f32
+    conv_frac exactly — 0.719 on that outage); surfacing those
+    infeasible pairs is the screen's purpose."""
     import numpy as np
 
     from hpfx import contingency as cg
@@ -746,8 +752,10 @@ def main():
     remaining = signal.alarm(0)
     if not CPU_FALLBACK and remaining > 240 and "assess_primed" in primed:
         signal.alarm(remaining)
-        st = bench_studies_stages()
-        extras.update(st)
+        try:
+            extras.update(bench_studies_stages())
+        except Exception as e:  # noqa: BLE001 — record, don't abort
+            extras["studies_error"] = f"{type(e).__name__}: {e}"[:200]
         MAIN_RESULT = result()
     else:
         signal.alarm(max(remaining, 1))
@@ -763,8 +771,10 @@ def main():
     if not CPU_FALLBACK and remaining > 180 \
             and "contsweep_primed" in primed:
         signal.alarm(remaining)
-        ct = bench_contingency_sweep()
-        extras.update(ct)
+        try:
+            extras.update(bench_contingency_sweep())
+        except Exception as e:  # noqa: BLE001 — record, don't abort
+            extras["contingency_error"] = f"{type(e).__name__}: {e}"[:200]
         MAIN_RESULT = result()
     else:
         signal.alarm(max(remaining, 1))

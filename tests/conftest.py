@@ -121,10 +121,15 @@ def _clear_jax_caches_between_modules():
 # systems), the synthetic-feeder scaling checks, and the heavyweight
 # end-to-end modules (time-domain simulation, randomized property
 # sweeps, virtual-mesh sharding, logged-trajectory example parity).
-_SLOW_TOKENS = ("h51", "h99", "n128", "_99_", "hmax99")
+_SLOW_TOKENS = ("h51", "h99", "n128", "_99_", "hmax99",
+                "continuation_lanes")
 _SLOW_MODULES = {
     "test_simulate", "test_randomized", "test_scaling", "test_sharding",
     "test_examples", "test_trafo_e2e", "test_estimate", "test_kron",
+    # measured-heavy (pytest --durations on this host): FD/grid oracles
+    # and interpret-mode Pallas checks, covered by the full gate
+    "test_fused_trip", "test_optimize", "test_sensitivity",
+    "test_f32_path",
 }
 
 
