@@ -40,6 +40,10 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Optional
 
+#: memory budget for the warm-seed embedded matrix (2N, 2N, chunk) —
+#: the seed assembly/solve chunks the lane axis to stay under this
+SEED_CHUNK_BYTES = 1 << 31
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -796,7 +800,9 @@ def _linear_seed_lanes(su: "_SweepSetup", net: Network,
         Dt = jnp.swapaxes(D, 1, 2)                    # (h, i, p, b)
         t = Dt[:, :, :, None, :] * eyeN[None, :, None, :, None]
         full = blockdiag(Ypart)[..., None] - t        # (K, n, K, n, B)
-        return full.reshape(K * n, K * n, B)
+        # -1: the lane axis is the CHUNK width when the seed assembly is
+        # chunked below, not the full batch B
+        return full.reshape(K * n, K * n, -1)
 
     Ar = assemble(su.Y.re[1:], D_re)
     Ai = assemble(su.Y.im[1:], D_im)
@@ -837,7 +843,7 @@ def _linear_seed_lanes(su: "_SweepSetup", net: Network,
         return batched_solve_lanes(A_real, b_real)[:, 0, :]
 
     bytes_per_lane = (2 * N) * (2 * N) * jnp.dtype(rd).itemsize
-    chunk = int(max(1, min(B, (1 << 31) // bytes_per_lane)))
+    chunk = int(max(1, min(B, SEED_CHUNK_BYTES // bytes_per_lane)))
     if chunk >= B:
         x = solve_lanes(D_re, D_im, rhs.re, rhs.im)   # (2N, B)
     else:

@@ -167,7 +167,8 @@ def norton_warm_start(net: Network, devices: DeviceSet, settings: Settings,
     B = scenarios.p_scale.shape[0]
     Kn = (settings.n_harmonics - 1) * net.n
     per = 8 * Kn * Kn * jnp.dtype(settings.real_dtype).itemsize
-    bs = int(max(1, min(B, (1 << 31) // per)))
+    from .lanes import SEED_CHUNK_BYTES
+    bs = int(max(1, min(B, SEED_CHUNK_BYTES // per)))
     if bs >= B:
         return jax.vmap(one)(scenarios.p_scale, q, inj)
     return jax.lax.map(lambda t: one(*t), (scenarios.p_scale, q, inj),

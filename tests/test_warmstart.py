@@ -131,3 +131,38 @@ def test_rejects_non_device_set():
     sc = Scenarios.uniform(1, jnp.float64)
     with pytest.raises(TypeError):
         norton_warm_start(net, object(), s, sc)
+
+
+def test_lanes_seed_chunked_matches_unchunked(monkeypatch):
+    """The lane-chunked seed assembly (memory guard for big dims x big
+    batches) must produce the same seed/solution as the one-shot path —
+    regression for the chunk-width reshape bug (the assemble closure
+    reshaped to the full B instead of the chunk width)."""
+    import jax
+    from functools import partial
+
+    import hpfx.lanes as lanes_mod
+    from hpfx.lanes import hpf_sweep_adaptive_lanes
+    from hpfx.solve import Scenarios
+
+    s, net, dev = make_setup(("net2", 25, True))
+    s = s.with_(solver="arrow", layout="lanes")
+    B = 8
+    sc = Scenarios(p_scale=jnp.linspace(0.9, 1.1, B),
+                   q_scale=jnp.linspace(0.9, 1.1, B),
+                   injection_scale=jnp.linspace(0.8, 1.2, B))
+    run = lambda: jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
+                                  warm="linear"))(net, dev, scenarios=sc)
+    one_shot = run()
+    # 3 lanes per chunk (non-divisor of 8: exercises the padded tail)
+    K, n = s.n_harmonics - 1, net.n
+    per_lane = (2 * K * n) ** 2 * jnp.dtype(s.real_dtype).itemsize
+    monkeypatch.setattr(lanes_mod, "SEED_CHUNK_BYTES", 3 * per_lane)
+    jax.clear_caches()
+    chunked = run()
+    assert bool(np.all(np.asarray(chunked.converged)))
+    np.testing.assert_allclose(np.asarray(chunked.V_m),
+                               np.asarray(one_shot.V_m), rtol=0,
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(chunked.n_iter),
+                                  np.asarray(one_shot.n_iter))
