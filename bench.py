@@ -450,11 +450,26 @@ def bench_studies_stages(batch: int = 4096, T: int = 1008,
                             os.path.join(DATA, "net2_lines.csv"), s)
     dev = hpfx.load_device_set(net, s)
 
+    # both stages ride the single-program device-side schedule with the
+    # exact-linear warm seed (the round-5 headline path; one jit wrapper
+    # re-specializes per batch shape), falling back to the host adaptive
+    # schedule when the warm default is off
+    if WARM_DEV != "cold":
+        from functools import partial as _partial
+
+        from hpfx.lanes import hpf_sweep_adaptive_lanes
+        from hpfx.solve import hpf_sweep_device
+        _jl = jax.jit(_partial(hpf_sweep_adaptive_lanes, settings=s,
+                               phase_iters=24, warm=WARM_DEV))
+        sweep_fn = lambda n_, d_, s_, sc_: hpf_sweep_device(
+            n_, d_, s_, sc_, phase_iters=24, jitted=_jl)
+    else:
+        sweep_fn = hpf_sweep_adaptive
+
     def assess(k):
         scen = hpfx.monte_carlo_scenarios(k, batch, net, s, inj_spread=0.3)
         t0 = time.perf_counter()
-        qa = hpfx.assess_quantiles(net, dev, s, scen,
-                                   sweep=hpf_sweep_adaptive)
+        qa = hpfx.assess_quantiles(net, dev, s, scen, sweep=sweep_fn)
         np.asarray(qa.thd_q)
         return time.perf_counter() - t0, qa.converged_frac
 
@@ -469,7 +484,7 @@ def bench_studies_stages(batch: int = 4096, T: int = 1008,
         prof = hpfx.daily_profile(T, base=0.7 + 0.002 * k, peak=1.15)
         t0 = time.perf_counter()
         ts = hpfx.run_timeseries(net, dev, s, prof, inj_profile=prof,
-                                 chunk=T, sweep=hpf_sweep_adaptive)
+                                 chunk=T, sweep=sweep_fn)
         pc = hpfx.percentile_compliance(ts, s)
         np.asarray(pc.thd_p)
         return time.perf_counter() - t0, pc.converged_frac

@@ -240,13 +240,21 @@ def prime_assess_execute():
     dev = hpfx.load_device_set(net, s)
     t0 = time.perf_counter()
     print("priming assess/timeseries (do not kill)...", flush=True)
+    # bench.py's round-5 stage path: the warm device-side schedule (one
+    # jit wrapper re-specialized at B=4096 and B=1008) — prime BOTH
+    # shapes, plus the host adaptive fallback programs
+    from hpfx.lanes import hpf_sweep_adaptive_lanes
+    from hpfx.solve import hpf_sweep_device
+    _jl = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
+                          phase_iters=24, warm="linear"))
+    sweep_fn = lambda n_, d_, s_, sc_: hpf_sweep_device(
+        n_, d_, s_, sc_, phase_iters=24, jitted=_jl)
     scen = hpfx.monte_carlo_scenarios(0, 4096, net, s, inj_spread=0.3)
-    qa = hpfx.assess_quantiles(net, dev, s, scen,
-                               sweep=hpf_sweep_adaptive)
+    qa = hpfx.assess_quantiles(net, dev, s, scen, sweep=sweep_fn)
     np.asarray(qa.thd_q)
     prof = hpfx.daily_profile(1008, base=0.7, peak=1.15)
     ts = hpfx.run_timeseries(net, dev, s, prof, inj_profile=prof,
-                             chunk=1008, sweep=hpf_sweep_adaptive)
+                             chunk=1008, sweep=sweep_fn)
     np.asarray(hpfx.percentile_compliance(ts, s).thd_p)
     print(f"  assess primed in {time.perf_counter()-t0:.0f}s", flush=True)
     _write_marker("assess_primed")
