@@ -33,9 +33,12 @@ Conventions:
 - magnitudes are per-unit on the same base as the network; a "2% fifth
   harmonic background" is ``{5: (0.02, angle)}``.
 
-The TPU sweep fast paths (``hpfx.lanes``) do not thread a background
-term; batched background studies vmap/jit ``hpfx.harmonic.hpf`` over
-``I_bg`` directly (it is a plain pytree argument).
+Batched background studies ride :func:`background_sweep` (the adaptive
+schedule + deterministic rescue; on the lane-major fast path the
+(B, H, n) injection batch is carried (H, n, B) like the voltage state,
+and ``warm="linear"`` folds it into the in-program exact-linear seed),
+or pass ``I_bg=`` to ``hpf_sweep`` / ``hpf_sweep_adaptive`` /
+``hpf_sweep_device`` directly.
 """
 from __future__ import annotations
 
@@ -140,7 +143,8 @@ def background_from_harmonics(net: Network, settings: Settings,
 
 def background_sweep(net: Network, devices, settings: Settings, I_bg: Cx,
                      scenarios=None, phase_iters: int = 16,
-                     rescue: bool = True):
+                     rescue: bool = True, warm: str = "cold",
+                     schedule: str = "auto"):
     """Batched background-distortion study with the full adaptive
     schedule and deterministic straggler rescue.
 
@@ -154,11 +158,31 @@ def background_sweep(net: Network, devices, settings: Settings, I_bg: Cx,
     (the round-4 vmapped study recorded conv 0.963 f32 at B=4096 with
     no rescue; the same draws are conv 1.000 in f64 — BENCH_NOTES
     "background-distortion study timing").
+
+    ``schedule``: "device" runs the single-program lane-major schedule
+    (:func:`hpfx.solve.hpf_sweep_device` — the background term rides
+    the (H, n, B) lane layout and, with ``warm="linear"``, enters the
+    in-program exact-linear seed's RHS); "host" the host-driven
+    :func:`hpfx.solve.hpf_sweep_adaptive`; "auto" picks device where
+    the lanes configuration is supported.
     """
-    from .solve import Scenarios, hpf_sweep_adaptive
+    from .solve import (Scenarios, hpf_sweep_adaptive,  # noqa: PLC0415
+                        hpf_sweep_device)
     B = I_bg.re.shape[0]
     if scenarios is None:
         scenarios = Scenarios.uniform(B, settings.real_dtype)
+    use_device = schedule == "device"
+    if schedule == "auto":
+        from .lanes import supports_lanes
+        import jax
+        use_device = (settings.layout != "vmap"
+                      and supports_lanes(devices, settings, net)
+                      and (settings.layout == "lanes"
+                           or jax.default_backend() == "tpu"))
+    if use_device:
+        return hpf_sweep_device(net, devices, settings, scenarios,
+                                phase_iters=phase_iters, rescue=rescue,
+                                warm=warm, I_bg=I_bg)
     return hpf_sweep_adaptive(net, devices, settings, scenarios,
                               phase_iters=phase_iters, rescue=rescue,
                               I_bg=I_bg)

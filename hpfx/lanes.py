@@ -191,11 +191,15 @@ def _injections_lanes(V_c: Cx, dev, inj_db, m: int,
 
 
 def mismatch_lanes(V_m, V_a, Y: Cx, S: Cx, devices, inj,
-                   m: int, n: int, c: int, lineY: Optional[LineYbus]):
+                   m: int, n: int, c: int, lineY: Optional[LineYbus],
+                   ibg: Optional[Cx] = None):
     """Harmonic mismatch/residual (hpfx.harmonic.harmonic_mismatch) on
     (H, n, B) voltages; S is the scaled (n, B) load.  ``devices`` is a
     DeviceSet or LaneDevices; ``inj`` a (B,) per-scenario or (n_nl, B)
-    per-device scale.  Returns (f (rows, B), err (B,))."""
+    per-device scale.  ``ibg``: optional (H, n, B) lane-major background
+    injections (hpfx.background; fundamental row zero) — added to the
+    harmonic rows like the host twin (hpfx.harmonic.current_balance).
+    Returns (f (rows, B), err (B,))."""
     dev = _as_lane_devices(devices)
     inj_db = _as_inj_db(inj, n - m, V_m.shape[-1], V_m.dtype)
     V_c = cx.polar(V_m, V_a)
@@ -212,6 +216,8 @@ def mismatch_lanes(V_m, V_a, Y: Cx, S: Cx, devices, inj,
     dI_h = YV[1:]                                        # (K, n, B)
     dI_h = dI_h.at_add((_all, slice(m, None)),
                        I_inj[:, 1:].transpose(1, 0, 2))
+    if ibg is not None:
+        dI_h = dI_h + ibg[1:]
     K_, B = dI_h.shape[0], dI_h.shape[2]
     dI = cx.concatenate([dI_f, dI_h.reshape(K_ * n, B)])
     f_c = cx.concatenate([dS, dI])
@@ -220,9 +226,9 @@ def mismatch_lanes(V_m, V_a, Y: Cx, S: Cx, devices, inj,
 
 
 def mismatch_floor_lanes(V_m, Y: Cx, devices, inj, m: int,
-                         settings: Settings):
+                         settings: Settings, ibg: Optional[Cx] = None):
     """Per-scenario mismatch evaluation floor (hpfx.harmonic.mismatch_floor)
-    -> (B,).  ``devices``/``inj`` as in :func:`mismatch_lanes`."""
+    -> (B,).  ``devices``/``inj``/``ibg`` as in :func:`mismatch_lanes`."""
     dev = _as_lane_devices(devices)
     inj_db = _as_inj_db(inj, V_m.shape[1] - m, V_m.shape[-1],
                         settings.real_dtype)
@@ -230,6 +236,8 @@ def mismatch_floor_lanes(V_m, Y: Cx, devices, inj, m: int,
     vmax = jnp.abs(V_m)                                   # (H, n, B)
     rows = jnp.einsum("hij,hjb->hib", Y.abs(), vmax)
     scale = jnp.max(rows, axis=(0, 1))                    # (B,)
+    if ibg is not None:   # constant background rows (hpfx.background)
+        scale = jnp.maximum(scale, jnp.max(ibg.abs(), axis=(0, 1)))
     if isinstance(dev, AnalyticDeviceSet):
         # no Norton sensitivity bound for analytic devices (mirrors
         # hpfx.harmonic.mismatch_floor's isinstance gate)
@@ -564,7 +572,7 @@ def _scale_cols(base, scale, n: int, B: int):
 
 def nr_trip_lanes(Y: Cx, lineY, S: Cx, dev, inj_db, V_m, V_a,
                   settings: Settings, consts: _ArrowConsts, thresh_eff,
-                  vc=None, f0=None):
+                  vc=None, f0=None, ibg: Optional[Cx] = None):
     """The lane-major harmonic NR while-loop from state (V_m, V_a)
     (H, n, B) to convergence/max_iter_h.
 
@@ -582,7 +590,7 @@ def nr_trip_lanes(Y: Cx, lineY, S: Cx, dev, inj_db, V_m, V_a,
         vc = lambda a, b: (a, b)
     if f0 is None:
         f_init, err_init = mismatch_lanes(V_m, V_a, Y, S, dev, inj_db,
-                                          m, n, c, lineY)
+                                          m, n, c, lineY, ibg=ibg)
     else:
         f_init, err_init = f0
     hist0 = jnp.full((settings.max_iter_h, B), jnp.nan, rd)
@@ -618,7 +626,7 @@ def nr_trip_lanes(Y: Cx, lineY, S: Cx, dev, inj_db, V_m, V_a,
         Vm_new = jnp.concatenate([V_m.reshape(D, B)[:c],
                                   x_new[D - 1:]], axis=0).reshape(H, n, B)
         f_new, err_new = mismatch_lanes(Vm_new, Va_new, Y, S, dev, inj_db,
-                                        m, n, c, lineY)
+                                        m, n, c, lineY, ibg=ibg)
         V_m = jnp.where(act, Vm_new, V_m)
         V_a = jnp.where(act, Va_new, V_a)
         V_m, V_a = vc(V_m, V_a)
@@ -638,7 +646,7 @@ def nr_trip_lanes(Y: Cx, lineY, S: Cx, dev, inj_db, V_m, V_a,
 @highest_precision
 def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
                     scenarios, V0=None, Y: Optional[Cx] = None,
-                    vsharding=None) -> HPFResult:
+                    vsharding=None, I_bg=None) -> HPFResult:
     """Batched HPF sweep with the scenario batch lane-minor throughout.
 
     Drop-in equivalent of ``hpfx.solve.hpf_sweep`` for the supported
@@ -654,7 +662,7 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
     trip DP × TP partitioned under GSPMD.  Requires jit; None = off.
     """
     su = _sweep_setup(net, devices, settings, scenarios, Y=Y,
-                      vsharding=vsharding)
+                      vsharding=vsharding, I_bg=I_bg)
     if V0 is None:
         V_m, V_a = su.cold_V_m, su.cold_V_a
     else:
@@ -670,7 +678,7 @@ def hpf_sweep_lanes(net: Network, devices: DeviceSet, settings: Settings,
     # BENCH_NOTES "fused-trip negative result")
     V_m, V_a, err, n_iter, hist = nr_trip_lanes(
         su.Y, su.lineY, su.S, su.dev, su.inj_db, V_m, V_a, settings,
-        su.consts, su.thresh, vc=su.vc)
+        su.consts, su.thresh, vc=su.vc, ibg=su.ibg)
 
     V_m, V_a = cleanup_voltages(V_m, V_a)
     return _lanes_result(V_m, V_a, err, n_iter, hist, su.thresh, su.fund)
@@ -689,10 +697,11 @@ class _SweepSetup(NamedTuple):
     consts: object
     thresh: jnp.ndarray          # floor-aware, evaluated at the COLD state
     vc: object                   # sharding-constraint hook (V_m, V_a)
+    ibg: object = None           # optional (H, n, B) background injections
 
 
 def _sweep_setup(net: Network, devices, settings: Settings, scenarios,
-                 Y=None, vsharding=None) -> _SweepSetup:
+                 Y=None, vsharding=None, I_bg=None) -> _SweepSetup:
     """Everything a lane-major sweep needs before its first Newton trip:
     admittances, scenario-scaled powers/injections, lane devices, the
     batched fundamental solve, cold-start state and the floor-aware
@@ -744,10 +753,18 @@ def _sweep_setup(net: Network, devices, settings: Settings, scenarios,
         return (lax.with_sharding_constraint(V_m, vsharding),
                 lax.with_sharding_constraint(V_a, vsharding))
 
+    # background injections arrive batch-major (B, H, n); the lane
+    # layout carries them (H, n, B) like the voltage state
+    ibg = None
+    if I_bg is not None:
+        ibg = Cx(jnp.moveaxis(jnp.asarray(I_bg.re, rd), 0, -1),
+                 jnp.moveaxis(jnp.asarray(I_bg.im, rd), 0, -1))
+
     consts = _make_arrow_consts(H, n, m, c)
-    thresh = _thresh_lanes(cold_V_m, Y, dev, inj_db, m, settings)
+    thresh = _thresh_lanes(cold_V_m, Y, dev, inj_db, m, settings,
+                           ibg=ibg)
     return _SweepSetup(Y, lineY, S, dev, inj_db, fund, cold_V_m, cold_V_a,
-                       consts, thresh, vc)
+                       consts, thresh, vc, ibg)
 
 
 def _linear_seed_lanes(su: "_SweepSetup", net: Network,
@@ -821,6 +838,10 @@ def _linear_seed_lanes(su: "_SweepSetup", net: Network,
     rhs = cx.zeros((K, n, B), rd).at_set(
         (slice(None), slice(m, None), slice(None)),
         Cx(jnp.moveaxis(rhs_nl.re, 0, 1), jnp.moveaxis(rhs_nl.im, 0, 1)))
+    if su.ibg is not None:
+        # constant background rows move to the RHS (hpfx.warmstart's
+        # harmonic_linear_seed does the same with its (H, n) I_bg)
+        rhs = rhs - su.ibg[1:]
 
     # real block embedding, solved by the lane-parallel kernel path
     # (Pallas GJ with equilibration on TPU, XLA LU on CPU) — operands
@@ -874,7 +895,7 @@ def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
                              scenarios, phase_iters: int = 24,
                              rescue_width=None,
                              vsharding=None, warm: str = "cold",
-                             V0=None) -> HPFResult:
+                             V0=None, I_bg=None) -> HPFResult:
     """Two-phase adaptive sweep + deterministic knife-edge rescue as ONE
     device program — no host round-trip between phases.
 
@@ -914,7 +935,7 @@ def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
     guarantee.  ``vsharding`` as in :func:`hpf_sweep_lanes`.
     """
     su = _sweep_setup(net, devices, settings, scenarios,
-                      vsharding=vsharding)
+                      vsharding=vsharding, I_bg=I_bg)
     rd = settings.real_dtype
     B = scenarios.p_scale.shape[0]
     p1 = min(phase_iters, settings.max_iter_h)
@@ -936,7 +957,7 @@ def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
     s1 = settings.with_(max_iter_h=p1)
     V_m, V_a, err, n_iter, hist1 = nr_trip_lanes(
         su.Y, su.lineY, su.S, su.dev, su.inj_db,
-        Vm1, Va1, s1, su.consts, su.thresh, vc=su.vc)
+        Vm1, Va1, s1, su.consts, su.thresh, vc=su.vc, ibg=su.ibg)
     conv = err <= su.thresh
     hist = jnp.full((settings.max_iter_h, B), jnp.nan, rd) \
         .at[:p1].set(hist1)
@@ -960,6 +981,7 @@ def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
                 coupled=su.dev.coupled, batched=True)
         thresh_k = g(su.thresh)
         coldVm_k, coldVa_k = g(su.cold_V_m), g(su.cold_V_a)
+        ibg_k = None if su.ibg is None else Cx(g(su.ibg.re), g(su.ibg.im))
 
         Vmk, Vak = g(V_m), g(V_a)
         errk, nitk, convk = g(err), g(n_iter), conv[bad]
@@ -972,7 +994,7 @@ def hpf_sweep_adaptive_lanes(net: Network, devices, settings: Settings,
                                  thresh_k)
             Vm2, Va2, err2, nit2, hist2 = nr_trip_lanes(
                 su.Y, su.lineY, S_k, dev_k, inj_k, Vm0, Va0, s_pass,
-                su.consts, thresh_r, vc=su.vc)
+                su.consts, thresh_r, vc=su.vc, ibg=ibg_k)
             redo = ~convk
             Vmk = jnp.where(redo[None, None, :], Vm2, Vmk)
             Vak = jnp.where(redo[None, None, :], Va2, Vak)
@@ -1060,11 +1082,11 @@ def _lanes_result(V_m, V_a, err, n_iter, hist, thresh_eff,
         converged=err <= thresh_eff, fund=fund_bm)
 
 
-def _thresh_lanes(V_m, Y, dev, inj_db, m, settings):
+def _thresh_lanes(V_m, Y, dev, inj_db, m, settings, ibg=None):
     return jnp.maximum(
         jnp.asarray(settings.thresh_h, settings.real_dtype),
         settings.floor_kappa *
-        mismatch_floor_lanes(V_m, Y, dev, inj_db, m, settings))
+        mismatch_floor_lanes(V_m, Y, dev, inj_db, m, settings, ibg=ibg))
 
 
 @highest_precision

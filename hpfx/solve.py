@@ -101,8 +101,8 @@ def hpf_sweep_unjitted(net: Network, devices, settings: Settings,
     blocks replace the line-built ones).  ``I_bg``: optional
     PER-SCENARIO background injections, a split-complex (B, H, n) batch
     (hpfx.background) — batched background-distortion studies ride the
-    full sweep/rescue machinery this way (forces the vmap layout; the
-    lanes fast path does not thread a background term).
+    full sweep/rescue machinery this way (threaded through BOTH layouts;
+    the lanes fast path carries it (H, n, B) like the voltage state).
     """
     from .devices import DeviceLibrary
     from .lanes import hpf_sweep_lanes, supports_lanes
@@ -112,7 +112,7 @@ def hpf_sweep_unjitted(net: Network, devices, settings: Settings,
             "Scenarios.device_mix requires passing a DeviceLibrary as "
             "devices (and a DeviceLibrary requires a device_mix to assign "
             "types to buses)")
-    if I_bg is None and settings.layout != "vmap" \
+    if settings.layout != "vmap" \
             and supports_lanes(devices, settings, net) \
             and (settings.layout == "lanes"
                  or jax.default_backend() == "tpu"):
@@ -120,7 +120,7 @@ def hpf_sweep_unjitted(net: Network, devices, settings: Settings,
         # through the whole trip (see hpfx.lanes) — identical iteration,
         # TPU-friendly tiling
         return hpf_sweep_lanes(net, devices, settings, scenarios,
-                               V0=V0, Y=Y)
+                               V0=V0, Y=Y, I_bg=I_bg)
 
     # a dense Y override (Kron-reduced blocks) gets the reference-form
     # dense mismatch — the line structure belongs to the network it was
@@ -407,7 +407,7 @@ def hpf_sweep_device(net: Network, devices, settings: Settings,
                      scenarios: Scenarios, phase_iters: int = 16,
                      jitted=None, rescue: bool = True,
                      warm: str = "cold",
-                     rescue_width=None) -> HPFResult:
+                     rescue_width=None, I_bg=None) -> HPFResult:
     """Single-program device-side adaptive sweep with a host-side
     deterministic straggler rescue.
 
@@ -460,13 +460,30 @@ def hpf_sweep_device(net: Network, devices, settings: Settings,
             "— a caller-supplied `jitted` takes precedence and this "
             "warm=%r is ignored; bake warm= into the jitted partial"
             % warm, stacklevel=2)
-    out = jitted(net, devices, scenarios=scenarios)
+    if I_bg is None:
+        out = jitted(net, devices, scenarios=scenarios)
+    else:
+        out = jitted(net, devices, scenarios=scenarios, I_bg=I_bg)
     if rescue and not bool(np.asarray(out.converged).all()):
+        def take(idx):
+            sub = _take_scen(scenarios, idx)
+            if I_bg is None:
+                return sub
+            return (sub, jax.tree.map(lambda x: x[jnp.asarray(idx)],
+                                      I_bg))
+
+        def unpack(subt):
+            return subt if I_bg is not None else (subt, None)
+
         out = _rescue_sweep(
             settings, scenarios, out,
-            lambda sub, V0_: hpf_sweep(net, devices, settings, sub,
-                                       V0=V0_),
-            run64=lambda sub: _f64_resolve(net, devices, settings, sub))
+            lambda subt, V0_: hpf_sweep(net, devices, settings,
+                                        unpack(subt)[0], V0=V0_,
+                                        I_bg=unpack(subt)[1]),
+            run64=lambda subt: _f64_resolve(net, devices, settings,
+                                            unpack(subt)[0],
+                                            I_bg=unpack(subt)[1]),
+            take=take)
     return out
 
 

@@ -201,3 +201,60 @@ def test_background_sweep_f64_knife_edge_rescue():
     # the f64 pass really ran: the achieved residual beats anything f32
     # evaluation can certify at this scale
     assert float(np.max(np.asarray(r.err))) < 3e-8
+
+
+def test_background_lanes_layout_matches_vmap():
+    """I_bg threaded through the lane-major fast path: identical
+    fixed points (and iteration counts, f64) vs the vmap layout."""
+    import jax
+    from hpfx.solve import hpf_sweep
+
+    s, net, dev = make_setup(("net2", 25, True))
+    base = s.with_(solver="arrow", stable_mismatch=True)
+    B, H, n = 5, s.n_harmonics, net.n
+    rng = np.random.default_rng(11)
+    full = np.zeros((B, H, n), complex)
+    x_sh = float(np.asarray(net.bus_Xsh)[0])
+    orders = np.asarray(s.harmonics, float)
+    i = (rng.uniform(0, 0.02, (B, H))
+         * np.exp(1j * rng.uniform(0, 2 * np.pi, (B, H)))
+         / (1j * x_sh * orders))
+    i[:, 0] = 0.0
+    full[:, :, 0] = i
+    I_bg = cx.Cx(jnp.asarray(full.real), jnp.asarray(full.imag))
+    sc = hpfx.solve.Scenarios.uniform(B, s.real_dtype)
+    r_v = hpf_sweep(net, dev, base.with_(layout="vmap"), sc, I_bg=I_bg)
+    r_l = hpf_sweep(net, dev, base.with_(layout="lanes"), sc, I_bg=I_bg)
+    assert bool(np.all(np.asarray(r_v.converged)))
+    assert bool(np.all(np.asarray(r_l.converged)))
+    np.testing.assert_allclose(np.asarray(r_l.V_m), np.asarray(r_v.V_m),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_array_equal(np.asarray(r_l.n_iter),
+                                  np.asarray(r_v.n_iter))
+
+
+def test_background_device_schedule_with_warm_seed():
+    """background_sweep(schedule='device', warm='linear'): the
+    background term enters the in-program exact-linear seed's RHS, so
+    NR collapses to ~3 trips at the same fixed point."""
+    s, net, dev = make_setup(("net2", 25, True))
+    s = s.with_(solver="arrow", stable_mismatch=True, layout="lanes")
+    B, H, n = 4, s.n_harmonics, net.n
+    full = np.zeros((B, H, n), complex)
+    x_sh = float(np.asarray(net.bus_Xsh)[0])
+    full[:, 2, 0] = 0.02 / (1j * x_sh * 5)
+    full[:, 3, 0] = 0.01j / (1j * x_sh * 7)
+    I_bg = cx.Cx(jnp.asarray(full.real), jnp.asarray(full.imag))
+    r_host = hpfx.background_sweep(net, dev, s, I_bg, schedule="host")
+    r_dev = hpfx.background_sweep(net, dev, s, I_bg, schedule="device",
+                                  warm="linear")
+    assert bool(np.all(np.asarray(r_host.converged)))
+    assert bool(np.all(np.asarray(r_dev.converged)))
+    # two truncation points of the same fixed point (warm stops at
+    # trip 3): compare at the convergence level, not golden parity
+    np.testing.assert_allclose(np.asarray(r_dev.V_m),
+                               np.asarray(r_host.V_m), rtol=0, atol=1e-6)
+    assert int(np.max(np.asarray(r_dev.n_iter))) <= 4
+    # the warm seed actually engaged: strictly fewer trips than cold
+    assert (float(np.mean(np.asarray(r_dev.n_iter)))
+            < float(np.mean(np.asarray(r_host.n_iter))))
