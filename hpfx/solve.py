@@ -17,6 +17,7 @@ so it is built once outside the vmap and shared by every scenario.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -403,6 +404,22 @@ def hpf_sweep_adaptive(net: Network, devices, settings: Settings,
     return merged
 
 
+@functools.lru_cache(maxsize=64)
+def _device_program(settings: Settings, phase_iters: int, warm: str,
+                    rescue_width):
+    """Memoized jit wrapper for the device-side adaptive program.
+
+    A fresh ``jax.jit(partial(...))`` per call would RE-TRACE the whole
+    lanes program every invocation (jit caches by callable identity —
+    the round-4 A/B confound that made ``hpf_sweep_device`` look 30x
+    slower than it is); the lru_cache keys on the static knobs so
+    repeat calls share one traced program."""
+    from .lanes import hpf_sweep_adaptive_lanes
+    return jax.jit(partial(hpf_sweep_adaptive_lanes, settings=settings,
+                           phase_iters=phase_iters, warm=warm,
+                           rescue_width=rescue_width))
+
+
 def hpf_sweep_device(net: Network, devices, settings: Settings,
                      scenarios: Scenarios, phase_iters: int = 16,
                      jitted=None, rescue: bool = True,
@@ -445,14 +462,10 @@ def hpf_sweep_device(net: Network, devices, settings: Settings,
     import numpy as np
 
     if jitted is None:
-        from .lanes import hpf_sweep_adaptive_lanes
         if rescue_width is not None and isinstance(rescue_width, list):
             rescue_width = tuple(rescue_width)
-        jitted = jax.jit(partial(hpf_sweep_adaptive_lanes,
-                                 settings=settings,
-                                 phase_iters=phase_iters,
-                                 warm=warm,
-                                 rescue_width=rescue_width))
+        jitted = _device_program(settings, phase_iters, warm,
+                                 rescue_width)
     elif warm != "cold":
         import warnings
         warnings.warn(
@@ -527,11 +540,7 @@ def hpf_sweep_stream(net: Network, devices, settings: Settings,
     import numpy as np
 
     if jitted is None:
-        from .lanes import hpf_sweep_adaptive_lanes
-        jitted = jax.jit(partial(hpf_sweep_adaptive_lanes,
-                                 settings=settings,
-                                 phase_iters=phase_iters,
-                                 warm=warm))
+        jitted = _device_program(settings, phase_iters, warm, None)
     elif warm != "cold":
         import warnings
         warnings.warn(

@@ -77,9 +77,14 @@ def main():
         solve = lambda ibg: _plain(ibg)
         label = "plain-vmap"
     else:
+        # schedule="auto" rides the single-program lane-major device
+        # path on TPU; warm="linear" folds I_bg into the in-program
+        # exact-linear seed (round 5)
+        warm = os.environ.get("HPFX_BG_WARM", "linear")
         solve = lambda ibg: hpfx.background_sweep(net, dev, s, ibg,
-                                                  phase_iters=16)
-        label = "background_sweep"
+                                                  phase_iters=16,
+                                                  warm=warm)
+        label = f"background_sweep[{warm}]"
 
     t0 = time.perf_counter()
     res = solve(draws(-1))                            # first dispatch
