@@ -414,5 +414,48 @@ def main():
           f"on coupled NEs)")
 
 
+    # -- 27. exact-linear Norton warm start (the round-5 headline) --------
+    from hpfx.solve import Scenarios as Sc27, hpf_sweep_adaptive as hsa27
+    sc27 = Sc27(p_scale=jnp.linspace(0.9, 1.1, 8),
+                q_scale=jnp.linspace(0.9, 1.1, 8),
+                injection_scale=jnp.linspace(0.7, 1.3, 8))
+    s27 = hpfx.settings_for_hmax(25, coupled=True).with_(solver="arrow")
+    rc27 = hsa27(net, dev, s27, sc27)
+    rw27 = hsa27(net, dev, s27, sc27, warm="linear")
+    print(f"[27] exact-linear Norton warm start (one (H-1)n block solve "
+          f"per scenario): NR trips mean {float(np.mean(np.asarray(rc27.n_iter))):.1f} "
+          f"-> {float(np.mean(np.asarray(rw27.n_iter))):.1f} at the same "
+          f"fixed points (TPU headline: 48-54k conv-solves/s, ~2x cold)")
+
+    # -- 28. batched background-distortion study --------------------------
+    B28, H28 = 8, s27.n_harmonics
+    rng28 = np.random.default_rng(5)
+    full28 = np.zeros((B28, H28, net.n), complex)
+    xsh28 = float(np.asarray(net.bus_Xsh)[0])
+    full28[:, 2, 0] = (rng28.uniform(0.01, 0.03, B28)
+                       * np.exp(1j * rng28.uniform(0, 2 * np.pi, B28))
+                       / (1j * xsh28 * 5))
+    ibg28 = hpfx.cx.Cx(jnp.asarray(full28.real), jnp.asarray(full28.imag))
+    r28 = hpfx.background_sweep(net, dev, s27, ibg28)
+    thd28 = np.asarray(hpfx.get_thd(np.moveaxis(np.asarray(r28.V_m), 0, -1)).THD_F)
+    print(f"[28] background study (8 random upstream 5th-harmonic draws, "
+          f"full rescue): conv {float(np.mean(np.asarray(r28.converged))):.3f}, "
+          f"worst-bus THD spread {thd28.max(axis=0).min():.4f}.."
+          f"{thd28.max(axis=0).max():.4f}")
+
+    # -- 29. (outage x scenario) contingency cross ------------------------
+    s29 = hpfx.settings_for_hmax(5, coupled=True)
+    dev29 = hpfx.load_device_set(net, s29)   # device tables slice per H
+    r29 = hpfx.screen_line_outages_sweep(
+        net, dev29, s29,
+        Sc27(p_scale=jnp.linspace(0.9, 1.1, 6),
+             q_scale=jnp.linspace(0.9, 1.1, 6),
+             injection_scale=jnp.linspace(0.8, 1.2, 6)))
+    k29 = int(r29.ranking[0])
+    print(f"[29] N-1 x scenario cross (net2: 4 outages x 6 draws, one "
+          f"program): worst outage line {k29}, p95 dTHD "
+          f"{r29.delta_q[k29]:+.4f}, conv {float(r29.conv_frac.min()):.3f}")
+
+
 if __name__ == "__main__":
     main()

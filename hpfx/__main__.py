@@ -285,7 +285,7 @@ def cmd_sweep(args) -> int:
         injection_scale=jnp.asarray(
             rng.uniform(*args.inj_range, args.batch), rd))
     t0 = time.perf_counter()
-    res = hpf_sweep_adaptive(net, dev, s, scen)
+    res = hpf_sweep_adaptive(net, dev, s, scen, warm=args.warm)
     conv = np.asarray(res.converged)
     dt = time.perf_counter() - t0
     thd = np.asarray(
@@ -797,6 +797,10 @@ def build_parser() -> argparse.ArgumentParser:
     pw.add_argument("--p-range", type=float, nargs=2, default=(0.8, 1.2))
     pw.add_argument("--inj-range", type=float, nargs=2, default=(0.5, 1.5))
     pw.add_argument("--seed", type=int, default=0)
+    pw.add_argument("--warm", choices=["cold", "linear"], default="cold",
+                    help="phase-1 start: 'linear' = exact-linear Norton "
+                         "seed (one (H-1)n block solve per scenario "
+                         "replaces most NR trips)")
     pw.set_defaults(fn=cmd_sweep)
 
     pr = sub.add_parser("report",
