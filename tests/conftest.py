@@ -122,14 +122,16 @@ def _clear_jax_caches_between_modules():
 # end-to-end modules (time-domain simulation, randomized property
 # sweeps, virtual-mesh sharding, logged-trajectory example parity).
 _SLOW_TOKENS = ("h51", "h99", "n128", "_99_", "hmax99",
-                "continuation_lanes")
+                "continuation_lanes", "interpret")
 _SLOW_MODULES = {
     "test_simulate", "test_randomized", "test_scaling", "test_sharding",
     "test_examples", "test_trafo_e2e", "test_estimate", "test_kron",
-    # measured-heavy (pytest --durations on this host): FD/grid oracles
-    # and interpret-mode Pallas checks, covered by the full gate
+    # measured-heavy (pytest --durations on this host): FD/grid oracles,
+    # interpret-mode Pallas checks, eigen/three-phase/filter e2e —
+    # all covered by the full gate
     "test_fused_trip", "test_optimize", "test_sensitivity",
-    "test_f32_path",
+    "test_f32_path", "test_threephase", "test_modes",
+    "test_activefilter",
 }
 
 
