@@ -45,8 +45,10 @@ def main():
         p_scale=jnp.asarray(np.linspace(0.8, 1.2, B), jnp.float32),
         q_scale=jnp.asarray(np.linspace(0.8, 1.2, B), jnp.float32),
         injection_scale=jnp.asarray(np.linspace(0.6, 1.4, B), jnp.float32))
+    warm = os.environ.get("HPFX_PROFILE_WARM", "cold")
     f = jax.jit(partial(hpf_sweep_adaptive_lanes, settings=s,
-                        phase_iters=24))
+                        phase_iters=24, warm=warm))
+    print("warm =", warm)
     np.asarray(f(net, dev, scenarios=scen).V_m)      # warm
     t0 = time.perf_counter()
     with profile_trace(OUT):
