@@ -282,10 +282,43 @@ def cmd_sweep(args) -> int:
     rd = s.real_dtype
     scen = Scenarios(
         p_scale=jnp.asarray(rng.uniform(*args.p_range, args.batch), rd),
+        q_scale=jnp.asarray(rng.uniform(*args.p_range, args.batch), rd),
         injection_scale=jnp.asarray(
             rng.uniform(*args.inj_range, args.batch), rd))
     t0 = time.perf_counter()
-    res = hpf_sweep_adaptive(net, dev, s, scen, warm=args.warm)
+    if args.bg_spread:
+        # random upstream Thevenin draws (magnitude up to CAP per order,
+        # uniform angle) behind the slack X_sh, solved as one batched
+        # background study with the full deterministic rescue
+        from . import cx as _cx
+        B, H, n = args.batch, s.n_harmonics, net.n
+        orders = np.asarray(s.harmonics, float)
+        x_sh = float(np.asarray(net.bus_Xsh)[0])
+        if x_sh == 0.0:
+            print("--bg-spread needs a slack X_sh (grid impedance)",
+                  file=sys.stderr)
+            return 2
+        caps = np.zeros(H)
+        for item in args.bg_spread:
+            h, cap = item.split(":")
+            if int(h) not in [int(o) for o in orders]:
+                print(f"--bg-spread order {h} not in harmonics",
+                      file=sys.stderr)
+                return 2
+            caps[[int(o) for o in orders].index(int(h))] = float(cap)
+        mag = rng.uniform(0.0, 1.0, (B, H)) * caps
+        ang = rng.uniform(0.0, 2 * np.pi, (B, H))
+        v = mag * np.exp(1j * ang)
+        i = v / (1j * x_sh * orders)
+        i[:, 0] = 0.0
+        full = np.zeros((B, H, n), complex)
+        full[:, :, 0] = i
+        I_bg = _cx.Cx(jnp.asarray(full.real, rd),
+                      jnp.asarray(full.imag, rd))
+        res = hpfx.background_sweep(net, dev, s, I_bg, scenarios=scen,
+                                    warm=args.warm)
+    else:
+        res = hpf_sweep_adaptive(net, dev, s, scen, warm=args.warm)
     conv = np.asarray(res.converged)
     dt = time.perf_counter() - t0
     thd = np.asarray(
@@ -801,6 +834,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="phase-1 start: 'linear' = exact-linear Norton "
                          "seed (one (H-1)n block solve per scenario "
                          "replaces most NR trips)")
+    pw.add_argument("--bg-spread", action="append", default=None,
+                    metavar="ORDER:CAP",
+                    help="add random upstream background draws: per "
+                         "scenario, a Thevenin voltage at ORDER with "
+                         "magnitude uniform in [0, CAP] pu and random "
+                         "angle behind the slack X_sh (repeatable, e.g. "
+                         "--bg-spread 5:0.03 --bg-spread 7:0.02)")
     pw.set_defaults(fn=cmd_sweep)
 
     pr = sub.add_parser("report",

@@ -75,6 +75,15 @@ def test_sweep_summary(capsys):
     assert "B=16" in out and "conv=" in out
 
 
+def test_sweep_warm_and_background(capsys):
+    rc = main(["sweep", *NET2, "--batch", "8", "--seed", "1",
+               "--warm", "linear", "--bg-spread", "5:0.03",
+               "--bg-spread", "7:0.02"])
+    out = capsys.readouterr().out
+    assert rc in (0, 2)
+    assert "B=8" in out and "conv=" in out
+
+
 def test_filter_design(capsys):
     rc = main(["filter", *NET2, "--bus", "2", "--steps", "3"])
     out = capsys.readouterr().out
