@@ -232,7 +232,7 @@ def _rescue_sweep(settings: Settings, scenarios: Scenarios, out: HPFResult,
     if take is None:
         take = lambda idx: _take_scen(scenarios, idx)  # noqa: E731
 
-    def _merge(out, idx, res_r, cast=None):
+    def _merge(out, idx, res_r):
         return out._replace(
             V_m=out.V_m.at[idx].set(res_r.V_m),
             V_a=out.V_a.at[idx].set(res_r.V_a),
