@@ -545,10 +545,28 @@ def bench_contingency_sweep(S: int = 128, repeats: int = 2):
         solved = ~rep.islanded
         conv = min(conv, float(rep.converged[solved].mean()))
         n_pairs = int(solved.sum()) * S
+    # untimed f64 verification of the last rep's unconverged pairs:
+    # pairs that fail even in f64 are genuine power-flow infeasibility
+    # of the weakened topology (the screen's signal, not a solver gap)
+    scen = Scenarios(
+        p_scale=jnp.asarray(np.linspace(0.9, 1.1, S) + 1e-4 * (repeats - 1),
+                            jnp.float32),
+        q_scale=jnp.asarray(np.linspace(0.9, 1.1, S), jnp.float32),
+        injection_scale=jnp.asarray(np.linspace(0.8, 1.2, S),
+                                    jnp.float32))
+    from hpfx import contingency as cg
+    vrep = cg.screen_line_outages_sweep(
+        net, dev, s, scen, verify_infeasible=True)
+    rows = ~vrep.islanded
+    n_feasible = int(rows.sum()) * S - int(vrep.infeasible.sum())
+    n_conv = int(vrep.converged[rows].sum())
     return {
         "contingency_pairs_per_sec": round(conv * n_pairs / min(times), 1),
         "contingency_convergence": round(conv, 4),
         "contingency_pairs": n_pairs,
+        "contingency_infeasible_pairs": int(vrep.infeasible.sum()),
+        "contingency_conv_among_feasible": round(
+            n_conv / max(1, n_feasible), 4),
     }
 
 

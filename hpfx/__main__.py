@@ -697,7 +697,8 @@ def cmd_contingency(args) -> int:
                 rng.uniform(*args.inj_range, S), rd))
         rep = hpfx.screen_line_outages_sweep(
             net, dev, s, scen, outages=args.element,
-            quantile=args.quantile)
+            quantile=args.quantile,
+            verify_infeasible=args.verify_infeasible)
         dt = time.perf_counter() - t0
         K = len(rep.outages)
         print(f"N-1 line-outage x scenario screen: {K} outages x {S} "
@@ -705,15 +706,17 @@ def cmd_contingency(args) -> int:
               f"{float(np.quantile(rep.base_worst, args.quantile)):.4f}"
               f"  ({dt:.2f}s incl. compile)")
         print(f"{'rank':>5} {'line':>7} {'status':>10} "
-              f"{'dTHD q':>9} {'conv':>6}")
+              f"{'dTHD q':>9} {'conv':>6} {'infeas':>7}")
         for r, pos in enumerate(rep.ranking):
             if rep.islanded[pos]:
                 print(f"{r:>5} {rep.outages[pos]:>7} {'ISLANDED':>10} "
-                      f"{'-':>9} {'-':>6}")
+                      f"{'-':>9} {'-':>6} {'-':>7}")
             else:
+                nin = int(rep.infeasible[pos].sum())
                 print(f"{r:>5} {rep.outages[pos]:>7} {'ok':>10} "
                       f"{rep.delta_q[pos]:>+9.4f} "
-                      f"{rep.conv_frac[pos]:>6.3f}")
+                      f"{rep.conv_frac[pos]:>6.3f} "
+                      f"{nin if args.verify_infeasible else '-':>7}")
         dq = rep.delta_q[~rep.islanded]
         return 3 if dq.size and np.nanmax(dq) > args.alert else 0
     if args.type == "line":
@@ -1030,6 +1033,11 @@ def build_parser() -> argparse.ArgumentParser:
                     default=(0.9, 1.1), metavar=("LO", "HI"))
     pn.add_argument("--inj-range", type=float, nargs=2,
                     default=(0.8, 1.2), metavar=("LO", "HI"))
+    pn.add_argument("--verify-infeasible", action="store_true",
+                    help="with --draws: re-solve unconverged pairs in "
+                         "f64 on CPU — recovered pairs merge back, the "
+                         "rest are confirmed power-flow infeasibility "
+                         "of the weakened topology")
     pn.set_defaults(fn=cmd_contingency)
     return p
 

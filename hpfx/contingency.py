@@ -402,6 +402,13 @@ class ContingencySweepReport(NamedTuple):
     this outage, distortion rises by at least this much in q of load
     situations"); ``conv_frac`` (K,); islanded rows NaN/False.
     ``ranking``: outage positions by descending ``delta_q``.
+
+    ``infeasible`` (K, S): only populated by
+    ``verify_infeasible=True`` — unconverged pairs re-solved cold in
+    float64 on the CPU backend; True where even f64 finds no solution
+    (a genuine power-flow infeasibility of the weakened topology, the
+    screen's strongest signal), False where the f64 pass recovered the
+    pair (its row is merged back as converged).  All-False otherwise.
     """
     outages: Tuple[int, ...]
     islanded: np.ndarray
@@ -412,12 +419,60 @@ class ContingencySweepReport(NamedTuple):
     delta_q: np.ndarray
     conv_frac: np.ndarray
     ranking: np.ndarray
+    infeasible: np.ndarray
+
+
+def _verify_infeasible_pairs(net: Network, devices, settings: Settings,
+                             sel, p, q, inj, conv, islanded, worst,
+                             n_iter):
+    """Re-solve every unconverged non-islanded (outage, draw) pair cold
+    in f64 on the CPU backend.  Pairs that converge there are merged
+    back (the f32 knife-edge class); pairs that fail even in f64 are a
+    genuine power-flow infeasibility of the weakened topology.  One
+    compiled CPU program serves every outage (the surviving-line arrays
+    are data, not shapes).  Returns the updated (conv, worst, n_iter,
+    infeasible)."""
+    import jax
+
+    from .results import get_thd as _thd
+    from .solve import _to64
+
+    infeasible = np.zeros_like(conv)
+    bad = np.argwhere(~conv & ~islanded[:, None])
+    if bad.size == 0:
+        return conv, worst, n_iter, infeasible
+    s64 = settings.with_(dtype="float64")
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64(), jax.default_device(cpu):
+        net64 = _to64(net)
+        dev64 = _to64(devices)
+        p64 = np.asarray(p, np.float64)
+        q64 = np.asarray(q, np.float64)
+        i64 = np.asarray(inj, np.float64)
+        for k_idx, s_idx in bad:
+            keep = np.delete(np.arange(net.n_lines), sel[int(k_idx)])
+            net_k = dataclasses.replace(
+                net64,
+                **{f: jnp.asarray(np.asarray(getattr(net64, f))[keep])
+                   for f in _LINE_FIELDS},
+                bus_P=net64.bus_P * p64[s_idx],
+                bus_Q=net64.bus_Q * q64[s_idx])
+            res = hpf(net_k, dev64.scale(jnp.asarray(i64[s_idx])), s64)
+            if bool(np.asarray(res.converged)):
+                conv[k_idx, s_idx] = True
+                worst[k_idx, s_idx] = float(
+                    np.max(np.asarray(_thd(res.V_m).THD_F)))
+                n_iter[k_idx, s_idx] += int(np.asarray(res.n_iter))
+            else:
+                infeasible[k_idx, s_idx] = True
+    return conv, worst, n_iter, infeasible
 
 
 def screen_line_outages_sweep(net: Network, devices, settings: Settings,
                               scenarios: Scenarios, *,
                               outages: Optional[Sequence[int]] = None,
-                              quantile: float = 0.95
+                              quantile: float = 0.95,
+                              verify_infeasible: bool = False
                               ) -> ContingencySweepReport:
     """N-1 line screen crossed with a scenario sweep: every (outage,
     load/injection draw) pair solves in one vmapped full-HPF program.
@@ -429,6 +484,10 @@ def screen_line_outages_sweep(net: Network, devices, settings: Settings,
     is built once, hcne_generalized.py:132-171).  ``scenarios``: the
     (S,) load/injection draws (hpfx.solve.Scenarios; device_mix not
     supported here).  ``quantile``: ranking quantile over draws.
+    ``verify_infeasible``: re-solve unconverged pairs cold in f64 on
+    the CPU backend — recovered pairs merge back as converged (the f32
+    knife-edge class), the rest are reported ``infeasible`` (genuine
+    power-flow infeasibility of the weakened topology, f64-confirmed).
     """
     if scenarios.device_mix is not None:
         raise ValueError("screen_line_outages_sweep does not support "
@@ -467,6 +526,12 @@ def screen_line_outages_sweep(net: Network, devices, settings: Settings,
         n_iter[pos] = np.asarray(it)
         worst[pos] = np.asarray(w)
 
+    infeasible = np.zeros((K, S), bool)
+    if verify_infeasible:
+        conv, worst, n_iter, infeasible = _verify_infeasible_pairs(
+            net, devices, settings, sel, scenarios.p_scale, q, inj,
+            conv, islanded, worst, n_iter)
+
     with np.errstate(invalid="ignore"):
         delta = worst - base_worst[None, :]
         delta_q = np.nanquantile(
@@ -478,4 +543,4 @@ def screen_line_outages_sweep(net: Network, devices, settings: Settings,
         outages=tuple(int(o) for o in sel), islanded=islanded,
         converged=conv, n_iter=n_iter, worst_thd=worst,
         base_worst=base_worst, delta_q=delta_q, conv_frac=conv_frac,
-        ranking=order)
+        ranking=order, infeasible=infeasible)

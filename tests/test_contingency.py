@@ -239,3 +239,52 @@ def test_line_outage_sweep_rejects_device_mix(net2c):
                    device_mix=jnp.ones((2, net.n_nonlinear, 1)))
     with pytest.raises(ValueError):
         cg.screen_line_outages_sweep(net, dev, s, sc)
+
+
+def test_verify_infeasible_recovers_knife_edge():
+    """Unconverged pairs that are merely f32 knife-edges (threshold
+    below the f32 floor) are recovered by the f64 verification pass and
+    merged back as converged; nothing is labeled infeasible."""
+    import os
+
+    from conftest import DATA
+    from hpfx.solve import Scenarios
+
+    s = hpfx.settings_for_hmax(5, coupled=True).with_(
+        solver="arrow", stable_mismatch=True, dtype="float32",
+        floor_kappa=0.0, thresh_h=3e-8)
+    net = hpfx.load_network(os.path.join(DATA, "net2_buses.csv"),
+                            os.path.join(DATA, "net2_lines.csv"), s)
+    dev = hpfx.load_device_set(net, s)
+    sc = Scenarios(p_scale=jnp.linspace(0.95, 1.05, 3).astype(jnp.float32),
+                   q_scale=jnp.ones(3, jnp.float32),
+                   injection_scale=jnp.ones(3, jnp.float32))
+    plain = cg.screen_line_outages_sweep(net, dev, s, sc)
+    assert not plain.converged.any()          # f32 cannot certify 3e-8
+    assert not plain.infeasible.any()         # flag off -> all False
+    ver = cg.screen_line_outages_sweep(net, dev, s, sc,
+                                       verify_infeasible=True)
+    assert ver.converged.all()
+    assert not ver.infeasible.any()
+    assert np.all(np.isfinite(ver.worst_thd))
+
+
+def test_verify_infeasible_confirms_physics(net2c):
+    """A draw with no power-flow solution (absurd injection level)
+    fails in f64 too and is labeled infeasible; the nominal draw on the
+    same outage stays converged."""
+    from hpfx.solve import Scenarios
+
+    s, net, dev = net2c
+    # 500x load power is past the fundamental nose curve on every
+    # net2 topology — no power-flow root at any precision (50x still
+    # admits the low-voltage root on the stronger outages)
+    sc = Scenarios(p_scale=jnp.array([1.0, 500.0]),
+                   q_scale=jnp.array([1.0, 500.0]),
+                   injection_scale=jnp.array([1.0, 1.0]))
+    rep = cg.screen_line_outages_sweep(net, dev, s, sc,
+                                       verify_infeasible=True)
+    assert rep.converged[:, 0].all()          # nominal draws solve
+    assert not rep.converged[:, 1].any()      # 500x load: no root
+    assert rep.infeasible[:, 1].all()         # ... confirmed at f64
+    assert not rep.infeasible[:, 0].any()
